@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline catalog queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed to completion with a `noop` sink — full compute
+and shuffle, no driver-side result transfer — which is the number that
+scales to a cluster run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from convoy_spark.session import get_spark
+
+# Headline set: grows as the catalog grows. Keep these ordered
+# cheap→expensive so a failure mid-run still reports something.
+BENCH_QUERIES = [
+    "pricing_summary",
+    "flagship_conversation_rollup",
+    "singleton_groups",
+    "semi_join_filter",
+    "calendar_projection",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark("convoy-spark-bench")
+    from convoy_spark.queries import QUERIES
+
+    names = [n for n in BENCH_QUERIES if n in QUERIES]
+
+    # JVM/codegen warmup on a trivial job so q1 isn't charged for it.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        df = QUERIES[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,57 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode testing runs on ``local[$SPARK_GRAFT_CPUS]`` (default 32
+threads); the same configs are what we would ship as defaults on a real
+multi-executor cluster: AQE on (runtime re-planning, skew-join
+mitigation, shuffle-partition coalescing), Arrow transfer for the few
+Pandas-UDF operators, UTC session timezone so results are comparable
+with the DuckDB oracle.
+
+At 100 TB the knobs that matter are set here once so every pipeline
+inherits them:
+
+- ``spark.sql.adaptive.enabled`` — conversation/ur-conversation keys are
+  heavily skewed (viral threads); AQE skew-join splitting is the first
+  line of defense before explicit salting.
+- ``spark.sql.shuffle.partitions`` — sized to cores locally; on a
+  cluster AQE coalescing makes the static value mostly irrelevant, but
+  a sane initial value avoids 200-partition tiny-file shuffles.
+- ``spark.sql.files.maxPartitionBytes`` — 128 MB split size keeps scan
+  tasks memory-bounded regardless of total input size.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "convoy-spark", cpus: int | None = None) -> SparkSession:
+    """Build (or reuse) the tuned SparkSession."""
+    n = cpus or default_parallelism()
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # events.parquet stores TIMESTAMP(NANOS); Spark's µs timestamps
+        # can't hold it, so read nanos as raw int64 and convert in
+        # tables.load_table (truncate to µs, matching the oracle's
+        # TIMESTAMP_NS→TIMESTAMP cast semantics).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
