@@ -13,4 +13,11 @@ from convoy_spark.queries.catalog import (  # noqa: F401
 )
 
 # Importing the modules populates the registry.
-from convoy_spark.queries import relational  # noqa: F401,E402
+from convoy_spark.queries import (  # noqa: F401,E402
+    aggregates,
+    joins,
+    projections,
+    relational,
+    setops,
+    windows,
+)

@@ -1,0 +1,195 @@
+"""Aggregation catalog queries (SURVEY.md §2.4 A1–A8 plus
+rollup/cube, which the reference lacks).
+
+Everything here is Catalyst hash aggregation: partial (map-side)
+combine before the single shuffle on the grouping key, spilling to disk
+when groups exceed memory — the 100 TB-safe default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from convoy_spark.functions.numeric import davg, dsum, sql_davg, sql_dsum
+from convoy_spark.queries.catalog import query
+from convoy_spark.tables import load_table
+
+
+@query(
+    "conditional_agg",
+    oracle=f"""
+    SELECT
+      event_type,
+      CAST(COUNT(*) AS BIGINT) AS n_events,
+      CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      {sql_dsum('value')} AS total_value,
+      CAST(COUNT(*) FILTER (WHERE value > 100.0) AS BIGINT) AS n_big,
+      {sql_dsum('CASE WHEN value > 100.0 THEN value ELSE 0 END')} AS big_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-sum with conditional branches (A1): the conversation-id
+    reply-count accumulator with its zero-reply branch
+    (`extract_conversation_ids.py:21-28`)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        dsum(F.col("value")).alias("total_value"),
+        F.count_if(F.col("value") > 100.0).alias("n_big"),
+        dsum(F.when(F.col("value") > 100.0, F.col("value")).otherwise(0.0)).alias(
+            "big_value"
+        ),
+    )
+
+
+@query(
+    "global_agg",
+    oracle=f"""
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+      {sql_dsum('l_quantity')} AS total_qty,
+      {sql_davg('l_extendedprice')} AS avg_price,
+      MIN(l_shipdate) AS first_ship,
+      MAX(l_shipdate) AS last_ship
+    FROM lineitem
+    """,
+)
+def global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (ungrouped) aggregation — the line/tweet/zero-reply
+    global counters of `extract_conversation_ids.py:21-28`."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        dsum(F.col("l_quantity")).alias("total_qty"),
+        davg(F.col("l_extendedprice")).alias("avg_price"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+
+
+@query(
+    "two_pass_mad",
+    oracle=f"""
+    WITH means AS (
+      SELECT event_type, {sql_davg('value')} AS mean_value
+      FROM events GROUP BY event_type
+    )
+    SELECT
+      e.event_type,
+      m.mean_value,
+      {sql_davg('abs(e.value - m.mean_value)')} AS value_mad
+    FROM events e JOIN means m ON e.event_type = m.event_type
+    GROUP BY e.event_type, m.mean_value
+    """,
+)
+def two_pass_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass mean absolute deviation (A6/P13): the reference
+    computes subtree means then means of |x − mean|
+    (`3_create_tweet_stats_i.py:141-178`). Restated as the standard
+    2-phase DataFrame aggregation: means, broadcast-join back, second
+    aggregate. Both passes are partial-agg + one shuffle each."""
+    events = load_table(spark, sf_dir, "events")
+    means = events.groupBy("event_type").agg(
+        davg(F.col("value")).alias("mean_value")
+    )
+    return (
+        events.join(F.broadcast(means), "event_type")
+        .groupBy("event_type", "mean_value")
+        .agg(
+            davg(F.abs(F.col("value") - F.col("mean_value"))).alias("value_mad")
+        )
+    )
+
+
+@query(
+    "rollup_hierarchy",
+    oracle=f"""
+    SELECT
+      CAST(year(o_orderdate) AS INT) AS order_year,
+      o_orderstatus AS status,
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      {sql_dsum('o_totalprice')} AS total_price
+    FROM orders
+    GROUP BY ROLLUP (year(o_orderdate), o_orderstatus)
+    """,
+)
+def rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets — absent from the reference (SURVEY §2.4
+    'not present'), free in Catalyst; the calendar hierarchy mirrors
+    the denormalized date columns of `4_create_tweets_a.py:43`."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup(
+            F.year("o_orderdate").alias("order_year"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+    )
+
+
+@query(
+    "cube_matrix",
+    oracle=f"""
+    SELECT
+      l_returnflag AS returnflag,
+      l_linestatus AS linestatus,
+      CAST(COUNT(*) AS BIGINT) AS n_items,
+      {sql_dsum('l_quantity')} AS total_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (extension, SURVEY §2.4)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube(
+        F.col("l_returnflag").alias("returnflag"),
+        F.col("l_linestatus").alias("linestatus"),
+    ).agg(
+        F.count("*").alias("n_items"),
+        dsum(F.col("l_quantity")).alias("total_qty"),
+    )
+
+
+@query(
+    "pivot_matrix",
+    oracle="""
+    SELECT
+      user_id,
+      CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+      CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS "view",
+      CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+      CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+      CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS "error"
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def pivot_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide) with a fixed category list — the explicit
+    value list avoids the extra distinct-values job Spark otherwise
+    runs, which matters at 100 TB."""
+    events = load_table(spark, sf_dir, "events")
+    pivoted = (
+        events.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+    )
+    # pivot leaves NULL where a (user, type) pair never occurred;
+    # normalize to 0 to match COUNT(*) FILTER semantics.
+    return pivoted.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).alias(c)
+            for c in ["click", "view", "purchase", "signup", "error"]
+        ],
+    )
