@@ -22,12 +22,16 @@ from pyspark.sql import functions as F
 
 from convoy_spark.tables import load_table
 
-# DuckDB CTE: one row per node, parent_id NULL for roots.
+# DuckDB CTE: one row per node, parent_id NULL for roots. The
+# `p.id <> c.id` guard matters: orderkey 0 would otherwise be its own
+# parent (0 div 10 = 0) — a self-loop that the pointer-jumping side
+# shrugs off but that would make the oracle's recursive CTE climb
+# forever.
 FOREST_SQL_CTE = """
 nodes AS (SELECT o_orderkey AS id FROM orders),
 forest AS (
   SELECT c.id AS child_id, p.id AS parent_id
-  FROM nodes c LEFT JOIN nodes p ON p.id = c.id // 10
+  FROM nodes c LEFT JOIN nodes p ON p.id = c.id // 10 AND p.id <> c.id
 )
 """
 
@@ -46,6 +50,9 @@ def forest_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("child_id"), F.expr("id div 10").alias("pkey")
     )
     parent = nodes.select(F.col("id").alias("pid"))
-    return child.join(parent, child.pkey == parent.pid, "left").select(
-        "child_id", F.col("pid").alias("parent_id")
-    )
+    # pkey != child_id mirrors the oracle's self-loop guard (orderkey 0).
+    return child.join(
+        parent,
+        (child.pkey == parent.pid) & (child.child_id != parent.pid),
+        "left",
+    ).select("child_id", F.col("pid").alias("parent_id"))

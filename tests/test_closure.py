@@ -1,0 +1,99 @@
+"""Golden + property tests for the transitive closure (SURVEY §5
+strategies #3/#4; fixtures per FIXTURES.md §C1)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from convoy_spark.operators.closure import closure_roots, enrich_with_roots
+
+EDGE_SCHEMA = "child_id long, parent_id long"
+
+
+def roots_dict(spark, edges):
+    df = spark.createDataFrame(edges, EDGE_SCHEMA)
+    return {r.node_id: r.root_id for r in closure_roots(df).collect()}
+
+
+def test_chain(spark):
+    # chain 1→2→3→4→5 (multi-iteration pointer jumping)
+    edges = [(1, None), (2, 1), (3, 2), (4, 3), (5, 4)]
+    assert roots_dict(spark, edges) == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_star_singleton_two_trees(spark):
+    edges = [
+        (10, None), (11, 10), (12, 10), (13, 10),  # star
+        (20, None),                                 # singleton root
+        (30, None), (31, 30), (32, 31),             # second tree
+    ]
+    got = roots_dict(spark, edges)
+    assert got == {10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 30: 30, 31: 30, 32: 30}
+
+
+def test_enrich_coalesce_fallback(spark):
+    # map restricted to linked nodes; 99 has no entry → keeps own key
+    facts = spark.createDataFrame([(2, "a"), (99, "b")], "k long, v string")
+    cmap = closure_roots(
+        spark.createDataFrame([(1, None), (2, 1)], EDGE_SCHEMA)
+    ).filter(F.col("node_id") != F.col("root_id"))
+    got = {
+        r.k: r.root_id
+        for r in enrich_with_roots(facts, cmap, "k", "root_id").collect()
+    }
+    assert got == {2: 1, 99: 99}
+
+
+def _random_forest(rng: random.Random, n: int):
+    """Random forest: node i may attach to any earlier node (acyclic by
+    construction)."""
+    edges = []
+    parents = {}
+    for i in range(1, n + 1):
+        if i == 1 or rng.random() < 0.2:
+            edges.append((i, None))
+            parents[i] = None
+        else:
+            p = rng.randint(1, i - 1)
+            edges.append((i, p))
+            parents[i] = p
+    return edges, parents
+
+
+def _true_root(parents, node):
+    while parents[node] is not None:
+        node = parents[node]
+    return node
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_random_forest_property(spark, seed):
+    rng = random.Random(seed)
+    edges, parents = _random_forest(rng, 200)
+    got = roots_dict(spark, edges)
+    assert len(got) == 200
+    for node, root in got.items():
+        assert root == _true_root(parents, node), f"node {node}"
+
+
+def test_idempotent_rerun(spark):
+    # re-running enrichment over already-enriched data is a no-op
+    # (INSERT IGNORE parity, SURVEY §5 strategy #4)
+    edges = [(1, None), (2, 1), (3, 2)]
+    df = spark.createDataFrame(edges, EDGE_SCHEMA)
+    first = closure_roots(df)
+    # feed the closure output back in as edges (node→root is a 1-step forest)
+    again = closure_roots(
+        first.select(
+            F.col("node_id").alias("child_id"),
+            F.when(F.col("root_id") != F.col("node_id"), F.col("root_id")).alias(
+                "parent_id"
+            ),
+        )
+    )
+    assert {(r.node_id, r.root_id) for r in again.collect()} == {
+        (r.node_id, r.root_id) for r in first.collect()
+    }
