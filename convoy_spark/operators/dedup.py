@@ -1,0 +1,327 @@
+"""Document deduplication operators (north-star extensions, SURVEY §7
+M6): exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+These extend the reference's key-dedup surface (INSERT IGNORE / PK
+semantics, `1_initial_load.py:218-224` — covered by the relational
+``dedup_first_wins`` query) to content-level near-duplicate detection,
+the bread and butter of a 100 TB training-data pipeline.
+
+Design notes, 100 TB first:
+
+- **Exact**: one hash aggregation on a 60-bit content hash; map-side
+  partial agg means the shuffle carries one row per distinct hash.
+- **n-gram Jaccard** is exact but all-pairs: the shingle self-join
+  explodes on common shingles. It is the *verifier*, not the scale
+  path.
+- **MinHash+LSH** is the scale path: signatures are a fixed 16 longs
+  per doc regardless of doc size; banding turns all-pairs into
+  equi-joins on (band, key) — only docs sharing a band bucket ever
+  meet, and with b=4 bands × r=4 rows the S-curve puts the match
+  probability knee at J ≈ (1/4)^(1/4) ≈ 0.71, right for a 0.8
+  threshold. Candidates are then verified with exact Jaccard — the
+  standard sketch-then-verify shape.
+- **SimHash**: one 60-bit fingerprint per doc; near-dup pairs found by
+  the pigeonhole block join (hamming ≤ t pairs must share one of t+1
+  exact blocks) — again equi-joins, no all-pairs.
+- Every hash is the cross-engine deterministic
+  :mod:`convoy_spark.functions.hashing` family, so the DuckDB oracle
+  reproduces signatures bit-for-bit: even the sketch operators get
+  full value-hash parity instead of a weaker rows-only check.
+
+Skew: stopword-like shingles make (band, key) and shingle joins
+skewed; AQE skew-join splitting handles moderate cases, and the
+``max_shingle_freq`` guard drops degenerate buckets (a shingle in >1%
+of docs carries no dedup signal but quadratic join cost).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from convoy_spark.functions.hashing import (
+    MERSENNE31,
+    hash60,
+    minhash_params,
+    perm_hash,
+)
+
+TOKEN_SPLIT = r"\s+"
+NUM_HASHES = 16
+LSH_BANDS = 4
+LSH_ROWS = 4
+SIMHASH_BITS = 60
+SIMHASH_BLOCKS = 5  # pigeonhole: finds all pairs with hamming <= 4
+
+
+def doc_tokens(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, token) — lowercased whitespace tokens, one row each."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT)).alias("token"),
+    ).filter(F.col("token") != "")
+
+
+def doc_shingles(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, shingle) — distinct word n-grams. Built with array
+    built-ins (transform/sequence/slice/array_join): whole-stage
+    codegen, no Python in the loop."""
+    tokens = F.split(F.lower(F.col(text_col)), TOKEN_SPLIT)
+    shingle_expr = F.when(
+        F.size(tokens) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
+            lambda i: F.array_join(F.slice(tokens, i, n), " "),
+        ),
+    ).otherwise(F.array())
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), shingle_expr.alias("sh"))
+        .select("doc_id", F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+
+
+def shingle_hashes(docs: DataFrame, n: int = 3, **kw) -> DataFrame:
+    """(doc_id, h) — 60-bit hash per distinct shingle."""
+    return doc_shingles(docs, n, **kw).select(
+        "doc_id", hash60(F.col("shingle")).alias("h")
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    min_jaccard: float,
+    n: int = 3,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs: (doc_a, doc_b, jaccard).
+
+    Shingle-set self-join: |A∩B| by counting shared shingles, sizes
+    from a per-doc aggregate, J = ∩ / (|A|+|B|−∩). ``max_shingle_freq``
+    drops shingles appearing in more docs than the cap before the join
+    (exactness trade-off documented at the call site)."""
+    sh = shingle_hashes(docs, n)
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("h").count().filter(F.col("count") <= max_shingle_freq)
+        sh = sh.join(freq.select("h"), "h", "left_semi")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "h")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "h")
+    inter = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "na"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "nb"}), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, num_hashes: int = NUM_HASHES, n: int = 3
+) -> DataFrame:
+    """(doc_id, i, v) — MinHash signature in long format: v =
+    min over shingles of the i-th permuted hash. The params table is a
+    16-row broadcast; the aggregation is one shuffle on doc_id with
+    map-side partial mins."""
+    params = docs.sparkSession.createDataFrame(
+        minhash_params(num_hashes), "i int, a long, b long"
+    )
+    sh = shingle_hashes(docs, n)
+    return (
+        sh.join(F.broadcast(params))
+        .groupBy("doc_id", "i")
+        .agg(F.min(perm_hash(F.col("h"), F.col("a"), F.col("b"))).alias("v"))
+    )
+
+
+def lsh_band_keys(
+    signatures: DataFrame, rows_per_band: int = LSH_ROWS
+) -> DataFrame:
+    """(doc_id, band, key) — signature rows grouped into bands; the key
+    is the in-band value sequence (order fixed by sorting on i, so the
+    key is deterministic under any partitioning)."""
+    return (
+        signatures.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "v"))),
+                    lambda s: s["v"].cast("string"),
+                ),
+                "-",
+            ).alias("key")
+        )
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, rows_per_band: int = LSH_ROWS
+) -> DataFrame:
+    """Distinct (doc_a, doc_b) sharing at least one band bucket."""
+    bands = lsh_band_keys(signatures, rows_per_band)
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "key")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_lsh_neardup(
+    docs: DataFrame,
+    min_jaccard: float = 0.8,
+    num_hashes: int = NUM_HASHES,
+    rows_per_band: int = LSH_ROWS,
+    n: int = 3,
+) -> DataFrame:
+    """Sketch-then-verify near-dup: LSH candidates → exact Jaccard
+    filter. Only candidate pairs (a vanishing fraction of all pairs)
+    pay the verification join."""
+    cand = lsh_candidate_pairs(
+        minhash_signatures(docs, num_hashes, n), rows_per_band
+    )
+    sh = shingle_hashes(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # Verification: count common shingle hashes per candidate pair.
+    a = sh.select(F.col("doc_id").alias("doc_a"), "h")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "h")
+    common = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(
+            sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "na"}), "doc_a"
+        )
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "nb"}), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash_signature(
+    docs: DataFrame,
+    bits: int = SIMHASH_BITS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, simhash) — frequency-weighted SimHash over unigram
+    tokens: bit j of the fingerprint is the sign of
+    Σ_tokens count·(2·bit_j(hash)−1). Two hash aggregations, both with
+    map-side combine; the bits table is a 60-row broadcast."""
+    tk = (
+        doc_tokens(docs, text_col, id_col)
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("cnt"))
+        .select("doc_id", hash60(F.col("token")).alias("h"), "cnt")
+    )
+    bits_df = docs.sparkSession.createDataFrame(
+        [(j,) for j in range(bits)], "j int"
+    )
+    # shiftright/shiftleft with a *column* shift amount need the SQL
+    # form (the PySpark wrappers only take int literals).
+    contrib = (
+        tk.join(F.broadcast(bits_df))
+        .groupBy("doc_id", "j")
+        .agg(
+            F.sum(
+                F.col("cnt") * (F.expr("shiftright(h, j)").bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias("s")
+        )
+    )
+    return contrib.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
+
+
+def simhash_neardup(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    bits: int = SIMHASH_BITS,
+    blocks: int = SIMHASH_BLOCKS,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs with hamming ≤ ``max_hamming``.
+
+    Pigeonhole blocking: fingerprints are cut into ``blocks`` equal
+    bit-blocks; any pair within ``blocks−1`` hamming distance shares at
+    least one identical block, so candidates come from ``blocks``
+    equi-joins (unioned via an exploded block table) instead of a cross
+    join. Requires ``max_hamming < blocks``."""
+    if max_hamming >= blocks:
+        raise ValueError("pigeonhole needs max_hamming < blocks")
+    width = bits // blocks
+    mask = (1 << width) - 1
+    fp = simhash_signature(docs, bits)
+    blocked = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[F.lit(k) for k in range(blocks)])
+        ).alias("blk"),
+    ).withColumn(
+        "blk_val",
+        F.expr(f"shiftright(simhash, blk * {width})").bitwiseAND(F.lit(mask)),
+    )
+    a = blocked.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a"), "blk", "blk_val"
+    )
+    b = blocked.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b"), "blk", "blk_val"
+    )
+    return (
+        a.join(b, ["blk", "blk_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def exact_dedup_map(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, content_hash, canonical_id) — exact content dedup by
+    hash group; the lowest id in each group is canonical (deterministic
+    first-wins, unlike partition-order-dependent dropDuplicates —
+    SURVEY §2.6 T3)."""
+    hashed = df.select(
+        F.col(id_col).alias("doc_id"), hash60(F.col(text_col)).alias("content_hash")
+    )
+    canon = hashed.groupBy("content_hash").agg(
+        F.min("doc_id").alias("canonical_id")
+    )
+    return hashed.join(canon, "content_hash").select(
+        "doc_id", "content_hash", "canonical_id"
+    )

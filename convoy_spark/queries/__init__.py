@@ -15,6 +15,7 @@ from convoy_spark.queries.catalog import (  # noqa: F401
 # Importing the modules populates the registry.
 from convoy_spark.queries import (  # noqa: F401,E402
     aggregates,
+    dedup,
     graph,
     joins,
     projections,

@@ -1,0 +1,214 @@
+"""Deduplication catalog queries over the ``documents`` table
+(north-star extensions, SURVEY §7 M6).
+
+Every query here — including the MinHash and SimHash *sketches* — has
+a full DuckDB oracle: the sketch hashes are the cross-engine
+deterministic family from :mod:`convoy_spark.functions.hashing`, so
+the oracle reproduces signatures bit-for-bit and the driver's
+value-hash comparison applies to the approximate operators too, not
+just the exact ones.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from convoy_spark.functions.hashing import (
+    MERSENNE31,
+    minhash_params,
+    sql_hash60,
+)
+from convoy_spark.operators.dedup import (
+    LSH_ROWS,
+    NUM_HASHES,
+    exact_dedup_map,
+    jaccard_pairs,
+    minhash_lsh_neardup,
+    minhash_signatures,
+    simhash_neardup,
+)
+from convoy_spark.queries.catalog import query
+from convoy_spark.tables import load_table
+
+NEARDUP_J = 0.8  # the corpus has planted near-dups at J ≈ 0.98
+
+# ---- shared oracle CTE fragments ---------------------------------------
+
+# Distinct word-3-gram shingle hashes per doc; mirrors
+# operators.dedup.shingle_hashes (split → slice → join → md5-hash60).
+SHINGLES_SQL = f"""
+toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents
+),
+idx AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+  FROM toks WHERE len(t) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(t[CAST(i AS INT):CAST(i AS INT) + 2], ' ') AS shingle
+  FROM idx
+),
+shh AS (SELECT doc_id, {sql_hash60('shingle')} AS h FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shh GROUP BY doc_id)
+"""
+
+_PARAMS_VALUES = ", ".join(f"({i}, {a}, {b})" for i, a, b in minhash_params(NUM_HASHES))
+
+MINHASH_SQL = f"""
+params(i, a, b) AS (VALUES {_PARAMS_VALUES}),
+mh AS (
+  SELECT s.doc_id, p.i,
+         MIN((p.a * (s.h % {MERSENNE31}) + p.b) % {MERSENNE31}) AS v
+  FROM shh s CROSS JOIN params p
+  GROUP BY s.doc_id, p.i
+)
+"""
+
+
+@query(
+    "exact_dedup",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, {sql_hash60('text')} AS content_hash FROM documents
+    ),
+    c AS (
+      SELECT content_hash, MIN(doc_id) AS canonical_id FROM h GROUP BY content_hash
+    )
+    SELECT h.doc_id, h.content_hash, c.canonical_id
+    FROM h JOIN c USING (content_hash)
+    """,
+)
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup (hash-groupBy): every doc mapped to the
+    lowest-id member of its content-hash group. One shuffle carrying
+    one row per distinct hash (map-side partial min); deterministic
+    first-wins unlike dropDuplicates."""
+    return exact_dedup_map(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH {SHINGLES_SQL},
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= {NEARDUP_J}
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs at J ≥ 0.8 — the all-pairs
+    verifier (quadratic on shared shingles; the LSH query below is the
+    100 TB path)."""
+    return jaccard_pairs(load_table(spark, sf_dir, "documents"), NEARDUP_J)
+
+
+@query(
+    "minhash_signatures",
+    oracle=f"""
+    WITH {SHINGLES_SQL},
+    {MINHASH_SQL}
+    SELECT doc_id, i, v FROM mh
+    """,
+)
+def minhash_signatures_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-permutation MinHash signatures in long format — fixed-size
+    sketch per doc (16 longs regardless of doc length), bit-identical
+    across engines by construction."""
+    return minhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "minhash_lsh_neardup",
+    oracle=f"""
+    WITH {SHINGLES_SQL},
+    {MINHASH_SQL},
+    bands AS (
+      SELECT doc_id, i // {LSH_ROWS} AS band,
+             string_agg(CAST(v AS VARCHAR), '-' ORDER BY i) AS key
+      FROM mh GROUP BY doc_id, i // {LSH_ROWS}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    common AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS nc
+      FROM cand c
+      JOIN shh x ON x.doc_id = c.doc_a
+      JOIN shh y ON y.doc_id = c.doc_b AND y.h = x.h
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT doc_a, doc_b, CAST(nc AS DOUBLE) / (sa.n + sb.n - nc) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(nc AS DOUBLE) / (sa.n + sb.n - nc) >= {NEARDUP_J}
+    """,
+)
+def minhash_lsh_neardup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup, sketch-then-verify: 4 bands × 4 rows puts
+    the S-curve knee at J ≈ 0.71; candidates sharing a band bucket get
+    exact-Jaccard verification. All equi-joins — the all-pairs
+    explosion never happens, which is what makes this the 100 TB
+    dedup path."""
+    return minhash_lsh_neardup(
+        load_table(spark, sf_dir, "documents"), min_jaccard=NEARDUP_J
+    )
+
+
+@query(
+    "simhash_neardup",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, w, COUNT(*) AS cnt FROM (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
+        FROM documents
+      ) WHERE w <> '' GROUP BY doc_id, w
+    ),
+    th AS (SELECT doc_id, {sql_hash60('w')} AS h, cnt FROM tk),
+    bitsj AS (SELECT unnest(generate_series(0, 59)) AS j),
+    contrib AS (
+      SELECT doc_id, j, SUM(cnt * (2 * ((h >> j) & 1) - 1)) AS s
+      FROM th CROSS JOIN bitsj GROUP BY doc_id, j
+    ),
+    fp AS (
+      SELECT doc_id,
+             SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+               AS simhash
+      FROM contrib GROUP BY doc_id
+    ),
+    blks AS (SELECT unnest(generate_series(0, 4)) AS blk),
+    blocked AS (
+      SELECT doc_id, simhash, blk,
+             (simhash >> (blk * 12)) & 4095 AS blk_val
+      FROM fp CROSS JOIN blks
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM blocked a
+    JOIN blocked b ON a.blk = b.blk AND a.blk_val = b.blk_val
+                   AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def simhash_neardup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 60-bit frequency-weighted fingerprints,
+    pigeonhole block join (5 × 12-bit blocks finds every pair within
+    hamming 4; filtered to ≤ 3). One fingerprint per doc — the
+    cheapest sketch — at the cost of coarser similarity resolution
+    than MinHash."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_neardup(docs, max_hamming=3).withColumn(
+        "hamming", F.col("hamming").cast("int")
+    )

@@ -1,0 +1,96 @@
+"""Dedup operator tests: planted exact/near duplicates, LSH recall
+against the exact verifier, SimHash behavior on identical docs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from convoy_spark.operators.dedup import (
+    exact_dedup_map,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_lsh_neardup,
+    minhash_signatures,
+    simhash_neardup,
+    simhash_signature,
+)
+
+DOCS_SCHEMA = "doc_id long, text string"
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm window sill and the birds sing in the green garden"
+)
+NEAR = BASE.replace("green garden", "blue garden")  # one token differs
+OTHER = (
+    "completely different content about spark query engines and columnar "
+    "storage formats with vectorized execution and adaptive planning"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(1, BASE), (2, BASE), (3, NEAR), (4, OTHER), (5, "tiny doc")],
+        DOCS_SCHEMA,
+    ).cache()
+
+
+def test_exact_dedup(spark, docs):
+    got = {r.doc_id: r.canonical_id for r in exact_dedup_map(docs).collect()}
+    assert got[1] == 1 and got[2] == 1  # identical texts share canonical
+    assert got[3] == 3 and got[4] == 4 and got[5] == 5
+
+
+def test_jaccard_pairs_finds_planted(spark, docs):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(docs, min_jaccard=0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # identical
+    assert (1, 3) in pairs and 0.5 < pairs[(1, 3)] < 1.0  # near-dup
+    assert all(4 not in p and 5 not in p for p in pairs)
+
+
+def test_lsh_recall_vs_exact(spark, docs):
+    """Every exact near-dup pair at J ≥ 0.8 must survive the LSH
+    sketch+verify path (recall check, SURVEY §7 M6)."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_pairs(docs, min_jaccard=0.8).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_neardup(docs, min_jaccard=0.8).collect()
+    }
+    assert exact, "fixture should contain near-dups"
+    assert lsh == exact  # verify step makes precision exact; recall == 1 here
+
+
+def test_identical_docs_identical_signatures(spark, docs):
+    sigs = minhash_signatures(docs).filter(F.col("doc_id").isin(1, 2))
+    distinct_sigs = sigs.groupBy("i").agg(
+        F.countDistinct("v").alias("nv")
+    )
+    assert distinct_sigs.filter(F.col("nv") != 1).count() == 0
+
+
+def test_candidate_pairs_contain_identical(spark, docs):
+    cand = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidate_pairs(minhash_signatures(docs)).collect()
+    }
+    assert (1, 2) in cand
+
+
+def test_simhash(spark, docs):
+    fps = {r.doc_id: r.simhash for r in simhash_signature(docs).collect()}
+    assert fps[1] == fps[2]  # identical docs → identical fingerprints
+    assert fps[1] != fps[4]
+    near = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_neardup(docs, max_hamming=3).collect()
+    }
+    assert near[(1, 2)] == 0
+    assert all(4 not in p for p in near)
