@@ -20,6 +20,7 @@ from convoy_spark.queries import (  # noqa: F401,E402
     joins,
     projections,
     relational,
+    similarity,
     treestats,
     setops,
     windows,

@@ -1,0 +1,176 @@
+"""Similarity-search catalog queries over the ``embeddings`` table
+(north-star extensions, SURVEY §7 M6): exact cosine top-k, SRP-LSH
+approximate top-k, and threshold near-dup pairs — all with full DuckDB
+oracles thanks to decimal-exact accumulation and deterministic
+hash-derived hyperplanes (see :mod:`convoy_spark.operators.similarity`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from convoy_spark.functions.hashing import sql_hash60
+from convoy_spark.operators.similarity import (
+    N_PLANES,
+    SRP_ROWS,
+    ann_lsh_topk,
+    cosine_scores,
+    cosine_topk,
+)
+from convoy_spark.queries.catalog import query
+from convoy_spark.tables import load_table
+
+N_QUERIES = 16  # vec_id < 16 are the query vectors
+TOP_K = 5
+NEARDUP_COS = 0.4
+
+# Element-wise vector expansion + decimal-exact norms; mirrors
+# operators.similarity.{with_norm, dot}.
+VEC_SQL = """
+ev AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         generate_subscripts(embedding, 1) - 1 AS d
+  FROM embeddings
+),
+norms AS (
+  SELECT vec_id,
+         sqrt(CAST(SUM(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+  FROM ev GROUP BY vec_id
+)
+"""
+
+_TOPK_SQL = f"""
+scored AS (
+  SELECT d.query_id, d.corpus_id, d.dp / (qn.nrm * cn.nrm) AS sim
+  FROM dots d
+  JOIN norms qn ON qn.vec_id = d.query_id
+  JOIN norms cn ON cn.vec_id = d.corpus_id
+),
+ranked AS (
+  SELECT query_id, corpus_id, sim,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY sim DESC, corpus_id
+         ) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, corpus_id, sim, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+def _queries_and_corpus(spark: SparkSession, sf_dir: str):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") < N_QUERIES), emb
+
+
+@query(
+    "cosine_topk",
+    oracle=f"""
+    WITH {VEC_SQL},
+    dots AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS corpus_id,
+             CAST(SUM(CAST(a.x * b.x AS DECIMAL(28,12))) AS DOUBLE) AS dp
+      FROM ev a
+      JOIN ev b ON a.d = b.d AND a.vec_id <> b.vec_id
+      WHERE a.vec_id < {N_QUERIES}
+      GROUP BY a.vec_id, b.vec_id
+    ),
+    {_TOPK_SQL}
+    """,
+)
+def cosine_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-{TOP_K} for the first
+    {N_QUERIES} vectors: broadcast query set, partition-local JVM
+    scoring (zip_with/aggregate — no Python), one shuffle for the
+    per-query top-k window. The exact baseline for the ANN variant."""
+    q, c = _queries_and_corpus(spark, sf_dir)
+    return cosine_topk(q, c, k=TOP_K)
+
+
+@query(
+    "ann_srp_topk",
+    oracle=f"""
+    WITH {VEC_SQL},
+    planes AS (SELECT unnest(generate_series(0, {N_PLANES - 1})) AS plane),
+    dims AS (SELECT DISTINCT d FROM ev),
+    comps AS (
+      SELECT plane, d,
+             ({sql_hash60("concat(plane, ':', d)")} % 2) * 2 - 1 AS w
+      FROM planes CROSS JOIN dims
+    ),
+    proj AS (
+      SELECT e.vec_id, c.plane,
+             CAST(SUM(CAST(c.w * e.x AS DECIMAL(28,12))) AS DOUBLE) AS p
+      FROM ev e JOIN comps c ON c.d = e.d
+      GROUP BY e.vec_id, c.plane
+    ),
+    sigs AS (
+      SELECT vec_id, plane // {SRP_ROWS} AS band,
+             SUM(CASE WHEN p > 0
+                 THEN (CAST(1 AS BIGINT) << (plane % {SRP_ROWS}))
+                 ELSE 0 END) AS key
+      FROM proj GROUP BY vec_id, plane // {SRP_ROWS}
+    ),
+    cand AS (
+      SELECT DISTINCT sa.vec_id AS query_id, sb.vec_id AS corpus_id
+      FROM sigs sa
+      JOIN sigs sb ON sa.band = sb.band AND sa.key = sb.key
+                   AND sa.vec_id <> sb.vec_id
+      WHERE sa.vec_id < {N_QUERIES}
+    ),
+    dots AS (
+      SELECT c.query_id, c.corpus_id,
+             CAST(SUM(CAST(a.x * b.x AS DECIMAL(28,12))) AS DOUBLE) AS dp
+      FROM cand c
+      JOIN ev a ON a.vec_id = c.query_id
+      JOIN ev b ON b.vec_id = c.corpus_id AND b.d = a.d
+      GROUP BY c.query_id, c.corpus_id
+    ),
+    {_TOPK_SQL}
+    """,
+)
+def ann_srp_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH approximate top-k: 16 deterministic hash-derived
+    hyperplane sign bits in 4 bands of 4 → candidates = pairs sharing
+    any band key (the MinHash S-curve construction applied to SRP).
+    The Q×N cross product never materializes — the 100 TB path.
+    Recall vs the exact baseline is asserted in
+    tests/test_similarity.py."""
+    q, c = _queries_and_corpus(spark, sf_dir)
+    return ann_lsh_topk(q, c, k=TOP_K, n_planes=N_PLANES)
+
+
+@query(
+    "embedding_neardup",
+    oracle=f"""
+    WITH {VEC_SQL},
+    dots AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             CAST(SUM(CAST(a.x * b.x AS DECIMAL(28,12))) AS DOUBLE) AS dp
+      FROM ev a JOIN ev b ON a.d = b.d AND a.vec_id < b.vec_id
+      GROUP BY a.vec_id, b.vec_id
+    )
+    SELECT va AS vec_a, vb AS vec_b, dp / (na.nrm * nb.nrm) AS sim
+    FROM dots
+    JOIN norms na ON na.vec_id = va
+    JOIN norms nb ON nb.vec_id = vb
+    WHERE dp / (na.nrm * nb.nrm) >= {NEARDUP_COS}
+    """,
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (all pairs ≥ {NEARDUP_COS}) —
+    the embedding leg of the dedup suite. All-pairs exact here; at
+    scale the SRP bucket join above is the prefilter."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    scores = cosine_scores(emb, emb)
+    return (
+        scores.filter(
+            (F.col("query_id") < F.col("corpus_id"))
+            & (F.col("sim") >= NEARDUP_COS)
+        )
+        .select(
+            F.col("query_id").alias("vec_a"),
+            F.col("corpus_id").alias("vec_b"),
+            "sim",
+        )
+    )
