@@ -1,0 +1,208 @@
+"""Text-analysis operators (north-star extensions, SURVEY §7 M6):
+token statistics, quality scoring, corpus-trained n-gram language
+identification, and winnowing document fingerprints.
+
+These extend the reference's string surface (§2.8 — replace/concat/
+substring and the FULLTEXT-index search intent of
+`4_create_tweets_a.py:35`) into the text-side toolkit of a
+training-data pipeline. Everything is built-in expression work —
+``split`` / ``regexp_extract_all`` / ``transform`` / ``sequence`` /
+window functions — inside whole-stage codegen; there is no Python UDF
+anywhere, so the hot path stays JVM-side and Arrow never enters the
+picture.
+
+Scale notes: all per-document projections are embarrassingly parallel
+scan work (zero shuffle). The language-ID trainer aggregates trigram
+counts (one shuffle on (lang, trigram), map-side combined) into a
+profile of top-K trigrams per language — a few hundred rows —
+broadcast back for scoring. Fingerprints shuffle once on doc_id for
+the winnowing window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from convoy_spark.functions.hashing import hash60
+
+# BPE-ish tokenization: letter runs, digit runs, single punctuation.
+BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+STOPWORDS = (
+    "the", "a", "of", "and", "to", "in", "is", "on", "for", "with",
+)
+
+LANGID_NGRAM = 3
+LANGID_TOP_K = 20
+WINNOW_K = 5  # char k-gram length
+WINNOW_W = 8  # winnowing window (k-grams per window)
+
+
+def _tokens(text_col: str = "text"):
+    return F.split(F.lower(F.col(text_col)), r"\s+")
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc token counting: whitespace tokens, BPE-ish regex
+    tokens, distinct tokens, char count, mean token length."""
+    toks = F.filter(_tokens(), lambda t: t != "")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_RE), 0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
+        (
+            F.aggregate(
+                toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+            ).cast("double")
+            / F.size(toks)
+        ).alias("mean_token_len"),
+    )
+
+
+def text_quality(docs: DataFrame) -> DataFrame:
+    """Heuristic quality signals + a composite score (the standard
+    length/punctuation/stopword-ratio family of pretraining filters).
+
+    ``passes_filter`` encodes a Gopher-flavored rule set; the score is
+    a transparent linear combination so downstream consumers can
+    re-threshold without recomputing."""
+    toks = F.filter(_tokens(), lambda t: t != "")
+    n_tokens = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_punct = F.length(F.regexp_replace(F.col("text"), "[a-zA-Z0-9\\s]", ""))
+    n_alpha = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
+    mean_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    ).cast("double") / n_tokens
+    out = docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        (n_stop.cast("double") / n_tokens).alias("stopword_ratio"),
+        (n_punct.cast("double") / F.length("text")).alias("punct_ratio"),
+        (n_alpha.cast("double") / F.length("text")).alias("alpha_ratio"),
+        mean_len.alias("mean_token_len"),
+    )
+    return out.withColumns(
+        {
+            "quality_score": (
+                F.least(F.col("n_tokens").cast("double") / 100.0, F.lit(1.0))
+                + F.col("alpha_ratio")
+                + F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0))
+                - F.col("punct_ratio")
+            ),
+            "passes_filter": (
+                (F.col("n_chars") >= 50)
+                & (F.col("n_tokens") >= 10)
+                & (F.col("mean_token_len") >= 2.0)
+                & (F.col("mean_token_len") <= 12.0)
+            ),
+        }
+    )
+
+
+def char_ngrams(docs: DataFrame, n: int = LANGID_NGRAM) -> DataFrame:
+    """(doc_id, lang, gram) — all char n-grams of the lowered text.
+
+    ``substring`` with a *column* start index needs the SQL form (the
+    PySpark wrapper takes int literals only)."""
+    low = F.lower(F.col("text"))
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.when(
+                F.length(low) >= n,
+                F.expr(
+                    f"transform(sequence(1, length(lower(text)) - {n - 1}),"
+                    f" i -> substring(lower(text), i, {n}))"
+                ),
+            ).otherwise(F.array())
+        ).alias("gram"),
+    )
+
+
+def langid_profiles(docs: DataFrame, top_k: int = LANGID_TOP_K) -> DataFrame:
+    """(lang, gram) — the ``top_k`` most frequent trigrams per
+    language, trained from the labeled corpus. Deterministic tiebreak
+    (count desc, gram asc) so the profile — and every downstream
+    prediction — is stable across partitionings."""
+    counts = char_ngrams(docs).groupBy("lang", "gram").agg(
+        F.count("*").alias("c")
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("c").desc(), F.col("gram").asc())
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_k)
+        .select("lang", "gram")
+    )
+
+
+def langid_predict(docs: DataFrame, top_k: int = LANGID_TOP_K) -> DataFrame:
+    """(doc_id, true_lang, pred_lang, n_hits) — score each doc's
+    distinct trigrams against every language profile; argmax hits with
+    (hits desc, lang asc) tiebreak. The profile join is a broadcast
+    (|langs|·top_k rows); scoring is one shuffle on (doc_id, lang)."""
+    profiles = F.broadcast(
+        langid_profiles(docs, top_k).withColumnRenamed("lang", "cand_lang")
+    )
+    doc_grams = char_ngrams(docs).select("doc_id", "lang", "gram").distinct()
+    hits = (
+        doc_grams.join(profiles, "gram")
+        .groupBy("doc_id", "lang", "cand_lang")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("n_hits").desc(), F.col("cand_lang").asc()
+    )
+    return (
+        hits.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            F.col("lang").alias("true_lang"),
+            F.col("cand_lang").alias("pred_lang"),
+            "n_hits",
+        )
+    )
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W
+) -> DataFrame:
+    """(doc_id, fp) — winnowing fingerprint set (Schleimer et al.,
+    SIGMOD 2003, public algorithm): hash every char k-gram, slide a
+    w-window over the hash sequence, keep each window's minimum,
+    dedup. Guarantees any shared substring of length ≥ k+w−1 yields a
+    shared fingerprint — the standard near-copy detection index.
+
+    One projection (k-gram hashes), one window (shuffle on doc_id),
+    one distinct — all built-ins."""
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                F.length(F.lower(F.col("text"))) >= k,
+                F.expr(
+                    f"transform(sequence(1, length(lower(text)) - {k - 1}),"
+                    f" i -> substring(lower(text), i, {k}))"
+                ),
+            ).otherwise(F.array())
+        ).alias("pos", "gram"),
+    ).select("doc_id", "pos", hash60(F.col("gram")).alias("h"))
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    return (
+        grams.withColumn("fp", F.min("h").over(win))
+        .select("doc_id", "fp")
+        .distinct()
+    )

@@ -21,6 +21,7 @@ from convoy_spark.queries import (  # noqa: F401,E402
     projections,
     relational,
     similarity,
+    textops,
     treestats,
     setops,
     windows,

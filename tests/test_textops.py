@@ -1,0 +1,68 @@
+"""Golden tests for the text-analysis operators."""
+
+from __future__ import annotations
+
+import pytest
+
+from convoy_spark.operators.textops import (
+    langid_predict,
+    text_quality,
+    token_stats,
+    winnow_fingerprints,
+)
+
+DOCS_SCHEMA = "doc_id long, text string, lang string"
+
+
+def test_token_stats_golden(spark):
+    docs = spark.createDataFrame(
+        [(1, "Hello, world! abc123 test", "en")], DOCS_SCHEMA
+    )
+    r = token_stats(docs).first()
+    assert r.n_chars == 25
+    assert r.n_tokens == 4  # hello,  world!  abc123  test
+    # BPE-ish: hello , world ! abc 123 test -> 7
+    assert r.n_bpe_tokens == 7
+    assert r.n_unique_tokens == 4
+    assert r.mean_token_len == pytest.approx((6 + 6 + 6 + 4) / 4)
+
+
+def test_quality_golden(spark):
+    good = "the quick brown fox jumps over the lazy dog and runs to a tree " * 2
+    bad = "@@@ ### !!!"
+    docs = spark.createDataFrame([(1, good, "en"), (2, bad, "xx")], DOCS_SCHEMA)
+    got = {r.doc_id: r for r in text_quality(docs).collect()}
+    assert got[1].passes_filter and not got[2].passes_filter
+    assert got[1].quality_score > got[2].quality_score
+    assert got[1].stopword_ratio > 0.2  # 'the'/'and'/'to'/'a' rich
+    assert got[2].punct_ratio > 0.7
+
+
+def test_langid_learns_separable_langs(spark):
+    # two "languages" with disjoint character inventories
+    aaa = [(i, "aaa bbb aab aba bab " * 5, "aa") for i in range(5)]
+    zzz = [(i + 10, "zzz yyy zzy zyz yzy " * 5, "zz") for i in range(5)]
+    docs = spark.createDataFrame(aaa + zzz, DOCS_SCHEMA)
+    preds = langid_predict(docs).collect()
+    assert len(preds) == 10
+    for r in preds:
+        assert r.pred_lang == r.true_lang, f"doc {r.doc_id}"
+
+
+def test_winnow_shared_substring(spark):
+    shared = "abcdefghijklmnopqrstuvwxyz"  # len 26 >= k+w-1 = 12
+    docs = spark.createDataFrame(
+        [
+            (1, "PREFIX-" + shared + "-SUF1", "en"),
+            (2, "OTHER**" + shared + "**S2", "en"),
+            (3, "no overlap here at all 12345", "en"),
+        ],
+        DOCS_SCHEMA,
+    )
+    fps = winnow_fingerprints(docs).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    # winnowing guarantee: docs sharing a >= k+w-1 substring share a fingerprint
+    assert by_doc[1] & by_doc[2]
+    assert not (by_doc[1] & by_doc[3] & by_doc[2])
