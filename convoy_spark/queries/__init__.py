@@ -16,6 +16,7 @@ from convoy_spark.queries.catalog import (  # noqa: F401
 from convoy_spark.queries import (  # noqa: F401,E402
     aggregates,
     dedup,
+    eventwin,
     graph,
     joins,
     projections,

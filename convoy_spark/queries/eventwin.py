@@ -1,0 +1,73 @@
+"""Event-time window catalog queries (SURVEY §2.9 extension surface):
+the batch twins of the streaming aggregations in
+:mod:`convoy_spark.streaming.incremental` — identical plans run over
+the batch events table, oracled via DuckDB ``time_bucket``. The
+streaming tests assert stream output == these batch results, closing
+the loop: batch, oracle, and stream all agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from convoy_spark.functions.numeric import dsum, sql_dsum
+from convoy_spark.queries.catalog import query
+from convoy_spark.streaming.incremental import tumbling_agg
+from convoy_spark.tables import load_table
+
+
+@query(
+    "tumbling_window_agg",
+    oracle=f"""
+    SELECT
+      time_bucket(INTERVAL '1 hour', ts) AS window_start,
+      event_type,
+      CAST(COUNT(*) AS BIGINT) AS n_events,
+      {sql_dsum('value')} AS total_value
+    FROM events
+    GROUP BY time_bucket(INTERVAL '1 hour', ts), event_type
+    """,
+)
+def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows per event type — ``F.window`` epoch
+    alignment matches ``time_bucket``'s for whole-hour widths. One
+    map-side-combined shuffle, same as any groupBy."""
+    return tumbling_agg(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "sliding_window_agg",
+    oracle=f"""
+    WITH expanded AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) - k * INTERVAL '1 hour'
+               AS window_start,
+             event_type, value
+      FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k)
+    )
+    SELECT window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_dsum('value')} AS total_value
+    FROM expanded
+    GROUP BY window_start, event_type
+    """,
+)
+def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hour windows sliding by 1 hour: every event lands in exactly
+    two windows (Spark expands this internally; the oracle makes the
+    expansion explicit with a 2-row cross join). The shuffle carries
+    2× the rows — the documented cost of overlap."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
