@@ -19,6 +19,7 @@ from convoy_spark.queries import (  # noqa: F401,E402
     eventwin,
     graph,
     joins,
+    multimodal,
     projections,
     relational,
     similarity,

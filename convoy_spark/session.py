@@ -31,9 +31,21 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
 def get_spark(app_name: str = "convoy-spark", cpus: int | None = None) -> SparkSession:
     """Build (or reuse) the tuned SparkSession."""
     n = cpus or default_parallelism()
+    # Pandas-UDF stages unpickle functions that reference this package
+    # inside executor Python workers, which inherit PYTHONPATH from the
+    # JVM — which inherits it from us. Export before the JVM launches
+    # so the engine works no matter what cwd the driver runs from.
+    pp = os.environ.get("PYTHONPATH", "")
+    if _REPO_ROOT not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            _REPO_ROOT + (os.pathsep + pp if pp else "")
+        )
     builder = (
         SparkSession.builder.master(f"local[{n}]")
         .appName(app_name)
