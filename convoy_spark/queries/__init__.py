@@ -17,6 +17,7 @@ from convoy_spark.queries import (  # noqa: F401,E402
     aggregates,
     dedup,
     eventwin,
+    extjoins,
     graph,
     joins,
     multimodal,
