@@ -243,6 +243,98 @@ def tree_metric_mad(
     )
 
 
+def tree_stats_pandas(edges: DataFrame) -> DataFrame:
+    """Grouped-map ``applyInPandas`` strategy: ship each tree to one
+    task and fold it with an in-memory DFS — the closest shape to the
+    reference's per-conversation client loop
+    (`3_create_tweet_stats_i.py:225-254`), but distributed per GROUP
+    instead of serialized through one client.
+
+    Kept as a differential cross-check against the set-based
+    strategies (tests assert all three agree). Scale posture: right
+    for forests of many modest trees (one Arrow batch per tree, pure
+    pandas/python fold, no joins at all); wrong for viral mega-trees,
+    where one group = one task = the reference's original cliff — the
+    pair/fold strategies exist for exactly that case.
+    """
+    import pandas as pd
+
+    from convoy_spark.operators.closure import closure_roots
+
+    roots = closure_roots(edges).select(
+        F.col("node_id").alias("child_id"), F.col("root_id")
+    )
+    grouped = edges.join(roots, "child_id")
+
+    schema = (
+        "node_id long, n_descendants long, n_leaf_descendants long, "
+        "max_depth long, sum_leaf_depth long, mean_leaf_depth double, "
+        "branching_factor double"
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        children: dict[int, list[int]] = {}
+        nodes = list(pdf["child_id"])
+        parent = dict(zip(pdf["child_id"], pdf["parent_id"]))
+        for c, p in parent.items():
+            if not pd.isna(p):
+                children.setdefault(int(p), []).append(int(c))
+        out = []
+        # iterative post-order DFS per root-tree (recursion-free)
+        memo: dict[int, tuple[int, int, int, int]] = {}
+
+        def visit(start: int) -> None:
+            stack = [(start, False)]
+            while stack:
+                node, done = stack.pop()
+                if done:
+                    kids = children.get(node, [])
+                    nd = sum(memo[k][0] + 1 for k in kids)
+                    nl = sum(max(memo[k][1], 1) for k in kids)
+                    md = max((memo[k][2] + 1 for k in kids), default=0)
+                    sd = sum(
+                        memo[k][3] + max(memo[k][1], 1) for k in kids
+                    )
+                    memo[node] = (nd, nl, md, sd)
+                else:
+                    stack.append((node, True))
+                    for k in children.get(node, []):
+                        stack.append((k, False))
+
+        root_ids = {
+            int(n) for n, p in parent.items() if pd.isna(p)
+        } or {int(pdf["root_id"].iloc[0])}
+        for r in root_ids:
+            visit(r)
+        for n in nodes:
+            nd, nl, md, sd = memo[int(n)]
+            out.append(
+                (
+                    int(n),
+                    nd,
+                    nl,
+                    md,
+                    sd,
+                    (sd / nl) if nl else 0.0,
+                    nd / (1 + nd - nl) if nd else 0.0,
+                )
+            )
+        return pd.DataFrame(
+            out,
+            columns=[
+                "node_id",
+                "n_descendants",
+                "n_leaf_descendants",
+                "max_depth",
+                "sum_leaf_depth",
+                "mean_leaf_depth",
+                "branching_factor",
+            ],
+        )
+
+    return grouped.groupBy("root_id").applyInPandas(fold, schema)
+
+
 def tree_stats_fold(edges: DataFrame, max_iterations: int = 100) -> DataFrame:
     """Level-synchronous bottom-up fold — the no-pair-blowup strategy.
 

@@ -16,6 +16,7 @@ from convoy_spark.operators.treestats import (
     leaf_nodes,
     tree_metric_mad,
     tree_stats,
+    tree_stats_pandas,
 )
 from convoy_spark.queries.catalog import query
 from convoy_spark.tables import load_table
@@ -75,6 +76,23 @@ def tree_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     the distributed pair expansion. The `.explain` shape is O(depth)
     small frontier joins followed by a single shuffle on ``anc_id``."""
     return tree_stats(forest_edges(spark, sf_dir))
+
+
+@query(
+    "tree_stats_grouped",
+    oracle=f"""
+    WITH RECURSIVE {PATHS_SQL_CTE}
+    SELECT anc AS node_id, {_STRUCT_SQL}
+    FROM ep GROUP BY anc
+    """,
+)
+def tree_stats_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The grouped-map ``applyInPandas`` strategy against the SAME
+    oracle as ``tree_stats`` — three independent physical strategies
+    (pair expansion, level fold, per-tree pandas DFS), one semantic
+    contract. This one mirrors the reference's per-conversation loop
+    shape, distributed per tree."""
+    return tree_stats_pandas(forest_edges(spark, sf_dir))
 
 
 @query(

@@ -15,6 +15,7 @@ from convoy_spark.operators.treestats import (
     tree_metric_mad,
     tree_stats,
     tree_stats_fold,
+    tree_stats_pandas,
 )
 
 EDGE_SCHEMA = "child_id long, parent_id long"
@@ -135,11 +136,24 @@ def _random_forest(rng: random.Random, n: int):
 
 @pytest.mark.parametrize("seed", [0, 1])
 def test_fold_matches_pairs_on_random_forest(spark, seed):
-    """Differential check of the two physical strategies (SURVEY §7
-    M4): identical output on random forests."""
+    """Differential check of the physical strategies (SURVEY §7 M4):
+    identical output on random forests."""
     rng = random.Random(seed)
     df = spark.createDataFrame(_random_forest(rng, 150), EDGE_SCHEMA)
     assert_stats_equal(stats_dict(tree_stats(df)), stats_dict(tree_stats_fold(df)))
+
+
+def test_pandas_matches_pairs_on_random_forest(spark):
+    rng = random.Random(3)
+    df = spark.createDataFrame(_random_forest(rng, 120), EDGE_SCHEMA)
+    assert_stats_equal(
+        stats_dict(tree_stats(df)), stats_dict(tree_stats_pandas(df))
+    )
+
+
+def test_golden_forest_pandas(spark):
+    df = spark.createDataFrame(GOLDEN_EDGES, EDGE_SCHEMA)
+    assert_stats_equal(stats_dict(tree_stats_pandas(df)), GOLDEN_STATS)
 
 
 def test_reference_invariants(spark):
