@@ -107,6 +107,23 @@ def two_pass_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("approx_distinct_rollup")  # no oracle: sketch values are
+# engine-specific by nature; the driver records a rows-only check.
+def approx_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB variant of A4's COUNT(DISTINCT): HyperLogLog++
+    sketches via ``approx_count_distinct`` — mergeable across
+    partitions (one narrow shuffle of fixed-size sketches instead of
+    shuffling every distinct value) and the documented swap-in for
+    `5_create_conversation_tables.py:34-36` when author cardinality
+    per conversation explodes. Exactness checked within rsd tolerance
+    in tests/test_approx.py against the exact aggregate."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+    )
+
+
 @query(
     "rollup_hierarchy",
     oracle=f"""
