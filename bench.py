@@ -35,8 +35,10 @@ BENCH_QUERIES = [
     "text_quality",
     "exact_dedup",
     "media_decode_meta",
+    "asof_join",
     "closure_roots",
     "tree_stats",
+    "tree_stats_grouped",
     "tree_engagement",
     "lang_id",
     "winnow_fingerprints",

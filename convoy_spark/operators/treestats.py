@@ -73,49 +73,59 @@ def leaf_nodes(edges: DataFrame) -> DataFrame:
     )
 
 
-def descendant_pairs(edges: DataFrame, max_iterations: int = 100) -> DataFrame:
+def descendant_pairs(edges: DataFrame, max_iterations: int = 64) -> DataFrame:
     """Every (anc_id, node_id, depth) ancestor/descendant pair,
     including the depth-0 self pair.
 
-    Level-by-level frontier expansion: the frontier at depth *k* joined
-    to the child edge set yields depth *k+1*; a path is found exactly
-    once, so no dedup is needed (unlike path-doubling, which finds each
-    path once per midpoint split). The loop runs `depth(forest)` times;
-    each iteration ``localCheckpoint``s to truncate lineage and counts
-    rows to decide termination — the same convergence-logging shape as
-    the reference's closure loop (`2_enrich_ur_conversation_ids.py:45`).
+    Path-doubling expansion: maintain P = all pairs with depth in
+    [1, L] and jump with F = the pairs at exactly depth L. A path of
+    length d in (L, 2L] decomposes UNIQUELY as (first L steps) ∘
+    (remaining d−L ≤ L steps), so composing F with P yields every new
+    pair exactly once — no dedup — and the loop runs ⌈log₂ depth⌉
+    times instead of depth times (4 iterations vs 7 for the sf0.1
+    forest; the gap widens with depth, and each iteration is one
+    Spark job thanks to the lazy checkpoint + count-as-materializer).
+    Convergence logging mirrors the reference's closure loop
+    (`2_enrich_ur_conversation_ids.py:45`).
     """
-    children = child_edges(edges).localCheckpoint()
-    frontier = edges.select(
+    pairs = child_edges(edges).select(
+        F.col("parent_id").alias("anc_id"),
+        F.col("child_id").alias("node_id"),
+        F.lit(1).alias("depth"),
+    ).localCheckpoint()
+    prev_n = pairs.count()
+
+    span = 1
+    for i in range(max_iterations):
+        jump = pairs.filter(F.col("depth") == span)
+        composed = (
+            jump.select(
+                F.col("anc_id").alias("j_anc"), F.col("node_id").alias("j_mid")
+            )
+            .join(pairs, F.col("j_mid") == F.col("anc_id"))
+            .select(
+                F.col("j_anc").alias("anc_id"),
+                "node_id",
+                (F.col("depth") + span).alias("depth"),
+            )
+        )
+        new_pairs = pairs.unionByName(composed).localCheckpoint(eager=False)
+        n = new_pairs.count()
+        log.info("descendant_pairs doubling %d (span %d): %d new", i, span, n - prev_n)
+        pairs = new_pairs
+        if n == prev_n:
+            break
+        prev_n = n
+        span *= 2
+    else:
+        raise RuntimeError(f"forest deeper than 2^{max_iterations} levels")
+
+    self_pairs = edges.select(
         F.col("child_id").alias("anc_id"),
         F.col("child_id").alias("node_id"),
         F.lit(0).alias("depth"),
-    ).localCheckpoint()
-    levels = [frontier]
-    for i in range(max_iterations):
-        # Lazy checkpoint: the count materializes it — one job per
-        # level, not two.
-        frontier = (
-            frontier.join(children, F.col("node_id") == F.col("parent_id"))
-            .select(
-                "anc_id",
-                F.col("child_id").alias("node_id"),
-                (F.col("depth") + 1).alias("depth"),
-            )
-            .localCheckpoint(eager=False)
-        )
-        n = frontier.count()
-        log.info("descendant_pairs level %d: %d pairs", i + 1, n)
-        if n == 0:
-            break
-        levels.append(frontier)
-    else:
-        raise RuntimeError(f"forest deeper than {max_iterations} levels")
-
-    out = levels[0]
-    for lvl in levels[1:]:
-        out = out.unionByName(lvl)
-    return out
+    )
+    return pairs.unionByName(self_pairs)
 
 
 def tree_stats(
