@@ -71,3 +71,54 @@ def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@query(
+    "session_window_agg",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_dsum('value')} AS total_value
+    FROM sessions
+    GROUP BY user_id, session_no
+    """,
+)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (``F.session_window``, 30-minute gap):
+    Spark merges overlapping gap-windows per key inside the
+    aggregation — the streaming-capable form of the classic
+    lag/cumsum sessionization (which is exactly how the oracle
+    computes it). Same one-shuffle profile as any groupBy; in
+    streaming mode this is the watermark-evicted stateful session
+    operator."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.session_window("ts", "30 minutes"), "user_id"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            F.col("user_id"),
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )

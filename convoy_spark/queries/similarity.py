@@ -14,6 +14,7 @@ from convoy_spark.functions.hashing import sql_hash60
 from convoy_spark.operators.similarity import (
     N_PLANES,
     SRP_ROWS,
+    ann_ivf_topk,
     ann_lsh_topk,
     cosine_scores,
     cosine_topk,
@@ -138,6 +139,20 @@ def ann_srp_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity.py."""
     q, c = _queries_and_corpus(spark, sf_dir)
     return ann_lsh_topk(q, c, k=TOP_K, n_planes=N_PLANES)
+
+
+@query("ann_ivf_topk")  # no oracle: the k-means index is an iterative
+# algorithm (SURVEY §2 'genuinely non-SQL-expressible' class); the
+# driver records a rows-only check and tests/test_similarity.py
+# asserts recall against the exact baseline.
+def ann_ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: deterministic k-means coarse quantizer
+    (16 cells, 2 Lloyd rounds, decimal-exact centroid means), probe
+    the 4 nearest cells per query, exact-score only those candidates
+    — the classic inverted-file ANN layout; search touches
+    n_probe/n_cells of the corpus."""
+    q, c = _queries_and_corpus(spark, sf_dir)
+    return ann_ivf_topk(q, c, k=TOP_K)
 
 
 @query(

