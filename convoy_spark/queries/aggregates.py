@@ -107,6 +107,61 @@ def two_pass_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "percentile_stats",
+    oracle="""
+    SELECT event_type,
+      quantile_cont(value, 0.5) AS p50,
+      quantile_cont(value, 0.9) AS p90,
+      quantile_cont(value, 0.99) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (``F.percentile`` ==
+    ``quantile_cont``: linear interpolation over the sorted group —
+    order statistics are deterministic, unlike sums, so no decimal
+    trick needed). At 100 TB the swap-in is ``approx_percentile``
+    (t-digest sketch, mergeable) — same shape as the HLL++ variant
+    below."""
+    events = load_table(spark, sf_dir, "events")
+    p = F.percentile(F.col("value"), F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return events.groupBy("event_type").agg(
+        p.getItem(0).alias("p50"),
+        p.getItem(1).alias("p90"),
+        p.getItem(2).alias("p99"),
+    )
+
+
+@query(
+    "sql_interface",
+    oracle="""
+    SELECT n.n_name AS nation,
+      CAST(COUNT(*) AS BIGINT) AS n_customers,
+      CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_balance
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same engine through ``spark.sql`` over registered views —
+    proving the SQL front door produces the identical plan as the
+    DataFrame API (both compile to the same Catalyst logical plan)."""
+    from convoy_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation,
+          COUNT(*) AS n_customers,
+          CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+            AS total_balance
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        """
+    )
+
+
 @query("approx_distinct_rollup")  # no oracle: sketch values are
 # engine-specific by nature; the driver records a rows-only check.
 def approx_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
