@@ -11,7 +11,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from convoy_spark.functions.numeric import sql_davg, sql_dsum
-from convoy_spark.operators.forest import FOREST_SQL_CTE, forest_edges
+from convoy_spark.operators.forest import (
+    FOREST_SQL_CTE,
+    UR_FOREST_SQL_CTE,
+    forest_edges,
+    ur_forest_edges,
+)
 from convoy_spark.operators.treestats import (
     leaf_nodes,
     tree_metric_mad,
@@ -154,6 +159,64 @@ def tree_metric_mad_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").alias("metric"),
     )
     return tree_metric_mad(forest_edges(spark, sf_dir), attrs)
+
+
+@query(
+    "ur_tree_duality",
+    oracle=f"""
+    WITH RECURSIVE {UR_FOREST_SQL_CTE},
+    paths(anc, node, depth) AS (
+      SELECT child_id, child_id, 0 FROM forest
+      UNION ALL
+      SELECT p.anc, f.child_id, p.depth + 1
+      FROM paths p JOIN forest f ON f.parent_id = p.node
+    ),
+    ur_paths(anc, node, depth) AS (
+      SELECT child_id, child_id, 0 FROM ur_forest
+      UNION ALL
+      SELECT p.anc, f.child_id, p.depth + 1
+      FROM ur_paths p JOIN ur_forest f ON f.parent_id = p.node
+    ),
+    plain AS (
+      SELECT anc AS node_id,
+             CAST(COUNT(*) - 1 AS BIGINT) AS n_descendants,
+             CAST(MAX(depth) AS BIGINT) AS max_depth
+      FROM paths GROUP BY anc
+    ),
+    ur AS (
+      SELECT anc AS node_id,
+             CAST(COUNT(*) - 1 AS BIGINT) AS ur_n_descendants,
+             CAST(MAX(depth) AS BIGINT) AS ur_max_depth
+      FROM ur_paths GROUP BY anc
+    )
+    SELECT p.node_id, p.n_descendants, p.max_depth,
+           u.ur_n_descendants, u.ur_max_depth
+    FROM plain p JOIN ur u ON p.node_id = u.node_id
+    """,
+)
+def ur_tree_duality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's plain/ur statistic duality
+    (`3_create_tweet_stats_i.py:29-62`): every tree metric exists
+    twice — over the reply tree and over the extended ur tree where
+    quote/retweet subtrees attach at roots. Two pair expansions over
+    the two edge sets, joined per node; ur counts are always ≥ the
+    plain counts (the ur forest only ADDS root attachments —
+    property-checked in tests)."""
+    plain = tree_stats(forest_edges(spark, sf_dir)).select(
+        "node_id", "n_descendants", "max_depth"
+    )
+    ur = tree_stats(ur_forest_edges(spark, sf_dir)).select(
+        F.col("node_id").alias("ur_nid"),
+        F.col("n_descendants").alias("ur_n_descendants"),
+        F.col("max_depth").alias("ur_max_depth"),
+    )
+    return plain.join(ur, plain.node_id == ur.ur_nid).select(
+        "node_id",
+        "n_descendants",
+        "max_depth",
+        "ur_n_descendants",
+        "ur_max_depth",
+    )
 
 
 @query(

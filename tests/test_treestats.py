@@ -156,6 +156,26 @@ def test_golden_forest_pandas(spark):
     assert_stats_equal(stats_dict(tree_stats_pandas(df)), GOLDEN_STATS)
 
 
+def test_ur_duality_monotone(spark):
+    """ur stats dominate plain stats: the ur forest only ADDS root
+    attachments, so every subtree can only grow
+    (`3_create_tweet_stats_i.py:29-62` duality)."""
+    from pyspark.sql import functions as SF
+
+    from convoy_spark.queries.treestats import ur_tree_duality
+
+    df = ur_tree_duality(spark, "/root/testdata/sf0.001")
+    bad = df.filter(
+        (SF.col("ur_n_descendants") < SF.col("n_descendants"))
+        | (SF.col("ur_max_depth") < SF.col("max_depth"))
+    ).count()
+    assert bad == 0
+    # and the attachment actually happens: some node gained descendants
+    assert df.filter(
+        SF.col("ur_n_descendants") > SF.col("n_descendants")
+    ).count() > 0
+
+
 def test_reference_invariants(spark):
     """The reference's runtime guards (`3_create_tweet_stats_i.py:
     244-247`): descendants bounded by group size, leaf descendants
