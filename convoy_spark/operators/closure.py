@@ -38,6 +38,7 @@ log = logging.getLogger(__name__)
 def closure_roots(
     edges: DataFrame,
     max_iterations: int = 50,
+    on_cycle: str = "resolve",
 ) -> DataFrame:
     """Resolve every node of a forest to its root.
 
@@ -48,6 +49,22 @@ def closure_roots(
         NULL for roots. (Multiple parents would make this a DAG — the
         reference's data model guarantees a forest, and the first
         parent wins there via INSERT IGNORE; callers must pre-dedup.)
+    max_iterations:
+        Bound on doubling iterations — 50 covers depth 2^50; on a
+        true forest the loop always exits long before this.
+    on_cycle:
+        Directed cycles (possible in real data via mutual quote
+        edges, despite the reference's forest assumption) make
+        pointer jumping oscillate forever — the reference's own
+        UPDATE-until-rowcount-0 loop would simply never terminate
+        (`2_enrich_ur_conversation_ids.py:39-47`). ``"resolve"``
+        (default) switches to a monotone min-combining phase after
+        the doubling loop stalls: ``ptr ← least(ptr, ptr's ptr)``
+        only ever decreases, so it must converge, and nodes whose
+        ancestry ends in a cycle resolve to the smallest id they can
+        reach — deterministic under any partitioning. On a forest the
+        doubling loop converges first and this phase never runs.
+        ``"error"`` keeps the round-1 behavior: raise RuntimeError.
 
     Returns
     -------
@@ -85,9 +102,45 @@ def closure_roots(
         if changed == 0:
             break
     else:
-        raise RuntimeError(
-            f"closure did not converge in {max_iterations} iterations"
+        if on_cycle != "resolve":
+            raise RuntimeError(
+                f"closure did not converge in {max_iterations} iterations"
+            )
+        log.warning(
+            "closure oscillating after %d doubling iterations — "
+            "cycle(s) present; switching to min-combining resolution",
+            max_iterations,
         )
+        for i in range(max_iterations):
+            jumped = (
+                m.alias("a")
+                .join(
+                    m.select(
+                        F.col("node_id").alias("b_node"),
+                        F.col("ptr").alias("b_ptr"),
+                    ),
+                    F.col("a.ptr") == F.col("b_node"),
+                    "left",
+                )
+                .select(
+                    F.col("a.node_id").alias("node_id"),
+                    F.least(
+                        F.coalesce("b_ptr", "a.ptr"), F.col("a.ptr")
+                    ).alias("new_ptr"),
+                    F.col("a.ptr").alias("old_ptr"),
+                )
+                .localCheckpoint(eager=False)
+            )
+            changed = jumped.filter(F.col("new_ptr") != F.col("old_ptr")).count()
+            log.info("closure min-phase %d: %d pointers moved", i, changed)
+            m = jumped.select("node_id", F.col("new_ptr").alias("ptr"))
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                "closure min-phase did not converge — should be impossible "
+                "(the pointer map is monotone decreasing)"
+            )
 
     return m.select("node_id", F.col("ptr").alias("root_id"))
 

@@ -28,6 +28,8 @@ from collections.abc import Iterator
 
 import pandas as pd
 
+from convoy_spark.session import ensure_executor_imports
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -89,6 +91,7 @@ def decode_media(media: DataFrame, real: bool = False) -> DataFrame:
                 }
             )
 
+    ensure_executor_imports(media.sparkSession)
     return media.mapInPandas(run, schema=DECODED_SCHEMA)
 
 
@@ -140,6 +143,7 @@ def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
                 {"media_id": ids, "frame_idx": idxs, "frame_hash": hashes}
             )
 
+    ensure_executor_imports(media.sparkSession)
     return media.filter(F.col("kind") == "video").mapInPandas(
         run, schema=FRAME_SCHEMA
     )

@@ -344,14 +344,22 @@ def ann_lsh_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     rows_per_band: int = SRP_ROWS,
+    multiprobe: bool = True,
 ) -> DataFrame:
-    """Approximate top-k: candidates = pairs sharing any SRP band key,
-    scored exactly, deduped, ranked.
+    """Approximate top-k: candidates = corpus vectors sharing any SRP
+    band key with the query's probe set, scored exactly, deduped,
+    ranked.
 
-    Recall is governed by the band geometry (bands × rows — the
-    MinHash S-curve applies verbatim); more bands or multi-probe
-    (flip low-confidence bits) are the recall knobs at scale. Tested
-    against :func:`cosine_topk`."""
+    ``multiprobe`` probes, per band, the query's own key PLUS every
+    Hamming-1 neighbor key (each single sign bit flipped) — the
+    classic multi-probe LSH trick. A pair becomes a candidate if any
+    band key is within Hamming ≤ 1, which for cos ≈ 0.5 neighbors
+    lifts per-band hit probability from ~0.20 to ~0.59 and overall
+    candidate recall from ~0.59 to ~0.97 (measured ≥ 0.9 top-k recall
+    in tests/test_similarity.py vs 0.46 single-probe). The expansion
+    is query-side only — Q × bands × (rows+1) probe rows; the corpus
+    posting table is untouched, so the 100 TB shape (equi-join on
+    (band, key), no Q×N) is preserved."""
     all_sigs = srp_signatures(
         queries.unionByName(corpus).dropDuplicates([id_col]),
         n_planes,
@@ -359,19 +367,29 @@ def ann_lsh_topk(
         id_col,
         rows_per_band,
     )
-    q = queries.join(
+    q_sigs = queries.join(
         all_sigs.withColumnRenamed("vec_id", id_col), id_col
-    ).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), "band", "key"
-    )
+    ).select(F.col(id_col).alias("query_id"), "band", "key")
+    if multiprobe:
+        flips = F.array(
+            F.lit(0),  # 0 = no flip (the original key)
+            *[F.lit(1 << r) for r in range(rows_per_band)],
+        )
+        q_sigs = q_sigs.select(
+            "query_id",
+            "band",
+            F.explode(flips).alias("_m"),
+            "key",
+        ).select(
+            "query_id",
+            "band",
+            F.col("key").bitwiseXOR(F.col("_m").cast("long")).alias("key"),
+        )
     c = corpus.join(
         all_sigs.withColumnRenamed("vec_id", id_col), id_col
-    ).select(
-        F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("_cv"), "band", "key"
-    )
+    ).select(F.col(id_col).alias("corpus_id"), "band", "key")
     cand = (
-        q.select("query_id", "band", "key")
-        .join(c.select("corpus_id", "band", "key"), ["band", "key"])
+        q_sigs.join(c, ["band", "key"])
         .filter(F.col("query_id") != F.col("corpus_id"))
         .select("query_id", "corpus_id")
         .distinct()

@@ -43,15 +43,31 @@ def _tokens(text_col: str = "text"):
 
 def token_stats(docs: DataFrame) -> DataFrame:
     """Per-doc token counting: whitespace tokens, BPE-ish regex
-    tokens, distinct tokens, char count, mean token length."""
-    toks = F.filter(_tokens(), lambda t: t != "")
-    return docs.select(
+    tokens, distinct tokens, char count, mean token length.
+
+    The token array is materialized ONCE per row behind a Generate
+    barrier (``explode(array(...))`` emitting exactly one row):
+    Catalyst's CollapseProject would otherwise inline the
+    split+filter expression into each of its four downstream uses —
+    four tokenizations per row, a measured ~2× slowdown at sf0.1.
+    Projections do not collapse through Generate, so every stat reads
+    the bound ``_toks`` attribute instead of re-deriving it."""
+    base = docs.select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars"),
-        F.size(toks).cast("long").alias("n_tokens"),
         F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_RE), 0))
         .cast("long")
         .alias("n_bpe_tokens"),
+        F.explode(
+            F.array(F.filter(_tokens(), lambda t: t != ""))
+        ).alias("_toks"),
+    )
+    toks = F.col("_toks")
+    return base.select(
+        "doc_id",
+        "n_chars",
+        F.size(toks).cast("long").alias("n_tokens"),
+        "n_bpe_tokens",
         F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
         (
             F.aggregate(
@@ -209,8 +225,14 @@ def winnow_fingerprints(
         f" i -> cast(conv(substring(md5(substring(_low, i, {k})), 1, {khex}),"
         f" 16, 10) as bigint))"
     )
+    # Only FULL w-windows are minimized (positions 1 .. |h|−(w−1)):
+    # sliding past the end would emit w−1 truncated suffix windows,
+    # making every doc's final k-gram hash a guaranteed fingerprint
+    # and inflating tail matches — a deviation from Schleimer et al.
+    # §4 caught in round-1 review. Docs with fewer than w k-grams
+    # emit one (clamped) window so short docs still fingerprint.
     fps = F.expr(
-        f"transform(sequence(1, size(_h)),"
+        f"transform(sequence(1, greatest(1, size(_h) - {w - 1})),"
         f" i -> array_min(slice(_h, i, {w})))"
     )
     return (

@@ -342,6 +342,9 @@ def tree_stats_pandas(edges: DataFrame) -> DataFrame:
             ],
         )
 
+    from convoy_spark.session import ensure_executor_imports
+
+    ensure_executor_imports(grouped.sparkSession)
     return grouped.groupBy("root_id").applyInPandas(fold, schema)
 
 

@@ -23,15 +23,39 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _page_keyed(pages: DataFrame) -> DataFrame:
+    """Attach a deterministic per-page key for dedup tie-breaking.
+
+    (prio, pos) alone ties when the same tweet/user sits at the same
+    position in two different pages — the common overlapping-crawl
+    case, where public_metrics drift between pages — and a tied
+    row_number picks a partition-order-dependent winner. There is no
+    declarative line number for a distributed JSON scan, so true
+    single-threaded file order is unrecoverable; instead the full
+    page content is hashed into a total-order key. Divergence from
+    the reference's load-order INSERT IGNORE (`1_initial_load.py:
+    218-224`): among pages tying on (prio, pos) the lowest
+    content-hash wins rather than the earliest-read page — but the
+    winner is now identical under ANY partitioning or cluster size,
+    which the reference's semantics cannot offer on a cluster."""
+    return pages.withColumn(
+        "_page_key",
+        F.xxhash64(F.to_json(F.struct(*[F.col(c) for c in pages.columns]))),
+    )
+
+
 def _flatten_tweets(pages: DataFrame) -> DataFrame:
     """data[] ∪ includes.tweets[] with load-order priority for dedup
     (the reference inserts data first, so its PK wins —
     `1_initial_load.py:322-324`)."""
-    data = pages.select(
-        F.posexplode("data").alias("pos", "t"), F.lit(0).alias("prio")
+    keyed = _page_keyed(pages)
+    data = keyed.select(
+        F.posexplode("data").alias("pos", "t"), F.lit(0).alias("prio"), "_page_key"
     )
-    incl = pages.select(
-        F.posexplode("includes.tweets").alias("pos", "t"), F.lit(1).alias("prio")
+    incl = keyed.select(
+        F.posexplode("includes.tweets").alias("pos", "t"),
+        F.lit(1).alias("prio"),
+        "_page_key",
     )
     return data.unionByName(incl)
 
@@ -102,13 +126,14 @@ def normalize_tweets(pages: DataFrame) -> DataFrame:
         unwound.alias("urls"),
         "prio",
         "pos",
+        "_page_key",
     ).filter(F.col("tweet_id").isNotNull())
 
-    w = Window.partitionBy("tweet_id").orderBy("prio", "pos")
+    w = Window.partitionBy("tweet_id").orderBy("prio", "pos", "_page_key")
     deduped = (
         cols.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_rn", "prio", "pos")
+        .drop("_rn", "prio", "pos", "_page_key")
     )
     return deduped.withColumns(
         {
@@ -126,7 +151,9 @@ def normalize_users(pages: DataFrame) -> DataFrame:
     """``map_user`` (`1_initial_load.py:245-278`): explode
     includes.users, null-if-empty normalization (P5), first-wins
     dedup."""
-    u = pages.select(F.posexplode("includes.users").alias("pos", "u"))
+    u = _page_keyed(pages).select(
+        F.posexplode("includes.users").alias("pos", "u"), "_page_key"
+    )
 
     def nullif_empty(c):
         return F.when(c == "", None).otherwise(c)
@@ -146,12 +173,13 @@ def normalize_users(pages: DataFrame) -> DataFrame:
         F.col("u.public_metrics.tweet_count").alias("tweet_count"),
         F.col("u.public_metrics.listed_count").alias("listed_count"),
         "pos",
+        "_page_key",
     ).filter(F.col("user_id").isNotNull())
-    w = Window.partitionBy("user_id").orderBy("pos")
+    w = Window.partitionBy("user_id").orderBy("pos", "_page_key")
     return (
         cols.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_rn", "pos")
+        .drop("_rn", "pos", "_page_key")
     )
 
 

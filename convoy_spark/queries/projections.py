@@ -186,6 +186,47 @@ def array_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scalar_surface",
+    oracle="""
+    SELECT
+      doc_id,
+      upper(lang) AS lang_upper,
+      substring(text, 1, 20) AS prefix20,
+      replace(substring(text, 1, 50), ' ', '_') AS underscored,
+      concat(lang, ':', source) AS lang_source,
+      length(text) AS text_len,
+      CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+      string_split(text, ' ')[1] AS first_token,
+      array_to_string(string_split(text, ' ')[1:3], '|') AS first3
+    FROM documents
+    """,
+)
+def scalar_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Combined string + array scalar surface (§2.8 + P6/P14) in one
+    scan-side projection: upper/substring/replace/concat from
+    `1_initial_load.py:113,134,259-260,267`, size/element_at/slice/
+    array_join replacing the reference's stored list lengths
+    (`1_initial_load.py:85-87,216`). One catalog slot proving both
+    families; `string_surface` / `array_projection` remain as the
+    split variants."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.upper("lang").alias("lang_upper"),
+        F.substring("text", 1, 20).alias("prefix20"),
+        F.replace(F.substring("text", 1, 50), F.lit(" "), F.lit("_")).alias(
+            "underscored"
+        ),
+        F.concat_ws(":", "lang", "source").alias("lang_source"),
+        F.length("text").alias("text_len"),
+        F.size(toks).alias("n_tokens"),
+        F.element_at(toks, 1).alias("first_token"),
+        F.array_join(F.slice(toks, 1, 3), "|").alias("first3"),
+    )
+
+
+@query(
     "filter_suite",
     oracle="""
     SELECT event_id, user_id, value

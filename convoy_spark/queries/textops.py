@@ -7,6 +7,7 @@ built-in expression work with full DuckDB oracles.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from convoy_spark.functions.hashing import sql_hash60
 from convoy_spark.operators.textops import (
@@ -133,6 +134,52 @@ def lang_id_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return langid_predict(load_table(spark, sf_dir, "documents"))
 
 
+_FT_TERMS = ("spark", "vector", "merge")
+_FT_TERMS_SQL = ", ".join(f"'{t}'" for t in _FT_TERMS)
+
+
+@query(
+    "fulltext_search",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x <> '')) AS tok
+      FROM documents
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+    FROM t
+    WHERE tok IN ({_FT_TERMS_SQL})
+    GROUP BY doc_id
+    HAVING count(DISTINCT tok) = {len(_FT_TERMS)}
+    """,
+)
+def fulltext_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-text AND search — the analog of the reference's
+    `FULLTEXT(text)` index declaration (`4_create_tweets_a.py:35`,
+    SURVEY §2.8 divergence). MariaDB keeps an inverted index; the
+    Spark-first restatement builds the posting list on the fly:
+    tokenize → explode → filter to the query terms BEFORE the shuffle
+    (so the aggregate sees only matching postings — at 100 TB the
+    shuffled volume is O(occurrences of the terms), not O(corpus)) →
+    per-doc term-coverage check (AND semantics) + hit count."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower("text"), r"\s+"), lambda x: x != F.lit("")
+    )
+    return (
+        docs.select("doc_id", F.explode(toks).alias("tok"))
+        .filter(F.col("tok").isin(*_FT_TERMS))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.count_distinct("tok").alias("_n_terms"),
+        )
+        .filter(F.col("_n_terms") == len(_FT_TERMS))
+        .select("doc_id", "n_hits")
+    )
+
+
 @query(
     "winnow_fingerprints",
     oracle=f"""
@@ -149,13 +196,17 @@ def lang_id_query(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM g
     ),
     w AS (
-      SELECT doc_id,
+      SELECT doc_id, pos,
              MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
                           ROWS BETWEEN CURRENT ROW
-                          AND {WINNOW_W - 1} FOLLOWING) AS fp
+                          AND {WINNOW_W - 1} FOLLOWING) AS fp,
+             COUNT(*) OVER (PARTITION BY doc_id) AS nh
       FROM gh
     )
+    -- full w-windows only (mirrors the Spark-side bound); short docs
+    -- keep their single clamped window
     SELECT DISTINCT doc_id, fp FROM w
+    WHERE pos <= greatest(1, nh - {WINNOW_W - 1})
     """,
 )
 def winnow_fingerprints_query(spark: SparkSession, sf_dir: str) -> DataFrame:

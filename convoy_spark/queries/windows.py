@@ -113,6 +113,52 @@ def lag_lead_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_funcs",
+    oracle="""
+    SELECT
+      user_id,
+      event_id,
+      value,
+      CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) AS DOUBLE) AS running_value,
+      row_number() OVER w AS seq,
+      lag(value) OVER w AS prev_value,
+      lead(value) OVER w AS next_value,
+      value - lag(value) OVER w AS delta
+    FROM events
+    WHERE user_id % 10 = 0
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function surface in one pass: running decimal-exact sum,
+    row_number, lag/lead and first-difference over a shared per-key
+    time ordering. All frames share ONE shuffle+sort on user_id — the
+    plan has a single Exchange/Sort pair feeding every window op,
+    which is the shape that survives 100 TB (window cost = one sort,
+    not one per function)."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 10 == 0
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+        .alias("running_value"),
+        F.row_number().over(w).alias("seq"),
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )
+
+
+@query(
     "sessionize",
     oracle="""
     WITH flagged AS (

@@ -34,6 +34,43 @@ def default_parallelism() -> int:
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def ensure_executor_imports(spark: SparkSession) -> None:
+    """Make ``convoy_spark`` importable inside executor Python workers
+    on ANY session — including one built without our ``get_spark()``
+    (the driver constructs a vanilla SparkSession, possibly from a cwd
+    outside the repo).
+
+    Executor Python workers inherit ``PYTHONPATH`` from the JVM, which
+    inherits it at launch — too late to fix from here. The runtime fix
+    is ``sc.addPyFile``: zip the package once into the session's temp
+    space and ship it; workers unpack onto ``sys.path``. Idempotent
+    per SparkContext. Must be called by every operator that pickles
+    package functions into a Python UDF stage (mapInPandas /
+    applyInPandas); pure-expression operators never need it."""
+    sc = spark.sparkContext
+    if getattr(sc, "_convoy_pyfile_added", False):
+        return
+    pkg_dir = os.path.join(_REPO_ROOT, "convoy_spark")
+    import tempfile
+    import zipfile
+
+    zpath = os.path.join(tempfile.gettempdir(), "convoy_spark_pkg.zip")
+    tmp = zpath + f".{os.getpid()}.tmp"
+    with zipfile.ZipFile(tmp, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fn in files:
+                if not fn.endswith(".py"):
+                    continue
+                full = os.path.join(root, fn)
+                arc = os.path.join(
+                    "convoy_spark", os.path.relpath(full, pkg_dir)
+                )
+                zf.write(full, arc)
+    os.replace(tmp, zpath)
+    sc.addPyFile(zpath)
+    sc._convoy_pyfile_added = True
+
+
 def get_spark(app_name: str = "convoy-spark", cpus: int | None = None) -> SparkSession:
     """Build (or reuse) the tuned SparkSession."""
     n = cpus or default_parallelism()

@@ -141,6 +141,9 @@ def run_stateful_user_totals(
             {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
         )
 
+    from convoy_spark.session import ensure_executor_imports
+
+    ensure_executor_imports(spark)
     events = stream_events(spark, sf_dir)
     q = (
         events.groupBy("user_id")

@@ -38,6 +38,12 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # events.parquet is TIMESTAMP(NANOS); an unconfigured session (the
+    # driver builds its own vanilla SparkSession, not our get_spark())
+    # throws PARQUET_TYPE_ILLEGAL on it. The conf is runtime-settable,
+    # so set it here — the one choke point every query reads through —
+    # rather than relying on session-construction configs.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         # ts is TIMESTAMP(NANOS) in the file, surfaced as int64 nanos via

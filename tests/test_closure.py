@@ -97,3 +97,24 @@ def test_idempotent_rerun(spark):
     assert {(r.node_id, r.root_id) for r in again.collect()} == {
         (r.node_id, r.root_id) for r in first.collect()
     }
+
+
+def test_cycle_resolves_to_min_id(spark):
+    # Directed 3-cycle (mutual quote edges can create these in real
+    # data despite the forest assumption): pointer jumping oscillates
+    # forever, so after the doubling loop stalls the min-combining
+    # phase resolves every cycle member — and anything hanging off the
+    # cycle — to the smallest reachable id, deterministically.
+    edges = [(10, 11), (11, 12), (12, 10), (13, 10), (1, None), (2, 1)]
+    df = spark.createDataFrame(edges, EDGE_SCHEMA)
+    got = {r.node_id: r.root_id for r in
+           closure_roots(df, max_iterations=6).collect()}
+    assert got[10] == got[11] == got[12] == got[13] == 10
+    assert got[1] == 1 and got[2] == 1  # the clean tree is untouched
+
+
+def test_cycle_error_mode_raises(spark):
+    edges = [(10, 11), (11, 12), (12, 10)]
+    df = spark.createDataFrame(edges, EDGE_SCHEMA)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        closure_roots(df, max_iterations=6, on_cycle="error")

@@ -53,10 +53,11 @@ def test_srp_signature_deterministic(spark):
 def test_ann_recall_vs_brute_force(spark):
     """SRP-LSH top-k recall against exact top-k on real testdata.
 
-    16 planes over 64-dim vectors is a coarse quantization; we assert
-    a floor, not perfection — and that every ANN hit is a true pair
-    from the same bucket (precision of the returned sims is exact by
-    construction since the verify step computes true cosine)."""
+    With Hamming-1 multi-probe (the default) the 16-plane / 4-band
+    geometry measures ≥ 0.9 recall at both sf0.001 and sf0.01
+    (single-probe was 0.46 — a coin flip, not shippable). The
+    returned sims are exact by construction since the verify step
+    computes true cosine."""
     emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
     q = emb.filter(F.col("vec_id") < 16)
     exact = {
@@ -68,7 +69,7 @@ def test_ann_recall_vs_brute_force(spark):
         for r in ann_lsh_topk(q, emb, k=5).collect()
     }
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.3, f"recall collapsed: {recall:.2f}"
+    assert recall >= 0.9, f"recall collapsed: {recall:.2f}"
 
 
 def test_ivf_assignment_covers_corpus(spark):
