@@ -153,12 +153,26 @@ def srp_signatures(
     the key packs each band's ``rows_per_band`` bits into an int.
 
     The projection Σ_d w·x_d is decimal-exact, so the signs — and
-    hence the keys — are reproducible bit-for-bit. One explode
-    (vector → dims), one broadcast join against the plane components,
-    two hash aggregations. No Q×N anywhere."""
-    comps = F.broadcast(
+    hence the keys — are reproducible bit-for-bit. The plane
+    components broadcast PIVOTED — one row per dim carrying all
+    ``n_planes`` weights — so a single pass over the exploded
+    (vec, dim, x) rows feeds ``n_planes`` sum aggregates in one
+    groupBy(vec_id): shuffle input is |V|·dim rows (not
+    |V|·dim·planes — the per-(vec, plane) formulation pushed 16× the
+    rows through the shuffle, a measured ~2× on the whole ANN query
+    at sf0.1), and map-side combine reduces it to one 16-column row
+    per vector per partition. Band keys assemble in a projection;
+    the (vec_id, band, key) posting rows come from one Generate.
+    No Q×N anywhere."""
+    comps_wide = F.broadcast(
         srp_plane_components(
             vectors.sparkSession, n_planes, _infer_dim(vectors, vec_col)
+        )
+        .groupBy("d")
+        .pivot("plane", list(range(n_planes)))
+        .agg(F.first("w"))
+        .select(
+            "d", *[F.col(str(p)).alias(f"w{p}") for p in range(n_planes)]
         )
     )
     exploded = vectors.select(
@@ -166,28 +180,31 @@ def srp_signatures(
         F.posexplode(F.col(vec_col)).alias("d", "x"),
     )
     proj = (
-        exploded.join(comps, "d")
-        .groupBy("vec_id", "plane")
+        exploded.join(comps_wide, "d")
+        .groupBy("vec_id")
         .agg(
-            F.sum((F.col("w") * F.col("x").cast("double")).cast(DEC))
-            .cast("double")
-            .alias("p")
+            *[
+                F.sum((F.col(f"w{p}") * F.col("x").cast("double")).cast(DEC))
+                .cast("double")
+                .alias(f"p{p}")
+                for p in range(n_planes)
+            ]
         )
     )
-    return (
-        proj.withColumn("band", (F.col("plane") / rows_per_band).cast("int"))
-        .groupBy("vec_id", "band")
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("p") > 0,
-                    F.expr(
-                        f"shiftleft(CAST(1 AS BIGINT), plane % {rows_per_band})"
-                    ),
-                ).otherwise(F.lit(0).cast("long"))
-            ).alias("key")
+    n_bands = n_planes // rows_per_band
+    band_structs = []
+    for b in range(n_bands):
+        key = F.lit(0).cast("long")
+        for r in range(rows_per_band):
+            key = key + F.when(
+                F.col(f"p{b * rows_per_band + r}") > 0, F.lit(1 << r).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        band_structs.append(
+            F.struct(F.lit(b).cast("int").alias("band"), key.alias("key"))
         )
-    )
+    return proj.select(
+        "vec_id", F.explode(F.array(*band_structs)).alias("_bk")
+    ).select("vec_id", F.col("_bk.band").alias("band"), F.col("_bk.key").alias("key"))
 
 
 def _infer_dim(vectors: DataFrame, vec_col: str) -> int:
@@ -195,16 +212,22 @@ def _infer_dim(vectors: DataFrame, vec_col: str) -> int:
 
 
 def _sq_dist(a: Column, b: Column) -> Column:
-    """Squared L2 distance, plain double (used only for centroid
-    assignment, where cross-run determinism comes from the decimal
-    means and the lexicographic (dist, cell) tiebreak)."""
-    return F.aggregate(
+    """Squared L2 distance with decimal-exact accumulation (surfaced
+    as double). Each squared difference is one deterministic double
+    op; the decimal fold makes the SUM order-insensitive, so centroid
+    assignments — argmin with a (dist, cell) tiebreak — are
+    bit-identical across engines, partitionings and cluster sizes.
+    That is what lets the whole iterative IVF index carry a DuckDB
+    oracle (`queries/similarity.py::ann_ivf_topk`)."""
+    return _dec_sum(
         F.zip_with(
-            a, b, lambda x, y: (x.cast("double") - y.cast("double"))
-            * (x.cast("double") - y.cast("double"))
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+            a,
+            b,
+            lambda x, y: (
+                (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double"))
+            ).cast(DEC),
+        )
     )
 
 

@@ -40,6 +40,15 @@ EXPECTATIONS = {
     "minhash_lsh_neardup": ["HashAggregate"],
     # scan-only text op: no exchange at all before the agg-free project
     "token_stats": ["ReadSchema: struct<doc_id:bigint,text:string>"],
+    # full-text search: generate (explode) feeding a filtered agg —
+    # the posting-list filter must run BEFORE the exchange
+    "fulltext_search": ["Generate", "HashAggregate"],
+    # merged window suite: every window fn shares ONE sort+exchange
+    "window_funcs": ["Window", "Exchange"],
+    # simhash: packed-counter agg (map-side combine), no Python stage
+    "simhash_neardup": ["HashAggregate"],
+    # SRP ANN: pivoted plane components broadcast to the posting build
+    "ann_srp_topk": ["BroadcastHashJoin", "HashAggregate"],
 }
 
 
