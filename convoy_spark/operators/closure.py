@@ -145,6 +145,53 @@ def closure_roots(
     return m.select("node_id", F.col("ptr").alias("root_id"))
 
 
+def incremental_closure_update(
+    closure_map: DataFrame,
+    new_edges: DataFrame,
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Fold a batch of new ``(child_id, parent_id)`` edges into an
+    existing ``(node_id, root_id)`` map WITHOUT re-running the full
+    closure.
+
+    The reference re-runs its whole UPDATE-until-zero loop over the
+    entire table after every crawl (`2_enrich_ur_conversation_ids.py:
+    39-47`); its checkpointed-resume ethos (`fetch_conversation_
+    tweets.py:71-85`) applied to the closure wants the incremental
+    form: parents that the old map already resolves act as *portal*
+    nodes (parent → known root), so the doubling loop runs over the
+    NEW subgraph plus one portal row per referenced known parent.
+    Per-batch cost is O(batch · log new-depth) — proportional to the
+    increment, never the corpus, which is what makes continuous
+    enrichment viable at 100 TB.
+
+    Semantics match the reference's INSERT IGNORE: an edge whose
+    child is already mapped is ignored (first crawl wins); new roots
+    (parent NULL or parent unseen by either map or batch) resolve
+    within the batch subgraph.
+    """
+    fresh = new_edges.join(
+        closure_map.select(F.col("node_id").alias("child_id")),
+        "child_id",
+        "left_anti",
+    )
+    portals = (
+        fresh.select(F.col("parent_id").alias("node_id"))
+        .filter(F.col("node_id").isNotNull())
+        .distinct()
+        .join(closure_map, "node_id")
+        .select(
+            F.col("node_id").alias("child_id"),
+            F.col("root_id").alias("parent_id"),
+        )
+    )
+    resolved = closure_roots(fresh.unionByName(portals), max_iterations)
+    new_rows = resolved.join(
+        closure_map.select("node_id"), "node_id", "left_anti"
+    )
+    return closure_map.unionByName(new_rows)
+
+
 def enrich_with_roots(
     facts: DataFrame,
     closure_map: DataFrame,

@@ -118,3 +118,35 @@ def test_cycle_error_mode_raises(spark):
     df = spark.createDataFrame(edges, EDGE_SCHEMA)
     with pytest.raises(RuntimeError, match="did not converge"):
         closure_roots(df, max_iterations=6, on_cycle="error")
+
+
+def test_incremental_update_matches_full_closure(spark):
+    from convoy_spark.operators.closure import incremental_closure_update
+
+    # forest: two trees; batch 1 delivers the upper halves, batch 2
+    # the lower (children always after parents, like a crawl).
+    batch1 = [(1, None), (2, 1), (10, None), (11, 10)]
+    batch2 = [(3, 2), (4, 2), (12, 11), (20, None)]
+    full = roots_dict(spark, batch1 + batch2)
+
+    m0 = spark.createDataFrame([], "node_id long, root_id long")
+    m1 = incremental_closure_update(m0, spark.createDataFrame(batch1, EDGE_SCHEMA))
+    m2 = incremental_closure_update(m1, spark.createDataFrame(batch2, EDGE_SCHEMA))
+    got = {r.node_id: r.root_id for r in m2.collect()}
+    assert got == full
+
+
+def test_incremental_update_first_wins(spark):
+    from convoy_spark.operators.closure import incremental_closure_update
+
+    m0 = spark.createDataFrame([], "node_id long, root_id long")
+    m1 = incremental_closure_update(
+        m0, spark.createDataFrame([(1, None), (2, 1)], EDGE_SCHEMA)
+    )
+    # a later batch trying to re-parent node 2 is ignored (INSERT
+    # IGNORE parity: the first crawl's edge wins)
+    m2 = incremental_closure_update(
+        m1, spark.createDataFrame([(2, 9), (9, None)], EDGE_SCHEMA)
+    )
+    got = {r.node_id: r.root_id for r in m2.collect()}
+    assert got == {1: 1, 2: 1, 9: 9}

@@ -57,3 +57,50 @@ def test_stateful_user_totals(spark, tmp_path):
     for uid, (n, total) in want.items():
         assert got[uid][0] == n
         assert abs(got[uid][1] - total) < 1e-6
+
+
+def test_streaming_incremental_closure(spark, tmp_path):
+    """Two edge-file drops drained with availableNow produce the same
+    node→root map as one batch closure over the union; a re-run with
+    the same checkpoint is a no-op (resume protocol)."""
+    from convoy_spark.operators.closure import closure_roots
+    from convoy_spark.streaming.graph import (
+        closure_map_as_df,
+        run_incremental_closure,
+    )
+
+    landing = tmp_path / "edges"
+    ckpt = str(tmp_path / "ckpt")
+    map_path = str(tmp_path / "closure_map")
+    schema = "child_id long, parent_id long"
+
+    b1 = [(1, None), (2, 1), (10, None)]
+    b2 = [(3, 2), (11, 10), (4, 3)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(
+        str(landing / "drop1")
+    )
+    run_incremental_closure(spark, str(landing / "*"), ckpt, map_path)
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(
+        str(landing / "drop2")
+    )
+    run_incremental_closure(spark, str(landing / "*"), ckpt, map_path)
+
+    got = {
+        (r.node_id, r.root_id)
+        for r in closure_map_as_df(spark, map_path).collect()
+    }
+    want = {
+        (r.node_id, r.root_id)
+        for r in closure_roots(
+            spark.createDataFrame(b1 + b2, schema)
+        ).collect()
+    }
+    assert got == want
+
+    # resume: nothing new to process; the map must be unchanged
+    run_incremental_closure(spark, str(landing / "*"), ckpt, map_path)
+    again = {
+        (r.node_id, r.root_id)
+        for r in closure_map_as_df(spark, map_path).collect()
+    }
+    assert again == want
