@@ -23,6 +23,17 @@ _REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
 
+# Executor Python workers inherit PYTHONPATH from the JVM, which reads
+# it at session launch. If the driver imports this module BEFORE
+# building its SparkSession (the usual order), exporting here makes
+# the package importable inside Pandas-UDF workers without any session
+# config; operators that pickle package functions additionally call
+# session.ensure_executor_imports (addPyFile) in case the session
+# already existed.
+_pp = os.environ.get("PYTHONPATH", "")
+if _REPO_ROOT not in _pp.split(os.pathsep):
+    os.environ["PYTHONPATH"] = _REPO_ROOT + (os.pathsep + _pp if _pp else "")
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""

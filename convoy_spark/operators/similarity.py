@@ -368,6 +368,7 @@ def ann_lsh_topk(
     id_col: str = "vec_id",
     rows_per_band: int = SRP_ROWS,
     multiprobe: bool = True,
+    queries_within_corpus: bool = False,
 ) -> DataFrame:
     """Approximate top-k: candidates = corpus vectors sharing any SRP
     band key with the query's probe set, scored exactly, deduped,
@@ -383,8 +384,17 @@ def ann_lsh_topk(
     is query-side only — Q × bands × (rows+1) probe rows; the corpus
     posting table is untouched, so the 100 TB shape (equi-join on
     (band, key), no Q×N) is preserved."""
+    # ``queries_within_corpus`` skips the union+dedup shuffle when the
+    # caller guarantees every query vector is a corpus row (the
+    # catalog query selects its queries FROM the corpus) — one fewer
+    # stage on the critical path.
+    sig_input = (
+        corpus
+        if queries_within_corpus
+        else queries.unionByName(corpus).dropDuplicates([id_col])
+    )
     all_sigs = srp_signatures(
-        queries.unionByName(corpus).dropDuplicates([id_col]),
+        sig_input,
         n_planes,
         vec_col,
         id_col,

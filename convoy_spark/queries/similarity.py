@@ -151,7 +151,9 @@ def ann_srp_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline is asserted in tests/test_similarity.py (0.94 measured
     at sf0.01; single-probe was 0.46)."""
     q, c = _queries_and_corpus(spark, sf_dir)
-    return ann_lsh_topk(q, c, k=TOP_K, n_planes=N_PLANES)
+    return ann_lsh_topk(
+        q, c, k=TOP_K, n_planes=N_PLANES, queries_within_corpus=True
+    )
 
 
 IVF_CELLS = 16
