@@ -59,7 +59,10 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
-    spark = get_spark("convoy-spark-bench")
+    # shuffle partitions sized to the benchmark dataset (see
+    # session._sized_shuffle_partitions) — cores-count partitions at
+    # sf0.1 were ~30% pure task-launch tax.
+    spark = get_spark("convoy-spark-bench", data_dir=sf_dir)
     from convoy_spark.queries import QUERIES
 
     names = [n for n in BENCH_QUERIES if n in QUERIES]
