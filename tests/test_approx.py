@@ -28,3 +28,37 @@ def test_approx_within_rsd(spark):
     for k, n in exact.items():
         # rsd=0.02 → allow 4 sigma
         assert abs(approx[k] - n) <= max(2, 0.08 * n), (k, approx[k], n)
+
+
+def test_approx_percentile_within_tolerance(spark):
+    """The documented 100 TB swap-in for percentile_stats
+    (approx_percentile = t-digest-style mergeable sketch) must track
+    the exact interpolated percentiles within a few percent of the
+    per-group value range."""
+    events = load_table(spark, SF_DIR, "events")
+    exact = {
+        r.event_type: (r.p50, r.p99)
+        for r in events.groupBy("event_type")
+        .agg(
+            F.percentile("value", 0.5).alias("p50"),
+            F.percentile("value", 0.99).alias("p99"),
+        )
+        .collect()
+    }
+    approx = {
+        r.event_type: (r.p50, r.p99, r.vmin, r.vmax)
+        for r in events.groupBy("event_type")
+        .agg(
+            F.approx_percentile("value", 0.5, 1000).alias("p50"),
+            F.approx_percentile("value", 0.99, 1000).alias("p99"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, (e50, e99) in exact.items():
+        a50, a99, vmin, vmax = approx[k]
+        tol = 0.02 * (vmax - vmin) + 1e-9
+        assert abs(a50 - e50) <= tol, (k, a50, e50)
+        assert abs(a99 - e99) <= tol, (k, a99, e99)

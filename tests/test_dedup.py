@@ -94,3 +94,33 @@ def test_simhash(spark, docs):
     }
     assert near[(1, 2)] == 0
     assert all(4 not in p for p in near)
+
+
+def test_simhash_matches_naive_reference(spark):
+    """Differential guard for the bit-packed counter aggregation: the
+    packed 20-bit fields must reproduce a naive per-bit Python
+    SimHash exactly, including repeated tokens (frequency weighting)
+    and the tie→0 rule."""
+    import hashlib
+
+    def naive_simhash(text, bits=60):
+        toks = [t for t in text.lower().split() if t]
+        if not toks:
+            return None
+        sums = [0] * bits
+        for t in toks:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+            for j in range(bits):
+                sums[j] += 1 if (h >> j) & 1 else -1
+        return sum(1 << j for j in range(bits) if sums[j] > 0)
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha alpha alpha beta"),          # frequency-weighted
+        (3, "x " * 50 + "y"),                   # heavy repetition
+        (4, "unique tokens only here now"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.simhash for r in simhash_signature(docs).collect()}
+    for doc_id, text in rows:
+        assert got[doc_id] == naive_simhash(text), doc_id
