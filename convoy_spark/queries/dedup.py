@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from convoy_spark.functions.hashing import (
     MERSENNE31,
+    hash60,
     minhash_params,
     sql_hash60,
 )
@@ -211,4 +212,61 @@ def simhash_neardup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return simhash_neardup(docs, max_hamming=3).withColumn(
         "hamming", F.col("hamming").cast("int")
+    )
+
+
+SPLIT_SALT = "split-v1"
+SPLIT_TRAIN_PCT, SPLIT_VAL_PCT = 90, 5  # test = remainder
+
+
+@query(
+    "dataset_split",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id,
+             {sql_hash60(f"concat('{SPLIT_SALT}:', doc_id)")} % 100 AS bucket
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             CASE
+               WHEN bucket < {SPLIT_TRAIN_PCT} THEN 'train'
+               WHEN bucket < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM b
+    )
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+    FROM s GROUP BY split
+    """,
+)
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment — the standard
+    pretraining-pipeline split: bucket = salted content-independent
+    hash of the document key mod 100, so membership is (a) stable
+    across runs, engines and cluster sizes, (b) reproducible from the
+    key alone (no stored split table), and (c) re-saltable for new
+    epochs/folds by changing one constant. Keying on the id rather
+    than the text keeps exact/near duplicates from straddling splits
+    ONLY if dedup runs first — which is why the dedup operators sit
+    upstream in this module. Pure map-side projection + one tiny
+    rollup shuffle; the per-split counts + id ranges returned here
+    are the sanity profile a split job emits at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = hash60(F.concat(F.lit(f"{SPLIT_SALT}:"), F.col("doc_id"))) % 100
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select("doc_id", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
     )
