@@ -128,33 +128,44 @@ def minhash_signatures_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures(load_table(spark, sf_dir, "documents"))
 
 
+# LSH sketch→verify pair pipeline as a reusable CTE chain ending in
+# pairs(doc_a, doc_b, jaccard); shared by minhash_lsh_neardup and
+# split_contamination so the two oracles cannot drift.
+LSH_PAIRS_SQL = f"""
+bands AS (
+  SELECT doc_id, i // {LSH_ROWS} AS band,
+         string_agg(CAST(v AS VARCHAR), '-' ORDER BY i) AS key
+  FROM mh GROUP BY doc_id, i // {LSH_ROWS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+common AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS nc
+  FROM cand c
+  JOIN shh x ON x.doc_id = c.doc_a
+  JOIN shh y ON y.doc_id = c.doc_b AND y.h = x.h
+  GROUP BY c.doc_a, c.doc_b
+),
+pairs AS (
+  SELECT doc_a, doc_b, CAST(nc AS DOUBLE) / (sa.n + sb.n - nc) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(nc AS DOUBLE) / (sa.n + sb.n - nc) >= {NEARDUP_J}
+)
+"""
+
+
 @query(
     "minhash_lsh_neardup",
     oracle=f"""
     WITH {SHINGLES_SQL},
     {MINHASH_SQL},
-    bands AS (
-      SELECT doc_id, i // {LSH_ROWS} AS band,
-             string_agg(CAST(v AS VARCHAR), '-' ORDER BY i) AS key
-      FROM mh GROUP BY doc_id, i // {LSH_ROWS}
-    ),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a
-      JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-    ),
-    common AS (
-      SELECT c.doc_a, c.doc_b, COUNT(*) AS nc
-      FROM cand c
-      JOIN shh x ON x.doc_id = c.doc_a
-      JOIN shh y ON y.doc_id = c.doc_b AND y.h = x.h
-      GROUP BY c.doc_a, c.doc_b
-    )
-    SELECT doc_a, doc_b, CAST(nc AS DOUBLE) / (sa.n + sb.n - nc) AS jaccard
-    FROM common
-    JOIN sizes sa ON sa.doc_id = doc_a
-    JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE CAST(nc AS DOUBLE) / (sa.n + sb.n - nc) >= {NEARDUP_J}
+    {LSH_PAIRS_SQL}
+    SELECT doc_a, doc_b, jaccard FROM pairs
     """,
 )
 def minhash_lsh_neardup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -255,18 +266,81 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup shuffle; the per-split counts + id ranges returned here
     are the sanity profile a split job emits at 100 TB."""
     docs = load_table(spark, sf_dir, "documents")
-    bucket = hash60(F.concat(F.lit(f"{SPLIT_SALT}:"), F.col("doc_id"))) % 100
-    split = (
-        F.when(bucket < SPLIT_TRAIN_PCT, "train")
-        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
-        .otherwise("test")
-    )
     return (
-        docs.select("doc_id", split.alias("split"))
+        docs.select("doc_id", _split_col().alias("split"))
         .groupBy("split")
         .agg(
             F.count("*").alias("n_docs"),
             F.min("doc_id").alias("min_doc_id"),
             F.max("doc_id").alias("max_doc_id"),
         )
+    )
+
+
+_SPLIT_CASE_SQL = f"""
+CASE
+  WHEN bucket < {SPLIT_TRAIN_PCT} THEN 'train'
+  WHEN bucket < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+  ELSE 'test'
+END
+"""
+
+
+def _split_col():
+    bucket = hash60(F.concat(F.lit(f"{SPLIT_SALT}:"), F.col("doc_id"))) % 100
+    return (
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+
+
+@query(
+    "split_contamination",
+    oracle=f"""
+    WITH {SHINGLES_SQL},
+    {MINHASH_SQL},
+    {LSH_PAIRS_SQL},
+    b2 AS (
+      SELECT doc_id,
+             {sql_hash60(f"concat('{SPLIT_SALT}:', doc_id)")} % 100 AS bucket
+      FROM documents
+    ),
+    s AS (SELECT doc_id, {_SPLIT_CASE_SQL} AS split FROM b2)
+    SELECT p.doc_a, p.doc_b,
+           sa.split AS split_a, sb.split AS split_b, p.jaccard
+    FROM pairs p
+    JOIN s sa ON sa.doc_id = p.doc_a
+    JOIN s sb ON sb.doc_id = p.doc_b
+    WHERE sa.split <> sb.split
+      AND (sa.split = 'train' OR sb.split = 'train')
+    """,
+)
+def split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination check — the decontamination pass every
+    pretraining pipeline runs before shipping an eval set: near-dup
+    pairs (MinHash-LSH sketch→verify, J ≥ 0.8) that STRADDLE
+    the train/eval boundary of `dataset_split`. A val/test document
+    with a training near-twin invalidates the eval; this surfaces
+    exactly those pairs with their similarity. Composition of two
+    existing scale paths — the LSH pair join (no all-pairs) plus the
+    map-side split assignment — so the whole check inherits their
+    100 TB shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_neardup(docs, min_jaccard=NEARDUP_J)
+    splits = docs.select("doc_id", _split_col().alias("split"))
+    return (
+        pairs.join(
+            splits.withColumnsRenamed({"doc_id": "doc_a", "split": "split_a"}),
+            "doc_a",
+        )
+        .join(
+            splits.withColumnsRenamed({"doc_id": "doc_b", "split": "split_b"}),
+            "doc_b",
+        )
+        .filter(
+            (F.col("split_a") != F.col("split_b"))
+            & ((F.col("split_a") == "train") | (F.col("split_b") == "train"))
+        )
+        .select("doc_a", "doc_b", "split_a", "split_b", "jaccard")
     )
