@@ -142,6 +142,31 @@ def srp_plane_components(spark, n_planes: int, dim: int) -> DataFrame:
     )
 
 
+SRP_SCALE = 1 << 20  # power of two: x·2²⁰ is an exact double op
+# Candidate-scoring scale: products of float32 components are exact in
+# double (24+24 < 53 mantissa bits), ×2⁴⁰ is exact (power of two),
+# floor is exact, and the long sum is exact — the whole scaled dot
+# product has NO engine-dependent rounding anywhere, so it is
+# oracle-mirrorable like the DECIMAL(28,12) path but runs in primitive
+# codegen arithmetic (measured ~1 µs per decimal agg op vs ~ns for
+# longs: the decimal `dots` aggregate was a 1.9 s stage at sf0.1).
+# Headroom: |term| ≤ max|x|²·2⁴⁰; at dim 64 and |x| ≤ 16 the sum stays
+# under 2⁵³ (exact long→double cast) and far under 2⁶³.
+SCORE_SCALE = float(1 << 40)
+
+
+def exploded_vectors(
+    vectors: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """(vec_id, d, x double) — the element-wise expansion every
+    vector op (signatures, norms, pair dots) reads. Callers that feed
+    it to more than one consumer should localCheckpoint it once."""
+    return vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(F.col(vec_col)).alias("d", "x"),
+    ).withColumn("x", F.col("x").cast("double"))
+
+
 def srp_signatures(
     vectors: DataFrame,
     n_planes: int = N_PLANES,
@@ -149,15 +174,38 @@ def srp_signatures(
     id_col: str = "vec_id",
     rows_per_band: int = SRP_ROWS,
 ) -> DataFrame:
+    return srp_signatures_from_exploded(
+        exploded_vectors(vectors, vec_col, id_col),
+        _infer_dim(vectors, vec_col),
+        n_planes,
+        rows_per_band,
+    )
+
+
+def srp_signatures_from_exploded(
+    exploded: DataFrame,
+    dim: int,
+    n_planes: int = N_PLANES,
+    rows_per_band: int = SRP_ROWS,
+) -> DataFrame:
     """(vec_id, band, key) — hyperplane sign bits grouped into bands;
     the key packs each band's ``rows_per_band`` bits into an int.
 
-    The projection Σ_d w·x_d is decimal-exact, so the signs — and
-    hence the keys — are reproducible bit-for-bit. The plane
-    components broadcast PIVOTED — one row per dim carrying all
-    ``n_planes`` weights — so a single pass over the exploded
-    (vec, dim, x) rows feeds ``n_planes`` sum aggregates in one
-    groupBy(vec_id): shuffle input is |V|·dim rows (not
+    The projection Σ_d w·⌊x·2²⁰⌋ runs in pure LONG arithmetic:
+    ``floor(x·2²⁰)`` is deterministic on both engines (power-of-two
+    scaling is an exact double op, floor is exact), each ±1·long term
+    is exact, and the long sum is exact and associative — so the
+    signs, and hence the keys, reproduce bit-for-bit across engines
+    and partitionings, same as the previous DECIMAL(28,12)
+    formulation but ~10× cheaper: decimal sum-merge of 16 aggregate
+    columns across map partials was a measured 1.7 s single-task
+    stage at sf0.1; long merges are plain codegen adds. The 2⁻²⁰
+    quantization only perturbs signs of near-zero projections —
+    irrelevant to LSH quality, and the oracle mirrors the identical
+    construction. The plane components broadcast PIVOTED — one row
+    per dim carrying all ``n_planes`` weights — so a single pass over
+    the exploded (vec, dim, x) rows feeds ``n_planes`` sum aggregates
+    in one groupBy(vec_id): shuffle input is |V|·dim rows (not
     |V|·dim·planes — the per-(vec, plane) formulation pushed 16× the
     rows through the shuffle, a measured ~2× on the whole ANN query
     at sf0.1), and map-side combine reduces it to one 16-column row
@@ -165,9 +213,7 @@ def srp_signatures(
     the (vec_id, band, key) posting rows come from one Generate.
     No Q×N anywhere."""
     comps_wide = F.broadcast(
-        srp_plane_components(
-            vectors.sparkSession, n_planes, _infer_dim(vectors, vec_col)
-        )
+        srp_plane_components(exploded.sparkSession, n_planes, dim)
         .groupBy("d")
         .pivot("plane", list(range(n_planes)))
         .agg(F.first("w"))
@@ -175,18 +221,13 @@ def srp_signatures(
             "d", *[F.col(str(p)).alias(f"w{p}") for p in range(n_planes)]
         )
     )
-    exploded = vectors.select(
-        F.col(id_col).alias("vec_id"),
-        F.posexplode(F.col(vec_col)).alias("d", "x"),
-    )
     proj = (
-        exploded.join(comps_wide, "d")
+        exploded.withColumn("sx", F.floor(F.col("x") * F.lit(float(SRP_SCALE))))
+        .join(comps_wide, "d")
         .groupBy("vec_id")
         .agg(
             *[
-                F.sum((F.col(f"w{p}") * F.col("x").cast("double")).cast(DEC))
-                .cast("double")
-                .alias(f"p{p}")
+                F.sum(F.col(f"w{p}") * F.col("sx")).alias(f"p{p}")
                 for p in range(n_planes)
             ]
         )
@@ -393,16 +434,25 @@ def ann_lsh_topk(
         if queries_within_corpus
         else queries.unionByName(corpus).dropDuplicates([id_col])
     )
-    all_sigs = srp_signatures(
-        sig_input,
-        n_planes,
-        vec_col,
-        id_col,
-        rows_per_band,
+    # ONE element-wise expansion feeds everything downstream —
+    # signatures, norms, and candidate-pair dot products — and is
+    # materialized once (lazy localCheckpoint, so blocks are released
+    # by the ContextCleaner with the result DataFrame). Without the
+    # barrier Spark re-derives the expansion per consumer — no
+    # cross-subplan elimination — exactly the lesson
+    # operators/dedup.py::minhash_lsh_neardup already encodes; the
+    # un-shared variant re-ran the most expensive stage twice per
+    # query (the only round-2 bench regression).
+    ex = exploded_vectors(sig_input, vec_col, id_col).localCheckpoint(
+        eager=False
     )
-    q_sigs = queries.join(
-        all_sigs.withColumnRenamed("vec_id", id_col), id_col
-    ).select(F.col(id_col).alias("query_id"), "band", "key")
+    all_sigs = srp_signatures_from_exploded(
+        ex, _infer_dim(corpus, vec_col), n_planes, rows_per_band
+    ).localCheckpoint(eager=False)
+    q_ids = queries.select(F.col(id_col).alias("query_id"))
+    q_sigs = all_sigs.join(
+        F.broadcast(q_ids), all_sigs.vec_id == q_ids.query_id
+    ).select("query_id", "band", "key")
     if multiprobe:
         flips = F.array(
             F.lit(0),  # 0 = no flip (the original key)
@@ -427,24 +477,49 @@ def ann_lsh_topk(
         .select("query_id", "corpus_id")
         .distinct()
     )
-    qv = with_norm(
-        queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
-        ),
-        "_qv",
-    ).withColumnRenamed("_norm", "_qn")
-    cv = with_norm(
-        corpus.select(
-            F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("_cv")
-        ),
-        "_cv",
-    ).withColumnRenamed("_norm", "_cn")
-    scores = (
-        cand.join(F.broadcast(qv), "query_id")
-        .join(cv, "corpus_id")
-        .withColumn(
-            "sim", dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
+    # Exact scoring of candidates only, in the oracle's own shape:
+    # join the candidate pairs back to the exploded elements and sum
+    # the exactly-scaled per-dim products in codegen LONG aggregates
+    # (see SCORE_SCALE). The per-row higher-order-function dot
+    # (zip_with + aggregate lambdas) evaluates INTERPRETED (~85 µs
+    # per 64-dim pair — a measured ~1 s at sf0.1's 25k candidates);
+    # the explode shape trades one extra |cand|·dim shuffle for
+    # whole-stage codegen, and map-side combine collapses it back to
+    # |cand| rows.
+    norms = ex.groupBy("vec_id").agg(
+        F.sqrt(
+            F.sum(F.floor((F.col("x") * F.col("x")) * F.lit(SCORE_SCALE)))
+            .cast("double")
+            / F.lit(SCORE_SCALE)
+        ).alias("nrm")
+    )
+    ea = ex.select(F.col("vec_id").alias("query_id"), "d", F.col("x").alias("xa"))
+    eb = ex.select(F.col("vec_id").alias("corpus_id"), "d", F.col("x").alias("xb"))
+    dots = (
+        cand.join(ea, "query_id")
+        .join(eb, ["corpus_id", "d"])
+        .groupBy("query_id", "corpus_id")
+        .agg(
+            (
+                F.sum(
+                    F.floor((F.col("xa") * F.col("xb")) * F.lit(SCORE_SCALE))
+                ).cast("double")
+                / F.lit(SCORE_SCALE)
+            ).alias("dp")
         )
+    )
+    q_norms = norms.join(
+        F.broadcast(q_ids), norms.vec_id == q_ids.query_id
+    ).select("query_id", F.col("nrm").alias("_qn"))
+    scores = (
+        dots.join(F.broadcast(q_norms), "query_id")
+        .join(
+            norms.select(
+                F.col("vec_id").alias("corpus_id"), F.col("nrm").alias("_cn")
+            ),
+            "corpus_id",
+        )
+        .withColumn("sim", F.col("dp") / (F.col("_qn") * F.col("_cn")))
         .select("query_id", "corpus_id", "sim")
     )
     return topk(scores, k)

@@ -103,8 +103,11 @@ def cosine_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM planes CROSS JOIN dims
     ),
     proj AS (
+      -- mirrors srp_signatures_from_exploded: Σ w·⌊x·2²⁰⌋ in exact
+      -- BIGINT arithmetic (power-of-two scaling + floor are
+      -- deterministic double ops on both engines)
       SELECT e.vec_id, c.plane,
-             CAST(SUM(CAST(c.w * e.x AS DECIMAL(28,12))) AS DOUBLE) AS p
+             SUM(c.w * CAST(FLOOR(e.x * 1048576) AS BIGINT)) AS p
       FROM ev e JOIN comps c ON c.d = e.d
       GROUP BY e.vec_id, c.plane
     ),
@@ -130,15 +133,39 @@ def cosine_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN sigs sb ON p.band = sb.band AND p.key = sb.key
                    AND p.vec_id <> sb.vec_id
     ),
-    dots AS (
+    sdots AS (
+      -- mirrors ann_lsh_topk scoring: Σ ⌊(xa·xb)·2⁴⁰⌋ is an exact
+      -- integer chain (float32 products are exact in double,
+      -- power-of-two scaling and floor are exact), so no
+      -- engine-dependent rounding anywhere
       SELECT c.query_id, c.corpus_id,
-             CAST(SUM(CAST(a.x * b.x AS DECIMAL(28,12))) AS DOUBLE) AS dp
+             CAST(SUM(CAST(FLOOR((a.x * b.x) * 1099511627776) AS BIGINT))
+                  AS DOUBLE) / 1099511627776 AS dp
       FROM cand c
       JOIN ev a ON a.vec_id = c.query_id
       JOIN ev b ON b.vec_id = c.corpus_id AND b.d = a.d
       GROUP BY c.query_id, c.corpus_id
     ),
-    {_TOPK_SQL}
+    snorms AS (
+      SELECT vec_id,
+             sqrt(CAST(SUM(CAST(FLOOR((x * x) * 1099511627776) AS BIGINT))
+                       AS DOUBLE) / 1099511627776) AS nrm
+      FROM ev GROUP BY vec_id
+    ),
+    scored AS (
+      SELECT d.query_id, d.corpus_id, d.dp / (qn.nrm * cn.nrm) AS sim
+      FROM sdots d
+      JOIN snorms qn ON qn.vec_id = d.query_id
+      JOIN snorms cn ON cn.vec_id = d.corpus_id
+    ),
+    ranked AS (
+      SELECT query_id, corpus_id, sim,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY sim DESC, corpus_id
+             ) AS INT) AS rank
+      FROM scored
+    )
+    SELECT query_id, corpus_id, sim, rank FROM ranked WHERE rank <= {TOP_K}
     """,
 )
 def ann_srp_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
