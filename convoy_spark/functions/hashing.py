@@ -25,6 +25,16 @@ from pyspark.sql import functions as F
 MERSENNE31 = (1 << 31) - 1
 _KNUTH = 2654435761
 
+# Whitespace tokenization pattern, shared verbatim by the Spark
+# operators and the DuckDB oracle SQL. Written as an explicit
+# character class because ``\s`` itself is engine-dependent: Java
+# regex ``\s`` matches [ \t\n\x0B\f\r] while DuckDB's RE2 ``\s``
+# excludes vertical tab — a \x0b adjacent to a token would tokenize
+# differently engine vs oracle and fail the driver's value-hash check
+# (round-2 advice). Java and RE2 parse this exact literal identically
+# (\x0b is a two-hex-digit escape in both).
+WS_SPLIT = r"[ \t\n\x0b\f\r]+"
+
 
 def hash60(col: Column) -> Column:
     """Deterministic 60-bit hash of a string column (non-negative)."""

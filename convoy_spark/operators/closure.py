@@ -54,17 +54,40 @@ def closure_roots(
         true forest the loop always exits long before this.
     on_cycle:
         Directed cycles (possible in real data via mutual quote
-        edges, despite the reference's forest assumption) make
-        pointer jumping oscillate forever — the reference's own
+        edges, despite the reference's forest assumption) make pure
+        pointer jumping misbehave — the reference's own
         UPDATE-until-rowcount-0 loop would simply never terminate
         (`2_enrich_ur_conversation_ids.py:39-47`). ``"resolve"``
-        (default) switches to a monotone min-combining phase after
-        the doubling loop stalls: ``ptr ← least(ptr, ptr's ptr)``
-        only ever decreases, so it must converge, and nodes whose
-        ancestry ends in a cycle resolve to the smallest id they can
-        reach — deterministic under any partitioning. On a forest the
-        doubling loop converges first and this phase never runs.
-        ``"error"`` keeps the round-1 behavior: raise RuntimeError.
+        (default) resolves every cycle-tainted node to the smallest
+        id it can reach (deterministic under any partitioning);
+        ``"error"`` raises RuntimeError when a cycle is detected.
+
+    Notes on the cycle machinery
+    ----------------------------
+    A naive ``ptr ← ptr[ptr]`` loop has TWO cycle failure modes:
+    (a) odd-length cycles rotate forever (never ``changed == 0``),
+    and (b) cycles whose length divides the jump distance 2^i go
+    *silently* stable with every member pointing at itself — wrong
+    answers with no error. A min-combining fallback
+    (``ptr ← least(ptr, ptr[ptr])``) fixes (a) but converges in
+    O(cycle length), not O(log) — the min only creeps one hop per
+    iteration when ids increase along the cycle (round-2 advice).
+
+    So each row carries three accumulators, all updated by the SAME
+    single self-join per iteration, all O(log) convergent:
+
+    - ``ptr`` — pure doubling pointer (ancestor at distance 2^i,
+      absorbed at roots and at dangling parents);
+    - ``mn`` — min id over ancestors at distance 1..2^i (windowed
+      prefix-min doubling: ``mn ← min(mn, mn[ptr])``);
+    - ``rooted`` — whether a true root (or dangling parent) lies
+      within distance 2^i (``rooted ← rooted OR rooted[ptr]``).
+
+    Termination: no rooted transition, no ptr movement on rooted
+    rows, no mn movement on unrooted rows. Forests converge exactly
+    as fast as the naive loop; cycles converge once 2^i covers
+    depth + cycle length. Result: ``rooted ? ptr : mn`` — tree nodes
+    get their true root, cycle-tainted nodes get min-reachable.
 
     Returns
     -------
@@ -73,6 +96,11 @@ def closure_roots(
     m = edges.select(
         F.col("child_id").alias("node_id"),
         F.coalesce("parent_id", "child_id").alias("ptr"),
+        F.coalesce("parent_id", "child_id").alias("mn"),
+        (
+            F.col("parent_id").isNull()
+            | (F.col("parent_id") == F.col("child_id"))
+        ).alias("rooted"),
     ).localCheckpoint()
 
     for i in range(max_iterations):
@@ -80,69 +108,69 @@ def closure_roots(
         # the checkpoint, so each iteration costs ONE Spark job instead
         # of two (eager checkpoint job + count job) — half the
         # fixed-overhead at any scale.
+        b = m.select(
+            F.col("node_id").alias("b_node"),
+            F.col("ptr").alias("b_ptr"),
+            F.col("mn").alias("b_mn"),
+            F.col("rooted").alias("b_rooted"),
+        )
         jumped = (
             m.alias("a")
-            .join(
-                m.select(
-                    F.col("node_id").alias("b_node"), F.col("ptr").alias("b_ptr")
-                ),
-                F.col("a.ptr") == F.col("b_node"),
-                "left",
-            )
+            .join(b, F.col("a.ptr") == F.col("b_node"), "left")
             .select(
                 F.col("a.node_id").alias("node_id"),
                 F.coalesce("b_ptr", "a.ptr").alias("new_ptr"),
+                F.least(F.coalesce("b_mn", "a.mn"), F.col("a.mn")).alias(
+                    "new_mn"
+                ),
+                # a dangling ptr (no b row — parent never loaded) is a
+                # terminal: treat like a root, matching the coalesce
+                # absorption on new_ptr.
+                (
+                    F.col("a.rooted")
+                    | F.coalesce("b_rooted", F.lit(True))
+                ).alias("new_rooted"),
                 F.col("a.ptr").alias("old_ptr"),
+                F.col("a.mn").alias("old_mn"),
+                F.col("a.rooted").alias("old_rooted"),
             )
             .localCheckpoint(eager=False)
         )
-        changed = jumped.filter(F.col("new_ptr") != F.col("old_ptr")).count()
-        log.info("closure iteration %d: %d pointers moved", i, changed)
-        m = jumped.select("node_id", F.col("new_ptr").alias("ptr"))
+        changed = jumped.filter(
+            (F.col("new_rooted") != F.col("old_rooted"))
+            | (F.col("new_rooted") & (F.col("new_ptr") != F.col("old_ptr")))
+            | (~F.col("new_rooted") & (F.col("new_mn") != F.col("old_mn")))
+        ).count()
+        log.info("closure iteration %d: %d accumulators moved", i, changed)
+        m = jumped.select(
+            "node_id",
+            F.col("new_ptr").alias("ptr"),
+            F.col("new_mn").alias("mn"),
+            F.col("new_rooted").alias("rooted"),
+        )
         if changed == 0:
             break
     else:
-        if on_cycle != "resolve":
-            raise RuntimeError(
-                f"closure did not converge in {max_iterations} iterations"
-            )
-        log.warning(
-            "closure oscillating after %d doubling iterations — "
-            "cycle(s) present; switching to min-combining resolution",
-            max_iterations,
+        raise RuntimeError(
+            f"closure did not converge in {max_iterations} iterations — "
+            "forest depth plus max cycle length exceeds "
+            f"2^{max_iterations}; raise max_iterations"
         )
-        for i in range(max_iterations):
-            jumped = (
-                m.alias("a")
-                .join(
-                    m.select(
-                        F.col("node_id").alias("b_node"),
-                        F.col("ptr").alias("b_ptr"),
-                    ),
-                    F.col("a.ptr") == F.col("b_node"),
-                    "left",
-                )
-                .select(
-                    F.col("a.node_id").alias("node_id"),
-                    F.least(
-                        F.coalesce("b_ptr", "a.ptr"), F.col("a.ptr")
-                    ).alias("new_ptr"),
-                    F.col("a.ptr").alias("old_ptr"),
-                )
-                .localCheckpoint(eager=False)
-            )
-            changed = jumped.filter(F.col("new_ptr") != F.col("old_ptr")).count()
-            log.info("closure min-phase %d: %d pointers moved", i, changed)
-            m = jumped.select("node_id", F.col("new_ptr").alias("ptr"))
-            if changed == 0:
-                break
-        else:
+
+    if on_cycle != "resolve":
+        n_cyclic = m.filter(~F.col("rooted")).count()
+        if n_cyclic:
             raise RuntimeError(
-                "closure min-phase did not converge — should be impossible "
-                "(the pointer map is monotone decreasing)"
+                f"closure did not converge to roots: {n_cyclic} nodes are "
+                "cycle-tainted (on_cycle='error')"
             )
 
-    return m.select("node_id", F.col("ptr").alias("root_id"))
+    return m.select(
+        "node_id",
+        F.when(F.col("rooted"), F.col("ptr")).otherwise(F.col("mn")).alias(
+            "root_id"
+        ),
+    )
 
 
 def incremental_closure_update(
@@ -169,6 +197,19 @@ def incremental_closure_update(
     child is already mapped is ignored (first crawl wins); new roots
     (parent NULL or parent unseen by either map or batch) resolve
     within the batch subgraph.
+
+    Out-of-order arrival healing: when an earlier batch delivered
+    (3→2) with node 2 unseen, node 3 provisionally rooted at the
+    dangling node 2. If a later batch delivers (2→1), node 2 now
+    resolves to 1 — and every existing map row rooted at 2 must be
+    rewritten to 1, or the map goes internally inconsistent (3→2
+    while 2→1), which the reference's full re-run would never
+    produce (round-2 advice). Because ``resolved`` carries FINAL
+    roots, one equi-join on ``root_id = resolved.node_id`` heals all
+    such rows — no iteration: a stale root is always a dangling node
+    (old roots with their own map row are protected by first-wins),
+    and the dangling node's entire future subtree resolves within
+    the single batch that delivers it.
     """
     fresh = new_edges.join(
         closure_map.select(F.col("node_id").alias("child_id")),
@@ -189,7 +230,17 @@ def incremental_closure_update(
     new_rows = resolved.join(
         closure_map.select("node_id"), "node_id", "left_anti"
     )
-    return closure_map.unionByName(new_rows)
+    reroot = resolved.select(
+        F.col("node_id").alias("__old_root"),
+        F.col("root_id").alias("__new_root"),
+    )
+    healed = closure_map.join(
+        reroot, closure_map.root_id == reroot.__old_root, "left"
+    ).select(
+        "node_id",
+        F.coalesce("__new_root", "root_id").alias("root_id"),
+    )
+    return healed.unionByName(new_rows)
 
 
 def enrich_with_roots(

@@ -40,12 +40,15 @@ from pyspark.sql import DataFrame, functions as F
 
 from convoy_spark.functions.hashing import (
     MERSENNE31,
+    WS_SPLIT,
     hash60,
     minhash_params,
     perm_hash,
 )
 
-TOKEN_SPLIT = r"\s+"
+# Explicit char class, not '\s+' — Java and RE2 disagree on \x0b;
+# shared verbatim with every DuckDB oracle (see hashing.WS_SPLIT).
+TOKEN_SPLIT = WS_SPLIT
 NUM_HASHES = 16
 LSH_BANDS = 4
 LSH_ROWS = 4
@@ -315,12 +318,16 @@ def simhash_signature(
 
     One shuffle, all whole-stage codegen: token occurrences explode,
     each token hashes ONCE, and the 60 per-bit counters ride the
-    shuffle bit-packed into 20 longs (3 fields × 20 bits — a field
-    counts up to 2^20 token occurrences per doc, far past any real
-    document). The groupBy is 20 packed SUMs + a COUNT with map-side
-    partial aggregation, so the shuffled volume is one 21-column row
-    per doc per map partition. Bit j of the fingerprint is then set
-    iff 2·c_j > n (⟺ s_j > 0; ties → 0, matching the oracle).
+    shuffle bit-packed into 30 longs (2 fields × 30 bits — a field
+    counts up to 2^30 ≈ 1.07e9 token occurrences per doc before
+    carrying into its neighbor; million-token documents — books,
+    concatenated crawls — exist in pretraining corpora, so the
+    earlier 3×20-bit packing's 2^20 ceiling was real exposure, per
+    round-2 advice). The groupBy is 30 packed SUMs + a COUNT with
+    map-side partial aggregation, so the shuffled volume is one
+    31-column row per doc per map partition. Bit j of the fingerprint
+    is then set iff 2·c_j > n (⟺ s_j > 0; ties → 0, matching the
+    oracle).
 
     Two earlier formulations measured worse at sf0.1: 60 independent
     per-bit SUM aggregates (blows JVM codegen limits → interpreted
@@ -332,16 +339,16 @@ def simhash_signature(
     Docs with zero tokens produce no rows (explode semantics): an
     empty doc has no fingerprint, rather than 0, which would
     spuriously pair all empty docs at hamming 0."""
-    n_longs = (bits + 2) // 3
+    n_longs = (bits + 1) // 2
     packed_sums = []
     for k in range(n_longs):
         fields = []
-        for i in range(3):
-            j = 3 * k + i
+        for i in range(2):
+            j = 2 * k + i
             if j >= bits:
                 break
             bit = F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1).cast("long"))
-            fields.append(F.shiftleft(bit, 20 * i) if i else bit)
+            fields.append(F.shiftleft(bit, 30 * i) if i else bit)
         packed = fields[0]
         for f_ in fields[1:]:
             packed = packed + f_
@@ -354,9 +361,9 @@ def simhash_signature(
     )
     fingerprint = None
     for j in range(bits):
-        k, i = divmod(j, 3)
-        c = F.shiftright(F.col(f"p{k}"), 20 * i).bitwiseAND(
-            F.lit((1 << 20) - 1).cast("long")
+        k, i = divmod(j, 2)
+        c = F.shiftright(F.col(f"p{k}"), 30 * i).bitwiseAND(
+            F.lit((1 << 30) - 1).cast("long")
         )
         term = F.when(2 * c > F.col("n"), F.lit(1 << j).cast("long")).otherwise(
             F.lit(0).cast("long")

@@ -24,8 +24,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from convoy_spark.functions.hashing import MERSENNE31, WS_SPLIT
+
 # BPE-ish tokenization: letter runs, digit runs, single punctuation.
-BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+# Whitespace spelled out, not `\s`: Java includes \x0b in \s, RE2
+# (the DuckDB oracle) does not — see hashing.WS_SPLIT.
+BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\x0b\\f\\r]"
 
 STOPWORDS = (
     "the", "a", "of", "and", "to", "in", "is", "on", "for", "with",
@@ -35,10 +39,36 @@ LANGID_NGRAM = 3
 LANGID_TOP_K = 20
 WINNOW_K = 5  # char k-gram length
 WINNOW_W = 8  # winnowing window (k-grams per window)
+# Winnow k-gram hash: Horner polynomial over character codepoints,
+# mod the Mersenne prime — the same cross-engine-exact arithmetic
+# family as the MinHash permutations. Replaces one md5-hex-parse per
+# k-gram (the round-2 cost driver: string alloc + digest + hex conv
+# per position) with k integer ops over a per-doc codepoint array.
+# Spark's ascii() and DuckDB's ascii() both return the Unicode
+# codepoint of the first character (verified incl. non-ASCII), so the
+# hash is bit-identical on both engines. 31-bit fingerprints: ~1e-3
+# birthday-collision rate per million fingerprints — the standard
+# winnowing trade (MOSS uses 32-bit hashes).
+WINNOW_B = 1000003  # < 2^20, so every Horner step stays under 2^51
+
+
+def winnow_gram_hash_sql(codes: str, i: str, k: int = WINNOW_K) -> str:
+    """SQL fragment: Horner hash of ``codes[i .. i+k-1]`` (1-based
+    array of BIGINT codepoints) — valid in both Spark SQL and DuckDB
+    (element_at is 1-based in Spark; DuckDB list indexing is 1-based
+    via list_extract, but the oracle uses direct ascii() calls — see
+    queries/textops.py)."""
+    expr = f"element_at({codes}, {i})"
+    for j in range(1, k):
+        expr = (
+            f"(({expr}) * {WINNOW_B} + element_at({codes}, ({i}) + {j}))"
+            f" % {MERSENNE31}"
+        )
+    return expr
 
 
 def _tokens(text_col: str = "text"):
-    return F.split(F.lower(F.col(text_col)), r"\s+")
+    return F.split(F.lower(F.col(text_col)), WS_SPLIT)
 
 
 def token_stats(docs: DataFrame) -> DataFrame:
@@ -89,7 +119,9 @@ def text_quality(docs: DataFrame) -> DataFrame:
     n_tokens = F.size(toks)
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
-    n_punct = F.length(F.regexp_replace(F.col("text"), "[a-zA-Z0-9\\s]", ""))
+    n_punct = F.length(
+        F.regexp_replace(F.col("text"), "[a-zA-Z0-9 \\t\\n\\x0b\\f\\r]", "")
+    )
     n_alpha = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
     mean_len = F.aggregate(
         toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)

@@ -53,13 +53,13 @@ _CHECK_WINDOW = [
     "sql_interface",
     "approx_distinct_rollup",
     "pivot_matrix",
-    # §2.9 event-time windows
+    # §2.9 event-time windows (sliding_window_agg is past the window:
+    # tumbling + session already prove the event-time surface)
     "tumbling_window_agg",
-    "sliding_window_agg",
     "session_window_agg",
-    # time-series joins
+    # time-series joins (range_bucket_join is past the window: asof
+    # proves the time-series-join surface; range join is an extension)
     "asof_join",
-    "range_bucket_join",
     # §2.5 graph / closure
     "closure_roots",
     "ur_enrichment",
@@ -91,12 +91,14 @@ _CHECK_WINDOW = [
     "text_quality",
     "lang_id",
     "winnow_fingerprints",
-    # dedup components
+    # dedup + dataset-management components
     "exact_dedup",
     "ngram_jaccard_pairs",
     "minhash_lsh_neardup",
     "simhash_neardup",
     "embedding_neardup",
+    "dataset_split",
+    "split_contamination",
     # similarity search components
     "cosine_topk",
     "ann_srp_topk",

@@ -162,16 +162,58 @@ def sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_distinct_rollup")  # no oracle: sketch values are
-# engine-specific by nature; the driver records a rows-only check.
+@query(
+    "approx_distinct_rollup",
+    oracle="""
+    SELECT event_type,
+      CAST(COUNT(*) AS BIGINT) AS n_events,
+      CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+      (abs(CAST(approx_count_distinct(user_id) AS DOUBLE)
+           - CAST(COUNT(DISTINCT user_id) AS DOUBLE))
+       <= 0.05 * CAST(COUNT(DISTINCT user_id) AS DOUBLE)) AS approx_within_tol
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def approx_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB variant of A4's COUNT(DISTINCT): HyperLogLog++
     sketches via ``approx_count_distinct`` — mergeable across
     partitions (one narrow shuffle of fixed-size sketches instead of
     shuffling every distinct value) and the documented swap-in for
     `5_create_conversation_tables.py:34-36` when author cardinality
-    per conversation explodes. Exactness checked within rsd tolerance
-    in tests/test_approx.py against the exact aggregate."""
+    per conversation explodes.
+
+    Hash-checkable form: raw HLL register values are engine-specific,
+    so the checked columns are the EXACT distinct count (value parity)
+    plus a tolerance assertion ``approx_within_tol`` — each engine's
+    own sketch must land within 5% of the exact answer (Spark rsd=2%,
+    DuckDB's HLL is comparably tight, so the boolean is robustly true
+    on both sides and any sketch regression flips it to a hash
+    mismatch). The raw-sketch production profile (no exact twin — the
+    whole point at 100 TB is not paying the exact-distinct shuffle) is
+    ``approx_distinct_raw`` past the window; error bounds are also
+    pytest-asserted in tests/test_approx.py."""
+    events = load_table(spark, sf_dir, "events")
+    exact = F.count_distinct(F.col("user_id")).cast("long")
+    approx = F.approx_count_distinct("user_id", rsd=0.02).cast("double")
+    return events.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        exact.alias("exact_users"),
+        (F.abs(approx - exact.cast("double")) <= 0.05 * exact.cast("double")).alias(
+            "approx_within_tol"
+        ),
+    )
+
+
+@query("approx_distinct_raw")  # no oracle by design: this is the
+# production profile whose output IS the engine-specific sketch
+# estimate; the hash-checked tolerance form is approx_distinct_rollup.
+def approx_distinct_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production HLL++ rollup — sketch estimate only, no exact twin,
+    because at 100 TB the entire point is replacing the exact-distinct
+    shuffle (every distinct value moves) with fixed-size mergeable
+    registers (one narrow shuffle). Kept past the check window as the
+    documented raw variant of ``approx_distinct_rollup``."""
     events = load_table(spark, sf_dir, "events")
     return events.groupBy("event_type").agg(
         F.count("*").alias("n_events"),

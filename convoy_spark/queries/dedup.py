@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from convoy_spark.functions.hashing import (
     MERSENNE31,
+    WS_SPLIT,
     hash60,
     minhash_params,
     sql_hash60,
@@ -40,7 +41,8 @@ NEARDUP_J = 0.8  # the corpus has planted near-dups at J ≈ 0.98
 # operators.dedup.shingle_hashes (split → slice → join → md5-hash60).
 SHINGLES_SQL = f"""
 toks AS (
-  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents
+  SELECT doc_id, string_split_regex(lower(text), '{WS_SPLIT}') AS t
+  FROM documents
 ),
 idx AS (
   SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
@@ -184,7 +186,8 @@ def minhash_lsh_neardup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH tk AS (
       SELECT doc_id, w, COUNT(*) AS cnt FROM (
-        SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
+        SELECT doc_id, unnest(string_split_regex(lower(text),
+                                                 '{WS_SPLIT}')) AS w
         FROM documents
       ) WHERE w <> '' GROUP BY doc_id, w
     ),

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from convoy_spark.functions.hashing import sql_hash60
+from convoy_spark.functions.hashing import WS_SPLIT, sql_hash60
 from convoy_spark.operators.textops import (
     BPE_RE,
     LANGID_TOP_K,
@@ -26,10 +26,12 @@ from convoy_spark.tables import load_table
 
 _STOP_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
 
-_TOKS_SQL = r"""
+# WS_SPLIT (explicit char class, not '\s+') is shared verbatim with
+# the Spark side: Java \s includes \x0b, RE2 \s does not.
+_TOKS_SQL = f"""
 t AS (
   SELECT doc_id, text,
-         list_filter(string_split_regex(lower(text), '\s+'),
+         list_filter(string_split_regex(lower(text), '{WS_SPLIT}'),
                      x -> x <> '') AS toks
   FROM documents
 )
@@ -68,7 +70,8 @@ def token_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         CAST(len(toks) AS BIGINT) AS n_tokens,
         CAST(len(list_filter(toks, x -> list_contains({_STOP_SQL}, x)))
              AS DOUBLE) / len(toks) AS stopword_ratio,
-        CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+        CAST(length(regexp_replace(text, '[a-zA-Z0-9 \\t\\n\\x0b\\f\\r]',
+                                   '', 'g'))
              AS DOUBLE) / length(text) AS punct_ratio,
         CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
              AS DOUBLE) / length(text) AS alpha_ratio,
@@ -143,7 +146,8 @@ _FT_TERMS_SQL = ", ".join(f"'{t}'" for t in _FT_TERMS)
     oracle=f"""
     WITH t AS (
       SELECT doc_id,
-             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+             unnest(list_filter(string_split_regex(lower(text),
+                                                   '{WS_SPLIT}'),
                                 x -> x <> '')) AS tok
       FROM documents
     )
@@ -165,7 +169,7 @@ def fulltext_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc term-coverage check (AND semantics) + hit count."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(
-        F.split(F.lower("text"), r"\s+"), lambda x: x != F.lit("")
+        F.split(F.lower("text"), WS_SPLIT), lambda x: x != F.lit("")
     )
     return (
         docs.select("doc_id", F.explode(toks).alias("tok"))

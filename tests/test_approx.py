@@ -6,7 +6,10 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from convoy_spark.queries.aggregates import approx_distinct_rollup
+from convoy_spark.queries.aggregates import (
+    approx_distinct_raw,
+    approx_distinct_rollup,
+)
 from convoy_spark.tables import load_table
 
 SF_DIR = "/root/testdata/sf0.01"
@@ -15,7 +18,7 @@ SF_DIR = "/root/testdata/sf0.01"
 def test_approx_within_rsd(spark):
     approx = {
         r.event_type: r.approx_users
-        for r in approx_distinct_rollup(spark, SF_DIR).collect()
+        for r in approx_distinct_raw(spark, SF_DIR).collect()
     }
     exact = {
         r.event_type: r.n
@@ -28,6 +31,24 @@ def test_approx_within_rsd(spark):
     for k, n in exact.items():
         # rsd=0.02 → allow 4 sigma
         assert abs(approx[k] - n) <= max(2, 0.08 * n), (k, approx[k], n)
+
+
+def test_approx_rollup_tolerance_form(spark):
+    """The hash-checkable form: exact counts plus a per-group boolean
+    asserting the engine's own sketch is within 5% — must be all-true
+    and agree with an independently computed exact distinct."""
+    rows = approx_distinct_rollup(spark, SF_DIR).collect()
+    exact = {
+        r.event_type: r.n
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert {r.event_type for r in rows} == set(exact)
+    for r in rows:
+        assert r.exact_users == exact[r.event_type]
+        assert r.approx_within_tol is True, r
 
 
 def test_approx_percentile_within_tolerance(spark):

@@ -113,6 +113,33 @@ def test_cycle_resolves_to_min_id(spark):
     assert got[1] == 1 and got[2] == 1  # the clean tree is untouched
 
 
+def test_even_cycle_resolves_to_min_id(spark):
+    # Cycle whose length divides a jump distance (L=4 | 2^2): a naive
+    # ptr←ptr[ptr] loop goes *silently* stable with every member
+    # pointing at itself (distance 2^i ≡ 0 mod L) — wrong answers, no
+    # error. The min accumulator is immune: it converges to the
+    # smallest reachable id for every member.
+    edges = [(21, 22), (22, 23), (23, 24), (24, 21)]
+    df = spark.createDataFrame(edges, EDGE_SCHEMA)
+    got = {r.node_id: r.root_id for r in closure_roots(df).collect()}
+    assert got == {21: 21, 22: 21, 23: 21, 24: 21}
+
+
+def test_long_increasing_cycle_converges_fast(spark):
+    # Ids increasing along the cycle is the adversarial case for
+    # min-combining pointer walks (the min creeps one hop per
+    # iteration — O(L)); the windowed prefix-min doubles its coverage
+    # per iteration, so a 40-cycle resolves well within ⌈log2 80⌉+1
+    # iterations (round-2 advice: the bound must be O(log), and the
+    # loop must not exhaust max_iterations on real-size cycles).
+    n = 40
+    edges = [(100 + i, 100 + (i + 1) % n) for i in range(n)]
+    df = spark.createDataFrame(edges, EDGE_SCHEMA)
+    got = {r.node_id: r.root_id for r in
+           closure_roots(df, max_iterations=8).collect()}
+    assert got == {100 + i: 100 for i in range(n)}
+
+
 def test_cycle_error_mode_raises(spark):
     edges = [(10, 11), (11, 12), (12, 10)]
     df = spark.createDataFrame(edges, EDGE_SCHEMA)
@@ -133,6 +160,46 @@ def test_incremental_update_matches_full_closure(spark):
     m1 = incremental_closure_update(m0, spark.createDataFrame(batch1, EDGE_SCHEMA))
     m2 = incremental_closure_update(m1, spark.createDataFrame(batch2, EDGE_SCHEMA))
     got = {r.node_id: r.root_id for r in m2.collect()}
+    assert got == full
+
+
+def test_incremental_update_out_of_order_heals(spark):
+    # Round-2 advice scenario: batch N delivers (3→2) with node 2
+    # unseen, so 3 provisionally roots at the dangling node 2. Batch
+    # N+1 delivers (2→1): node 2 resolves to 1 AND the stale row 3→2
+    # must be healed to 3→1 — the map must equal the full closure for
+    # ANY arrival order, like the reference's full re-run.
+    from convoy_spark.operators.closure import incremental_closure_update
+
+    m0 = spark.createDataFrame([], "node_id long, root_id long")
+    m1 = incremental_closure_update(
+        m0, spark.createDataFrame([(3, 2)], EDGE_SCHEMA)
+    )
+    assert {(r.node_id, r.root_id) for r in m1.collect()} == {(3, 2)}
+    m2 = incremental_closure_update(
+        m1, spark.createDataFrame([(2, 1), (1, None)], EDGE_SCHEMA)
+    )
+    got = {r.node_id: r.root_id for r in m2.collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_incremental_update_random_order_matches_full(spark):
+    # Property form: a random forest delivered in RANDOM edge order
+    # across several batches must converge to the same map as one
+    # full closure over everything.
+    from convoy_spark.operators.closure import incremental_closure_update
+
+    rng = random.Random(7)
+    edges, _ = _random_forest(rng, 120)
+    full = roots_dict(spark, edges)
+    shuffled = edges[:]
+    rng.shuffle(shuffled)
+    m = spark.createDataFrame([], "node_id long, root_id long")
+    for i in range(0, len(shuffled), 30):
+        m = incremental_closure_update(
+            m, spark.createDataFrame(shuffled[i : i + 30], EDGE_SCHEMA)
+        )
+    got = {r.node_id: r.root_id for r in m.collect()}
     assert got == full
 
 
