@@ -80,6 +80,15 @@ def main() -> None:
         # while the DataFrame is being built — timing only the final
         # action would flatter them. Median of `runs` executions —
         # single runs showed ±20% noise (BENCH_NOTES.md).
+        # One untimed warm-up execution per query: the first run pays
+        # that query's codegen compilation, broadcast build and (for
+        # the iterative operators) checkpoint-block allocation, which
+        # showed up as ±0.5 s run-to-run spread on the flagship/tree
+        # queries (round-2 NEXT #5). Timed samples then measure the
+        # steady state a cluster would see.
+        QUERIES[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
         samples = []
         for _ in range(runs):
             t0 = time.perf_counter()

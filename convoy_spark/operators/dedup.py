@@ -57,8 +57,14 @@ SIMHASH_BLOCKS = 5  # pigeonhole: finds all pairs with hamming <= 4
 
 
 def doc_tokens(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, token) — lowercased whitespace tokens, one row each."""
-    return docs.select(
+    """(id, token) — lowercased whitespace tokens, one row each.
+
+    The input is widened first: a single-row-group parquet file scans
+    as one task, serializing the entire tokenize+hash pipeline that
+    follows (see scale.widen_narrow_scan — no-op at real scale)."""
+    from convoy_spark.operators.scale import widen_narrow_scan
+
+    return widen_narrow_scan(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT)).alias("token"),
     ).filter(F.col("token") != "")
@@ -78,7 +84,9 @@ def doc_shingles(
     the ``split`` into the transform lambda makes Catalyst re-evaluate
     it per output element — O(len²) per document, a measured 3×
     slowdown at sf0.1."""
-    tokens = docs.select(
+    from convoy_spark.operators.scale import widen_narrow_scan
+
+    tokens = widen_narrow_scan(docs).select(
         F.col(id_col).alias("doc_id"),
         F.split(F.lower(F.col(text_col)), TOKEN_SPLIT).alias("toks"),
     )

@@ -21,6 +21,29 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def widen_narrow_scan(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition a DataFrame whose scan produces fewer
+    partitions than the cluster has slots — and a no-op otherwise.
+
+    Why this exists: parquet splits by row group, so a small table
+    written as ONE file with ONE row group scans as ONE task no matter
+    how many cores exist. Any CPU-heavy per-row stage downstream
+    (tokenize/explode/hash pipelines over ``documents``) then runs
+    single-threaded — at sf0.1 this was the dominant cost of winnow /
+    simhash / lang-ID, hiding as "slope" (one 4 s task on a 32-core
+    box). The guard makes it scale-safe: at 100 TB the scan already
+    yields orders of magnitude more partitions than slots, the
+    condition is false, and NO shuffle is added — this only ever
+    trades one tiny-table shuffle for full parallelism on the
+    compute-bound stage that follows.
+    """
+    spark = df.sparkSession
+    n = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -160,8 +160,14 @@ def exploded_vectors(
 ) -> DataFrame:
     """(vec_id, d, x double) — the element-wise expansion every
     vector op (signatures, norms, pair dots) reads. Callers that feed
-    it to more than one consumer should localCheckpoint it once."""
-    return vectors.select(
+    it to more than one consumer should localCheckpoint it once.
+
+    Widened first: a single-row-group embeddings file scans as one
+    task, serializing the |V|·dim posexplode and everything until the
+    first shuffle (scale.widen_narrow_scan — no-op at real scale)."""
+    from convoy_spark.operators.scale import widen_narrow_scan
+
+    return widen_narrow_scan(vectors).select(
         F.col(id_col).alias("vec_id"),
         F.posexplode(F.col(vec_col)).alias("d", "x"),
     ).withColumn("x", F.col("x").cast("double"))

@@ -160,7 +160,9 @@ def char_ngrams(docs: DataFrame, n: int = LANGID_NGRAM) -> DataFrame:
     PySpark wrapper takes int literals only). The lowered text is
     projected first so the transform lambda indexes a column instead
     of re-lowering per element (O(len²) otherwise)."""
-    low = docs.select(
+    from convoy_spark.operators.scale import widen_narrow_scan
+
+    low = widen_narrow_scan(docs).select(
         "doc_id", "lang", F.lower(F.col("text")).alias("_low")
     )
     return low.select(
@@ -250,12 +252,25 @@ def winnow_fingerprints(
     ONLY shuffle is the final distinct. (The explode-then-window
     formulation shuffles every k-gram row to sort it by position; the
     data is already in position order inside the row. ~2× faster at
-    sf0.1 and no giant intermediate.)"""
-    khex = 15  # hash60: first 15 md5 hex digits
+    sf0.1 and no giant intermediate.)
+
+    The k-gram hash is the Horner codepoint polynomial (WINNOW_B /
+    MERSENNE31, mirrored exactly in the DuckDB oracle): one codepoint
+    array per doc, then k integer mul-add-mods per position. The
+    round-2 form paid an md5 per k-gram — digest + 32-hex string +
+    base-16 parse per position, the measured cost driver of the whole
+    query (3.8 s at sf0.1, 4.6× baseline). The codepoint array is
+    bound behind a Generate barrier (explode of a 1-element array):
+    CollapseProject would otherwise inline the array-builder into all
+    k element_at reads — k codepoint passes per position, the same
+    O(len²) trap doc_shingles documents."""
+    codes = F.expr(
+        "transform(sequence(1, length(_low)),"
+        " i -> cast(ascii(substring(_low, i, 1)) as bigint))"
+    )
     hashes = F.expr(
-        f"transform(sequence(1, length(_low) - {k - 1}),"
-        f" i -> cast(conv(substring(md5(substring(_low, i, {k})), 1, {khex}),"
-        f" 16, 10) as bigint))"
+        f"transform(sequence(1, size(_codes) - {k - 1}),"
+        f" i -> {winnow_gram_hash_sql('_codes', 'i', k)})"
     )
     # Only FULL w-windows are minimized (positions 1 .. |h|−(w−1)):
     # sliding past the end would emit w−1 truncated suffix windows,
@@ -267,9 +282,12 @@ def winnow_fingerprints(
         f"transform(sequence(1, greatest(1, size(_h) - {w - 1})),"
         f" i -> array_min(slice(_h, i, {w})))"
     )
+    from convoy_spark.operators.scale import widen_narrow_scan
+
     return (
-        docs.filter(F.length("text") >= k)
+        widen_narrow_scan(docs.filter(F.length("text") >= k))
         .select("doc_id", F.lower(F.col("text")).alias("_low"))
+        .select("doc_id", F.explode(F.array(codes)).alias("_codes"))
         .select("doc_id", hashes.alias("_h"))
         .select("doc_id", F.explode(fps).alias("fp"))
         .distinct()

@@ -9,11 +9,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from convoy_spark.functions.hashing import WS_SPLIT, sql_hash60
+from convoy_spark.functions.hashing import MERSENNE31, WS_SPLIT
 from convoy_spark.operators.textops import (
     BPE_RE,
     LANGID_TOP_K,
     STOPWORDS,
+    WINNOW_B,
     WINNOW_K,
     WINNOW_W,
     langid_predict,
@@ -184,6 +185,18 @@ def fulltext_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _winnow_horner_oracle(k: int = WINNOW_K) -> str:
+    """DuckDB mirror of operators.textops.winnow_gram_hash_sql: Horner
+    codepoint polynomial over the k-gram at 1-based position ``pos``
+    of lower(text). DuckDB ascii() == Spark ascii() == the Unicode
+    codepoint of the first character, so the values are bit-identical."""
+    c = "CAST(ascii(substring(lower(text), CAST(pos AS INT) + {j}, 1)) AS BIGINT)"
+    expr = c.format(j=0)
+    for j in range(1, k):
+        expr = f"(({expr}) * {WINNOW_B} + {c.format(j=j)}) % {MERSENNE31}"
+    return expr
+
+
 @query(
     "winnow_fingerprints",
     oracle=f"""
@@ -195,7 +208,7 @@ def fulltext_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     gh AS (
       SELECT doc_id, pos,
-             {sql_hash60(f"substring(lower(text), CAST(pos AS INT), {WINNOW_K})")}
+             {_winnow_horner_oracle()}
                AS h
       FROM g
     ),
