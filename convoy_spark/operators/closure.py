@@ -263,6 +263,87 @@ def incremental_closure_update(
     return healed.unionByName(new_rows)
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """(node_id, component_id) over an UNDIRECTED pair list;
+    ``component_id`` = the minimum node id in the component —
+    deterministic under any partitioning.
+
+    This is the general-graph sibling of :func:`closure_roots` (which
+    requires a forest: one parent per node). Near-dup pair sets from
+    the LSH/SimHash operators are arbitrary graphs — a document can
+    pair with many near-twins — so canonicalizing them needs
+    components, not roots.
+
+    Algorithm: min-label propagation with label-path compression per
+    round — each iteration takes (a) the min label among neighbors and
+    (b) the label of the node's own label (pointer-jumping on the
+    label graph), so labels hop across already-merged regions instead
+    of creeping one edge per round (cf. the hash-to-min family,
+    Kiveris et al., SoCC 2014). Near-dup clusters have tiny diameters
+    (they are quasi-cliques), typically converging in 2–3 rounds; the
+    compression step keeps adversarial chains O(log) rather than
+    O(diameter). Each round is two equi-joins + a min-agg, all keyed
+    shuffles, one count job via the lazy-checkpoint pattern."""
+    sym = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).unionByName(
+        pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    )
+    labels = (
+        sym.select(F.col("src").alias("node_id"))
+        .distinct()
+        .select("node_id", F.col("node_id").alias("label"))
+        .localCheckpoint()
+    )
+    for i in range(max_iterations):
+        nbr_min = (
+            sym.join(labels, sym.dst == labels.node_id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        lab_of_lab = labels.select(
+            F.col("node_id").alias("l_node"), F.col("label").alias("l_label")
+        )
+        stepped = (
+            labels.join(nbr_min, labels.node_id == nbr_min.src, "left")
+            .select(
+                "node_id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
+                ).alias("_m"),
+                F.col("label").alias("old_label"),
+            )
+            .join(lab_of_lab, F.col("_m") == F.col("l_node"), "left")
+            .select(
+                "node_id",
+                F.least(F.col("_m"), F.coalesce("l_label", F.col("_m"))).alias(
+                    "new_label"
+                ),
+                "old_label",
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = stepped.filter(
+            F.col("new_label") != F.col("old_label")
+        ).count()
+        log.info("connected_components round %d: %d labels moved", i, changed)
+        labels = stepped.select(
+            "node_id", F.col("new_label").alias("label")
+        )
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"components did not converge in {max_iterations} rounds"
+        )
+    return labels.select("node_id", F.col("label").alias("component_id"))
+
+
 def enrich_with_roots(
     facts: DataFrame,
     closure_map: DataFrame,

@@ -153,6 +153,187 @@ def text_quality(docs: DataFrame) -> DataFrame:
     )
 
 
+REP_TOP_TOKEN_MAX = 0.20
+REP_DUP_2GRAM_MAX = 0.35
+REP_DUP_3GRAM_MAX = 0.25
+
+
+def repetition_signals(docs: DataFrame) -> DataFrame:
+    """Per-doc repetition statistics — the Gopher/C4 family of
+    repetition filters that catches boilerplate, keyword-stuffing and
+    degenerate generations in pretraining corpora:
+
+    - ``top_token_ratio`` — occurrences of the most frequent token /
+      total tokens (a single token dominating the doc);
+    - ``dup_2gram_ratio`` / ``dup_3gram_ratio`` — fraction of word
+      n-grams that are repeats of an earlier n-gram
+      (``1 − distinct/total``);
+    - ``passes_repetition_filter`` — all three under their thresholds.
+
+    All ratios are exact-integer divisions materialized as doubles, so
+    they reproduce bit-for-bit on any engine — no float accumulation
+    anywhere. Shape: token occurrences explode once (the widened scan,
+    see doc_tokens) into a (doc, token) count, map-side combined; the
+    n-gram dup counts ride the SAME exploded pass via per-row array
+    expressions (zero extra shuffle); one doc_id join assembles the
+    row. At 100 TB every shuffle here is keyed on doc_id or
+    (doc_id, token) — no global state, no skew beyond AQE's reach."""
+    from convoy_spark.operators.dedup import doc_tokens
+
+    tok_counts = (
+        doc_tokens(docs)
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.max("cnt").alias("max_cnt"),
+        )
+    )
+
+    def _dup_ratio(n: int):
+        grams = F.expr(
+            f"transform(sequence(1, size(_toks) - {n - 1}),"
+            f" i -> concat_ws(' ', slice(_toks, i, {n})))"
+        )
+        total = F.size("_toks") - (n - 1)
+        return F.when(
+            total <= 0, F.lit(0.0)
+        ).otherwise(
+            (total - F.size(F.array_distinct(grams))).cast("double")
+            / total.cast("double")
+        )
+
+    gram_stats = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(F.filter(_tokens(), lambda t: t != ""))
+        ).alias("_toks"),
+    ).select(
+        "doc_id",
+        _dup_ratio(2).alias("dup_2gram_ratio"),
+        _dup_ratio(3).alias("dup_3gram_ratio"),
+    )
+
+    return (
+        tok_counts.join(gram_stats, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (F.col("max_cnt").cast("double") / F.col("n_tokens").cast("double")).alias(
+                "top_token_ratio"
+            ),
+            "dup_2gram_ratio",
+            "dup_3gram_ratio",
+        )
+        .withColumn(
+            "passes_repetition_filter",
+            (F.col("top_token_ratio") <= REP_TOP_TOKEN_MAX)
+            & (F.col("dup_2gram_ratio") <= REP_DUP_2GRAM_MAX)
+            & (F.col("dup_3gram_ratio") <= REP_DUP_3GRAM_MAX),
+        )
+    )
+
+
+def vocab_top_terms(docs: DataFrame, top_k: int = 100) -> DataFrame:
+    """Corpus vocabulary profile: the ``top_k`` most frequent tokens
+    with total occurrences, document frequency, and cumulative corpus
+    coverage — the first artifact a tokenizer-training or
+    vocabulary-pruning pass computes over a pretraining corpus.
+
+    One (token) shuffle with map-side combine carries (count, df)
+    together; the top-k selection is ``orderBy().limit()`` — Spark's
+    TakeOrderedAndProject, a distributed per-partition top-k merged at
+    the driver, NOT a single-partition global sort (an unpartitioned
+    rank window would funnel the whole vocabulary through one task —
+    the exact trap this avoids at billion-token vocabularies). The
+    rank/coverage window then runs over the tiny k-row frame only.
+    Coverage is an exact-integer cumulative sum divided as double —
+    bit-reproducible across engines. At 100 TB the token key is
+    Zipf-skewed by definition; the partial aggregation absorbs it
+    (each mapper emits one row per distinct token)."""
+    from convoy_spark.operators.dedup import doc_tokens
+
+    counts = doc_tokens(docs).groupBy("token").agg(
+        F.count("*").alias("n_occurrences"),
+        F.count_distinct("doc_id").alias("doc_freq"),
+    )
+    total = counts.agg(F.sum("n_occurrences").alias("_t"))
+    top = counts.orderBy(
+        F.col("n_occurrences").desc(), F.col("token").asc()
+    ).limit(top_k)
+    w_rank = Window.orderBy(
+        F.col("n_occurrences").desc(), F.col("token").asc()
+    )
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        top.join(F.broadcast(total))
+        .select(
+            F.row_number().over(w_rank).alias("rank"),
+            "token",
+            F.col("n_occurrences").cast("long").alias("n_occurrences"),
+            F.col("doc_freq").cast("long").alias("doc_freq"),
+            (
+                F.sum("n_occurrences").over(w_cum).cast("double")
+                / F.col("_t").cast("double")
+            ).alias("cum_coverage"),
+        )
+    )
+
+
+TFIDF_TOP_TERMS = 3
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = TFIDF_TOP_TERMS) -> DataFrame:
+    """Per-doc top-``k`` characteristic terms by the BM25-flavored
+    RATIONAL idf: ``score = tf · (N − df + 0.5) / (df + 0.5)``.
+
+    Log-free on purpose: ``ln`` differs in final ulps between libm
+    and the JVM, which would make an oracle hash-compare flaky; every
+    quantity here is a product/quotient of exactly-representable
+    values (ints and halves), so scores are bit-reproducible across
+    engines. Unlike the naive rational ``N/df`` (which still awards
+    ``tf`` to a term present in EVERY doc), the BM25 form sends
+    df → N scores to ~0.5/(N+0.5) — ubiquitous stopwords rank last,
+    matching log-idf's behavior. Shape: one (doc, token) count
+    shuffle, a df table aggregated from the same pass, a broadcast
+    N-docs scalar, and a per-doc top-k window — no all-pairs, nothing
+    driver-side."""
+    from convoy_spark.operators.dedup import doc_tokens
+
+    tk = doc_tokens(docs)
+    tf = tk.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_tbl = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = docs.select(
+        F.count_distinct("doc_id").alias("_n")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        tf.join(df_tbl, "token")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            (
+                F.col("tf").cast("double")
+                * (F.col("_n") - F.col("df") + F.lit(0.5))
+            )
+            / (F.col("df") + F.lit(0.5)),
+        )
+        .withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= k)
+        .select(
+            "doc_id",
+            "term_rank",
+            "token",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            "score",
+        )
+    )
+
+
 def char_ngrams(docs: DataFrame, n: int = LANGID_NGRAM) -> DataFrame:
     """(doc_id, lang, gram) — all char n-grams of the lowered text.
 

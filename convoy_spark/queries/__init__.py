@@ -44,11 +44,11 @@ from convoy_spark.queries import (  # noqa: F401,E402
 # §2 family; every name here proves at least one operator/component
 # row that no earlier entry already proves.
 _CHECK_WINDOW = [
-    # §2.3/§2.8 aggregates + SQL front door
+    # §2.3/§2.8 aggregates + SQL front door (two_pass_mad is past the
+    # window: A6/P13 two-pass MAD is proven by tree_metric_mad)
     "pricing_summary",
     "flagship_conversation_rollup",
     "conditional_agg",
-    "two_pass_mad",
     "percentile_stats",
     "sql_interface",
     "approx_distinct_rollup",
@@ -63,11 +63,12 @@ _CHECK_WINDOW = [
     # §2.5 graph / closure
     "closure_roots",
     "ur_enrichment",
-    # §2.3 A5–A8 tree statistics (the reference's crown jewel)
+    # §2.3 A5–A8 tree statistics (the reference's crown jewel;
+    # ur_tree_duality is past the window — A5 plain/ur duality is a
+    # differential variant of tree_stats + tree_engagement)
     "tree_stats",
     "tree_engagement",
     "tree_metric_mad",
-    "ur_tree_duality",
     "root_stats_fastpath",
     # §2.4 joins
     "self_join_parent_child",
@@ -97,8 +98,10 @@ _CHECK_WINDOW = [
     "minhash_lsh_neardup",
     "simhash_neardup",
     "embedding_neardup",
+    "dedup_clusters",
     "dataset_split",
     "split_contamination",
+    "stratified_sample",
     # similarity search components
     "cosine_topk",
     "ann_srp_topk",

@@ -11,7 +11,7 @@ just the exact ones.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from convoy_spark.functions.hashing import (
@@ -295,6 +295,99 @@ def _split_col():
         F.when(bucket < SPLIT_TRAIN_PCT, "train")
         .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
         .otherwise("test")
+    )
+
+
+SAMPLE_SALT = "sample-v1"
+SAMPLE_PCT = 20
+
+
+@query(
+    "stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang,
+           {sql_hash60(f"concat('{SAMPLE_SALT}:', doc_id)")} % 100
+             AS sample_bucket
+    FROM documents
+    WHERE {sql_hash60(f"concat('{SAMPLE_SALT}:', doc_id)")} % 100
+          < {SAMPLE_PCT}
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~20% Bernoulli sample by salted key hash — the
+    dataset-management sampling primitive: membership is stable
+    across runs, engines and cluster sizes (no RNG, no
+    partition-order dependence), re-drawable by changing the salt,
+    and per-stratum proportions hold automatically because the hash
+    is uniform within every stratum (lang returned to show it).
+    Map-side only: a filter the scan can evaluate — zero shuffle,
+    which is the only acceptable cost for subsetting 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        hash60(F.concat(F.lit(f"{SAMPLE_SALT}:"), F.col("doc_id"))) % 100
+    )
+    return (
+        docs.select("doc_id", "lang", bucket.alias("sample_bucket"))
+        .filter(F.col("sample_bucket") < SAMPLE_PCT)
+    )
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {SHINGLES_SQL},
+    {MINHASH_SQL},
+    {LSH_PAIRS_SQL},
+    sym(src, dst) AS (
+      SELECT doc_a, doc_b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, src FROM (SELECT DISTINCT src FROM sym)
+      UNION
+      SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+    ),
+    comp AS (SELECT src AS doc_id, MIN(dst) AS comp_id FROM reach GROUP BY src)
+    SELECT doc_id, cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+             AS cluster_size,
+           doc_id = cluster_id AS is_canonical
+    FROM (
+      SELECT d.doc_id, COALESCE(c.comp_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    )
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup canonicalization: LSH pair graph → connected
+    components → one cluster id (the min doc id) per document, with
+    cluster size and a canonical flag — the step that turns pairwise
+    near-dup evidence into the keep/drop decision a dedup pipeline
+    actually executes. Composition of two existing scale paths: the
+    bucketed LSH pair join (no all-pairs) and min-label-propagation
+    components (operators/closure.py::connected_components, label
+    compression per round). The oracle computes the same components
+    via a recursive reachability CTE."""
+    from convoy_spark.operators.closure import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_neardup(docs, min_jaccard=NEARDUP_J)
+    comp = connected_components(pairs)
+    w = Window.partitionBy("cluster_id")
+    return (
+        docs.select("doc_id")
+        .join(comp, docs.doc_id == comp.node_id, "left")
+        .select(
+            "doc_id",
+            F.coalesce("component_id", "doc_id").alias("cluster_id"),
+        )
+        .select(
+            "doc_id",
+            "cluster_id",
+            F.count("*").over(w).cast("long").alias("cluster_size"),
+            (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+        )
     )
 
 

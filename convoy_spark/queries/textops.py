@@ -13,13 +13,20 @@ from convoy_spark.functions.hashing import MERSENNE31, WS_SPLIT
 from convoy_spark.operators.textops import (
     BPE_RE,
     LANGID_TOP_K,
+    REP_DUP_2GRAM_MAX,
+    REP_DUP_3GRAM_MAX,
+    REP_TOP_TOKEN_MAX,
     STOPWORDS,
+    TFIDF_TOP_TERMS,
     WINNOW_B,
     WINNOW_K,
     WINNOW_W,
     langid_predict,
+    repetition_signals,
     text_quality,
+    tfidf_top_terms,
     token_stats,
+    vocab_top_terms,
     winnow_fingerprints,
 )
 from convoy_spark.queries.catalog import query
@@ -183,6 +190,133 @@ def fulltext_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_n_terms") == len(_FT_TERMS))
         .select("doc_id", "n_hits")
     )
+
+
+def _gram_concat_sql(n: int) -> str:
+    """DuckDB fragment: the word n-gram at 1-based position i of the
+    ``toks`` list, space-joined — mirrors the Spark
+    ``concat_ws(' ', slice(_toks, i, n))``."""
+    return " || ' ' || ".join(f"toks[i + {j}]" for j in range(n))
+
+
+def _dup_ratio_sql(n: int) -> str:
+    return f"""
+      CASE WHEN len(toks) - {n - 1} <= 0 THEN 0.0 ELSE
+        CAST(len(toks) - {n - 1}
+             - len(list_distinct(list_transform(
+                 generate_series(1, len(toks) - {n - 1}),
+                 i -> {_gram_concat_sql(n)}))) AS DOUBLE)
+        / (len(toks) - {n - 1}) END
+    """
+
+
+@query(
+    "repetition_filter",
+    oracle=f"""
+    WITH {_TOKS_SQL},
+    tk AS (
+      SELECT doc_id, w, COUNT(*) AS cnt FROM (
+        SELECT doc_id, unnest(toks) AS w FROM t
+      ) GROUP BY doc_id, w
+    ),
+    agg AS (
+      SELECT doc_id, SUM(cnt) AS n_tokens, MAX(cnt) AS max_cnt
+      FROM tk GROUP BY doc_id
+    ),
+    g AS (
+      SELECT doc_id,
+             {_dup_ratio_sql(2)} AS dup_2gram_ratio,
+             {_dup_ratio_sql(3)} AS dup_3gram_ratio
+      FROM t
+    )
+    SELECT a.doc_id,
+      CAST(a.n_tokens AS BIGINT) AS n_tokens,
+      CAST(a.max_cnt AS DOUBLE) / a.n_tokens AS top_token_ratio,
+      g.dup_2gram_ratio, g.dup_3gram_ratio,
+      (CAST(a.max_cnt AS DOUBLE) / a.n_tokens <= {REP_TOP_TOKEN_MAX}
+       AND g.dup_2gram_ratio <= {REP_DUP_2GRAM_MAX}
+       AND g.dup_3gram_ratio <= {REP_DUP_3GRAM_MAX})
+        AS passes_repetition_filter
+    FROM agg a JOIN g ON a.doc_id = g.doc_id
+    """,
+)
+def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition filtering — top-token dominance and
+    duplicate word-n-gram fractions with a composite pass flag; the
+    quality-filter family member that catches boilerplate and
+    degenerate generations (see operators.textops.repetition_signals
+    for the shuffle shape and exact-ratio reproducibility notes)."""
+    return repetition_signals(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "vocab_top_terms",
+    oracle=f"""
+    WITH {_TOKS_SQL},
+    tk AS (SELECT doc_id, unnest(toks) AS w FROM t),
+    counts AS (
+      SELECT w AS token, COUNT(*) AS n_occurrences,
+             COUNT(DISTINCT doc_id) AS doc_freq
+      FROM tk GROUP BY w
+    ),
+    total AS (SELECT SUM(n_occurrences) AS t FROM counts),
+    top AS (
+      SELECT * FROM counts
+      ORDER BY n_occurrences DESC, token ASC LIMIT 100
+    )
+    SELECT
+      CAST(row_number() OVER
+           (ORDER BY n_occurrences DESC, token ASC) AS INT) AS rank,
+      token,
+      CAST(n_occurrences AS BIGINT) AS n_occurrences,
+      CAST(doc_freq AS BIGINT) AS doc_freq,
+      CAST(SUM(n_occurrences) OVER
+           (ORDER BY n_occurrences DESC, token ASC
+            ROWS UNBOUNDED PRECEDING) AS DOUBLE) / t AS cum_coverage
+    FROM top, total
+    """,
+)
+def vocab_top_terms_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary profile (top-100 tokens, counts, doc
+    frequency, cumulative coverage) — the tokenizer-training /
+    vocab-pruning artifact; distributed top-k via
+    TakeOrderedAndProject, never a single-partition global sort."""
+    return vocab_top_terms(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "tfidf_topterms",
+    oracle=f"""
+    WITH {_TOKS_SQL},
+    tk AS (SELECT doc_id, unnest(toks) AS w FROM t),
+    tf AS (
+      SELECT doc_id, w AS token, COUNT(*) AS tf
+      FROM tk GROUP BY doc_id, w
+    ),
+    dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+    scored AS (
+      SELECT f.doc_id, f.token, f.tf, d.df,
+             (CAST(f.tf AS DOUBLE) * (nd.n - d.df + 0.5)) / (d.df + 0.5)
+               AS score
+      FROM tf f JOIN dfq d ON f.token = d.token CROSS JOIN nd
+    )
+    SELECT doc_id, CAST(term_rank AS INT) AS term_rank, token,
+           CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, token ASC) AS term_rank
+      FROM scored
+    ) WHERE term_rank <= {TFIDF_TOP_TERMS}
+    """,
+)
+def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 characteristic terms by BM25-flavored rational
+    tf-idf (tf·(N−df+0.5)/(df+0.5) — log-free so every score is an
+    exact ratio of representable values, bit-reproducible across
+    engines; see operators.textops.tfidf_top_terms for why ln-idf
+    would make the oracle flaky)."""
+    return tfidf_top_terms(load_table(spark, sf_dir, "documents"))
 
 
 def _winnow_horner_oracle(k: int = WINNOW_K) -> str:

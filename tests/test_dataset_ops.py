@@ -1,0 +1,139 @@
+"""Round-3 dataset-management / text-analysis additions:
+connected-components canonicalization, repetition filtering,
+deterministic sampling, vocabulary and tf-idf profiles."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from convoy_spark.operators.closure import connected_components
+from convoy_spark.operators.textops import (
+    repetition_signals,
+    tfidf_top_terms,
+    vocab_top_terms,
+)
+
+PAIR_SCHEMA = "doc_a long, doc_b long"
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _components(spark, pairs):
+    df = spark.createDataFrame(pairs, PAIR_SCHEMA)
+    return {
+        r.node_id: r.component_id for r in connected_components(df).collect()
+    }
+
+
+def test_components_chain_and_clique(spark):
+    # chain 1-2-3-4 (worst diameter) plus clique {10,11,12}
+    got = _components(
+        spark, [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)]
+    )
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_components_long_chain_converges_fast(spark):
+    # increasing ids along a 40-chain: naive min creep is O(n); label
+    # compression must finish well inside the O(log) budget
+    n = 40
+    pairs = [(100 + i, 100 + i + 1) for i in range(n)]
+    got = _components(
+        spark,
+        pairs,
+    )
+    assert got == {100 + i: 100 for i in range(n + 1)}
+
+
+def test_components_random_graph_matches_union_find(spark):
+    rng = random.Random(3)
+    nodes = list(range(1, 61))
+    pairs = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(50)
+    ]
+    pairs = [(a, b) for a, b in pairs if a != b]
+
+    # reference union-find
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for a, b in pairs:
+        for n in (a, b):
+            want[n] = find(n)
+    # canonicalize reference roots to min-of-component
+    comp_min: dict[int, int] = {}
+    for n, r in want.items():
+        comp_min[r] = min(comp_min.get(r, n), n)
+    want = {n: comp_min[r] for n, r in want.items()}
+
+    assert _components(spark, pairs) == want
+
+
+def test_repetition_signals_flags_degenerate_doc(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam spam spam spam spam"),
+            (2, "a genuinely varied sentence with many distinct tokens"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_signals(docs).collect()}
+    assert got[1].top_token_ratio == 1.0
+    assert got[1].dup_2gram_ratio == 8.0 / 9.0
+    assert got[1].passes_repetition_filter is False
+    assert got[2].top_token_ratio < 0.2
+    assert got[2].dup_2gram_ratio == 0.0
+    assert got[2].passes_repetition_filter is True
+
+
+def test_sample_deterministic_and_stratified(spark):
+    from convoy_spark.queries.dedup import SAMPLE_PCT, stratified_sample
+
+    a = {r.doc_id for r in stratified_sample(spark, SF_DIR).collect()}
+    b = {r.doc_id for r in stratified_sample(spark, SF_DIR).collect()}
+    assert a == b  # rerun-stable (no RNG)
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    # uniform hash → sampled fraction near the target rate
+    assert abs(len(a) / n_docs - SAMPLE_PCT / 100) < 0.06
+
+
+def test_vocab_coverage_monotone(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rows = vocab_top_terms(docs).orderBy("rank").collect()
+    assert rows[0].rank == 1
+    cov = [r.cum_coverage for r in rows]
+    assert all(b > a for a, b in zip(cov, cov[1:]))
+    assert 0 < cov[-1] <= 1.0
+    counts = [r.n_occurrences for r in rows]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_tfidf_ranks_rare_terms_over_stopwords(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the the the zebra"),
+            (2, "the the the apple"),
+            (3, "the the the apple zebra quark"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.term_rank): r.token
+        for r in tfidf_top_terms(docs, k=1).collect()
+    }
+    # 'the' appears in every doc (df=N) → BM25 idf ~0.5/(N+0.5)
+    # sinks it below any rarer term despite tf=3
+    assert got[(1, 1)] == "zebra"
+    assert got[(2, 1)] == "apple"
+    assert got[(3, 1)] == "quark"  # df=1, unique to doc 3
