@@ -44,9 +44,13 @@ BENCH_QUERIES = [
     # scale path worth benchmarking.
     "tree_engagement",
     "lang_id",
+    "pii_scrub",
+    "repetition_filter",
+    "tfidf_topterms",
     "winnow_fingerprints",
     "minhash_lsh_neardup",
     "simhash_neardup",
+    "dedup_clusters",
     # cosine_topk (brute force) is the recall oracle, not a headline:
     # Q×N by definition. The ANN path is what ships.
     "ann_srp_topk",

@@ -153,6 +153,49 @@ def text_quality(docs: DataFrame) -> DataFrame:
     )
 
 
+# PII / URL scrubbing patterns. Cross-engine parity rules: character
+# classes + explicit quantifiers only — no \s (Java/RE2 disagree on
+# \x0b), no \b/lookaround (RE2 has no lookaround), no \d (equivalent
+# everywhere but spelled [0-9] for uniformity). Leftmost-longest vs
+# leftmost-first doesn't diverge for these patterns (no alternation
+# with shared prefixes).
+PII_URL_RE = r"https?://[^ \t\n\x0b\f\r]+"
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP_RE = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+PII_PHONE_RE = r"[0-9]{7,}"
+# applied in this order, each over the PREVIOUS step's output, so a
+# digit run inside a URL is counted once as URL, not again as phone
+PII_STEPS = [
+    ("url", PII_URL_RE, "<URL>"),
+    ("email", PII_EMAIL_RE, "<EMAIL>"),
+    ("ip", PII_IP_RE, "<IP>"),
+    ("phone", PII_PHONE_RE, "<PHONE>"),
+]
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """Per-doc PII/URL redaction — the decontamination pass a
+    pretraining pipeline runs before training: URLs, emails, IPv4s and
+    long digit runs replaced by typed placeholder tokens, with a count
+    per category. Counts are taken on the progressively scrubbed text
+    (URL first), so entities nested in an earlier category are not
+    double-counted; the whole thing is scan-side regexp work — zero
+    shuffle, whole-stage codegen, and the identical patterns run in
+    the DuckDB oracle (see PII_* parity notes above)."""
+    cur = F.col("text")
+    counts = {}
+    for name, pat, token in PII_STEPS:
+        counts[f"n_{name}s"] = F.size(
+            F.regexp_extract_all(cur, F.lit(pat), 0)
+        ).cast("long")
+        cur = F.regexp_replace(cur, pat, token)
+    return docs.select(
+        "doc_id",
+        *[c.alias(n) for n, c in counts.items()],
+        cur.alias("scrubbed_text"),
+    )
+
+
 REP_TOP_TOKEN_MAX = 0.20
 REP_DUP_2GRAM_MAX = 0.35
 REP_DUP_3GRAM_MAX = 0.25

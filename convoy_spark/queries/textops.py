@@ -13,6 +13,7 @@ from convoy_spark.functions.hashing import MERSENNE31, WS_SPLIT
 from convoy_spark.operators.textops import (
     BPE_RE,
     LANGID_TOP_K,
+    PII_STEPS,
     REP_DUP_2GRAM_MAX,
     REP_DUP_3GRAM_MAX,
     REP_TOP_TOKEN_MAX,
@@ -22,6 +23,7 @@ from convoy_spark.operators.textops import (
     WINNOW_K,
     WINNOW_W,
     langid_predict,
+    pii_scrub,
     repetition_signals,
     text_quality,
     tfidf_top_terms,
@@ -317,6 +319,40 @@ def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines; see operators.textops.tfidf_top_terms for why ln-idf
     would make the oracle flaky)."""
     return tfidf_top_terms(load_table(spark, sf_dir, "documents"))
+
+
+def _pii_oracle() -> str:
+    ctes = ["s0 AS (SELECT doc_id, text AS t0 FROM documents)"]
+    carried: list[str] = []
+    for i, (name, pat, token) in enumerate(PII_STEPS):
+        prev, cur = f"t{i}", f"t{i + 1}"
+        carried_cols = ", ".join(carried + [""]) if carried else ""
+        ctes.append(
+            f"""s{i + 1} AS (
+      SELECT doc_id, {carried_cols}
+             CAST(len(regexp_extract_all({prev}, '{pat}')) AS BIGINT)
+               AS n_{name}s,
+             regexp_replace({prev}, '{pat}', '{token}', 'g') AS {cur}
+      FROM s{i})"""
+        )
+        carried.append(f"n_{name}s")
+    final_cols = ", ".join(carried)
+    n = len(PII_STEPS)
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT doc_id, {final_cols}, t{n} AS scrubbed_text FROM s{n}"
+    )
+
+
+@query("pii_scrub", oracle=_pii_oracle())
+def pii_scrub_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/URL redaction with per-category counts — the
+    decontamination scan every pretraining pipeline runs; identical
+    explicit-class regex patterns on both engines (see
+    operators.textops.PII_* parity notes), counts taken on
+    progressively scrubbed text so nested entities count once."""
+    return pii_scrub(load_table(spark, sf_dir, "documents"))
 
 
 def _winnow_horner_oracle(k: int = WINNOW_K) -> str:

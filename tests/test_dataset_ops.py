@@ -97,6 +97,34 @@ def test_repetition_signals_flags_degenerate_doc(spark):
     assert got[2].passes_repetition_filter is True
 
 
+def test_pii_scrub_categories_and_order(spark):
+    from convoy_spark.operators.textops import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "visit https://ex.com/x?id=1234567 today"),
+            (2, "mail john.doe+s@mail.ex.org or call 5551234567"),
+            (3, "server 192.168.0.1 is up"),
+            (4, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    # digits inside the URL are scrubbed WITH the url, not re-counted
+    # as a phone (progressive scrub order)
+    assert (got[1].n_urls, got[1].n_phones) == (1, 0)
+    assert got[1].scrubbed_text == "visit <URL> today"
+    assert (got[2].n_emails, got[2].n_phones) == (1, 1)
+    assert got[2].scrubbed_text == "mail <EMAIL> or call <PHONE>"
+    # dotted quads are IPs, not phones (dots break the digit run)
+    assert (got[3].n_ips, got[3].n_phones) == (1, 0)
+    assert got[3].scrubbed_text == "server <IP> is up"
+    assert got[4].scrubbed_text == "nothing sensitive here"
+    assert (
+        got[4].n_urls + got[4].n_emails + got[4].n_ips + got[4].n_phones == 0
+    )
+
+
 def test_sample_deterministic_and_stratified(spark):
     from convoy_spark.queries.dedup import SAMPLE_PCT, stratified_sample
 

@@ -49,6 +49,21 @@ EXPECTATIONS = {
     "simhash_neardup": ["HashAggregate"],
     # SRP ANN: pivoted plane components broadcast to the posting build
     "ann_srp_topk": ["BroadcastHashJoin", "HashAggregate"],
+    # winnow: the narrow-scan widen must appear as a round-robin
+    # exchange feeding the per-row hash pipeline (single-row-group
+    # local file; at real scale the repartition no-ops away)
+    "winnow_fingerprints": ["RoundRobinPartitioning", "Generate"],
+    # vocab: top-k must be TakeOrderedAndProject (distributed
+    # per-partition top-k), NEVER a single-partition global sort
+    "vocab_top_terms": ["TakeOrderedAndProject", "HashAggregate"],
+    # tf-idf: count agg + per-doc rank window
+    "tfidf_topterms": ["HashAggregate", "Window"],
+    # repetition: exploded token agg + per-row array ngram stats
+    "repetition_filter": ["HashAggregate", "Generate"],
+    # sampling: pure scan-side filter, columns pruned to the output
+    "stratified_sample": ["Filter", "ReadSchema: struct<doc_id:bigint,lang:string>"],
+    # PII scrub: scan-only regexp projection, only (doc_id, text) read
+    "pii_scrub": ["ReadSchema: struct<doc_id:bigint,text:string>"],
 }
 
 
