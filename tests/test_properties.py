@@ -46,6 +46,127 @@ def test_closure_finds_true_roots(spark, edges):
     assert got == {n: _true_root(parents, n) for n in parents}
 
 
+# Text drawn from a alphabet that deliberately includes every
+# whitespace the Java/RE2 engines disagree about (\x0b vertical tab —
+# the round-2 advice bug class) plus unicode letters beyond ASCII.
+_TEXT_ALPHABET = st.sampled_from(
+    list("ab xy.!\t\n\x0b\f\r") + ["é", "Ω", "中"]
+)
+_texts = st.lists(
+    st.text(_TEXT_ALPHABET, min_size=0, max_size=40), min_size=1, max_size=6
+)
+
+_WS = set(" \t\n\x0b\f\r")
+
+
+def _py_tokens(text: str) -> list[str]:
+    """Pure-Python mirror of the engine's explicit-class whitespace
+    split (hashing.WS_SPLIT): split on runs of the six chars, drop
+    empties, lowercase."""
+    out, cur = [], []
+    for ch in text.lower():
+        if ch in _WS:
+            if cur:
+                out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
+@given(_texts)
+@settings(max_examples=8, deadline=None)
+def test_tokenization_matches_python_reference(spark, texts):
+    """doc_tokens must agree with the pure-Python split for ANY text,
+    including vertical tabs and non-ASCII — the exact class of input
+    where `\\s` is engine-dependent (round-2 advice)."""
+    from convoy_spark.operators.dedup import doc_tokens
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got: dict[int, list[str]] = {i: [] for i in range(len(texts))}
+    rows = doc_tokens(docs).collect()
+    # doc_tokens explodes; rebuild per-doc multiset (order not defined)
+    for r in rows:
+        got[r.doc_id].append(r.token)
+    for i, t in enumerate(texts):
+        assert sorted(got[i]) == sorted(_py_tokens(t)), repr(t)
+
+
+def _py_winnow(text: str, k: int, w: int, B: int, M: int) -> set:
+    low = text.lower()
+    if len(low) < k:
+        return set()
+    codes = [ord(c) for c in low]
+    hashes = []
+    for i in range(len(codes) - k + 1):
+        h = codes[i]
+        for j in range(1, k):
+            h = (h * B + codes[i + j]) % M
+        hashes.append(h)
+    n_win = max(1, len(hashes) - (w - 1))
+    return {min(hashes[i : i + w]) for i in range(n_win)}
+
+
+@given(_texts)
+@settings(max_examples=8, deadline=None)
+def test_winnow_matches_python_reference(spark, texts):
+    """The Horner codepoint fingerprints must equal a direct Python
+    implementation of Schleimer et al. on arbitrary text (unicode
+    codepoints included) — defends both the hash arithmetic and the
+    full-window bound."""
+    from convoy_spark.functions.hashing import MERSENNE31
+    from convoy_spark.operators.textops import (
+        WINNOW_B,
+        WINNOW_K,
+        WINNOW_W,
+        winnow_fingerprints,
+    )
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got: dict[int, set] = {}
+    for r in winnow_fingerprints(docs).collect():
+        got.setdefault(r.doc_id, set()).add(r.fp)
+    for i, t in enumerate(texts):
+        want = _py_winnow(t, WINNOW_K, WINNOW_W, WINNOW_B, MERSENNE31)
+        assert got.get(i, set()) == want, repr(t)
+
+
+@given(_texts)
+@settings(max_examples=6, deadline=None)
+def test_repetition_ratios_match_python_reference(spark, texts):
+    from convoy_spark.operators.textops import repetition_signals
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in repetition_signals(docs).collect()}
+    for i, t in enumerate(texts):
+        toks = _py_tokens(t)
+        if not toks:
+            assert i not in rows  # token-less docs emit no row
+            continue
+        r = rows[i]
+        assert r.n_tokens == len(toks)
+        top = max(toks.count(x) for x in set(toks))
+        assert r.top_token_ratio == top / len(toks)
+        for n, col in ((2, r.dup_2gram_ratio), (3, r.dup_3gram_ratio)):
+            grams = [
+                " ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)
+            ]
+            want = (
+                0.0
+                if not grams
+                else (len(grams) - len(set(grams))) / len(grams)
+            )
+            assert col == want, (repr(t), n)
+
+
 @given(forests(max_nodes=40))
 @settings(max_examples=6, deadline=None)
 def test_tree_stats_invariants(spark, edges):
