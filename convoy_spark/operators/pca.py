@@ -1,0 +1,151 @@
+"""Top-principal-component extraction over an embedding column —
+distributed power iteration, cross-engine exact.
+
+Embedding pipelines need the leading PCA component(s) for whitening,
+anisotropy diagnosis (the "dominant direction" of encoder output
+spaces), and dimensionality triage. The classic algorithm is power
+iteration on the scatter matrix S = YᵀY (Y = mean-centered data):
+``v ← S·v / ‖S·v‖``. The Spark-first restatement never materializes
+S (dim×dim) OR collects data to the driver: each iteration computes
+
+    s_i = Σ_d y_id · v_d      (one aggregation keyed on vec_id)
+    w_d = Σ_i y_id · s_i      (one aggregation keyed on d)
+    v   = w / ‖w‖             (tiny per-dimension frame)
+
+— i.e. S·v as Yᵀ(Y·v), two keyed shuffles over the |V|·dim exploded
+frame per iteration, with the exploded+centered frame checkpointed
+once. At 100 TB both shuffles are plain hash aggregations with
+map-side combine; the v/μ frames (dim rows) ride broadcasts.
+
+Cross-engine exactness (what makes an ITERATIVE float algorithm
+value-hash oracle-able, like the IVF index):
+
+- FIXED iteration count — no convergence test, so the loop unrolls
+  to SQL CTEs.
+- Every sum is an exact scaled-long sum: Σ ⌊t·2⁴⁰⌋ accumulated in
+  DECIMAL(38,0). Multiplying a double by 2⁴⁰ only shifts its
+  exponent (exact), floor is exact, integer sums are exact and
+  associative, and the final decimal→double conversion of an integer
+  is correctly rounded — every step bit-identical on both engines.
+  double→DECIMAL(p,s) casts are deliberately NOT used anywhere on
+  this path: the two engines' decimal-rounding implementations were
+  measured to disagree by one final-digit unit on ~1 of 64 values
+  (enough to derail an iterative computation), whereas the floor
+  chain has no decimal rounding at all.
+- ‖w‖ is computed max-normalized — m = max|w_d| (comparison only,
+  deterministic), then m·√(Σ⌊(w/m)²·2⁴⁰⌋/2⁴⁰) — so the scaled
+  squares stay within int64 for ANY data magnitude (raw w grows with
+  corpus size; (w/m)² ≤ 1 by construction).
+- Remaining scalar ops (+,−,×,÷,sqrt) are IEEE-correctly-rounded on
+  both engines (sqrt included; ln/exp are NOT and are avoided).
+
+The 2⁻⁴⁰ quantization per term is ~1e-12 relative — far below the
+power-iteration convergence error. Convergence is the power method's:
+the iterate approaches the top eigenvector at rate (λ2/λ1)^t, so 4
+iterations nail data with a real dominant direction (planted-signal
+test: cos > 0.999) but near-isotropic spectra (the synthetic test
+corpus measures λ2/λ1 ≈ 0.987) would need proportionally more budget
+for the exact eigenvector — as for ANY power method. What the
+fixed-budget output always guarantees: it is exactly the t-step
+power iterate (differentially tested against numpy running identical
+steps, tests/test_pca.py), bit-reproducible across engines and
+cluster sizes, with ‖S·v‖ a monotone-improving lower-bound estimate
+of λ1. Callers needing tighter tolerance raise ``n_iterations``
+(each +1 = two more shuffles, and the oracle unrolls to match).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from convoy_spark.operators.similarity import exploded_vectors
+
+PCA_ITERATIONS = 4
+PSCALE = 1 << 40
+
+
+def _xsum(col):
+    """Exact scaled-long sum of a double expression → double.
+    Deterministic on any engine / any partitioning / any order."""
+    q = F.floor(col * PSCALE).cast("decimal(38,0)")
+    return F.sum(q).cast("double") / PSCALE
+
+
+def sql_xsum(expr: str) -> str:
+    """DuckDB fragment identical to :func:`_xsum`."""
+    return (
+        f"CAST(SUM(CAST(CAST(FLOOR(({expr}) * {PSCALE}) AS BIGINT)"
+        f" AS DECIMAL(38,0))) AS DOUBLE) / {PSCALE}"
+    )
+
+
+def pca_top_component(
+    vectors: DataFrame,
+    n_iterations: int = PCA_ITERATIONS,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(d, loading, eigenvalue, explained_variance_ratio) — one row
+    per dimension; ``loading`` is the unit top eigenvector of the
+    scatter matrix, ``eigenvalue`` its ‖S·v‖ estimate, and the ratio
+    is eigenvalue / trace(S) (fraction of total variance captured)."""
+    ex = exploded_vectors(vectors, vec_col, id_col).localCheckpoint(
+        eager=False
+    )
+    mu = ex.groupBy("d").agg(
+        (_xsum(F.col("x")) / F.count("*")).alias("mu")
+    )
+    centered = (
+        ex.join(F.broadcast(mu), "d")
+        .select("vec_id", "d", (F.col("x") - F.col("mu")).alias("y"))
+        .localCheckpoint(eager=False)
+    )
+    v = mu.select("d", F.lit(1.0).alias("v"))
+    nrm = None
+    for _ in range(n_iterations):
+        s = (
+            centered.join(F.broadcast(v), "d")
+            .groupBy("vec_id")
+            .agg(_xsum(F.col("y") * F.col("v")).alias("s"))
+        )
+        w = (
+            centered.join(s, "vec_id")
+            .groupBy("d")
+            .agg(_xsum(F.col("y") * F.col("s")).alias("w"))
+        )
+        m = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
+        nrm = (
+            w.crossJoin(F.broadcast(m))
+            .agg(
+                F.when(F.max("m") == 0.0, F.lit(0.0))
+                .otherwise(
+                    F.max("m")
+                    * F.sqrt(
+                        _xsum(
+                            (F.col("w") / F.col("m"))
+                            * (F.col("w") / F.col("m"))
+                        )
+                    )
+                )
+                .alias("nrm")
+            )
+        )
+        v = (
+            w.crossJoin(F.broadcast(nrm))
+            .select("d", (F.col("w") / F.col("nrm")).alias("v"))
+            .localCheckpoint(eager=False)
+        )
+    trace = centered.agg(_xsum(F.col("y") * F.col("y")).alias("trace"))
+    return (
+        v.crossJoin(F.broadcast(nrm))
+        .crossJoin(F.broadcast(trace))
+        .select(
+            "d",
+            F.col("v").alias("loading"),
+            F.col("nrm").alias("eigenvalue"),
+            (F.col("nrm") / F.col("trace")).alias(
+                "explained_variance_ratio"
+            ),
+        )
+    )

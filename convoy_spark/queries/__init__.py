@@ -102,10 +102,14 @@ _CHECK_WINDOW = [
     "dataset_split",
     "split_contamination",
     "stratified_sample",
-    # similarity search components
-    "cosine_topk",
+    # similarity / embedding components (cosine_topk is past the
+    # window: it is the brute-force recall ORACLE for the two ANN
+    # entries, which prove the similarity surface; pca_top_component
+    # is the embedding-decomposition capability — a fully
+    # value-hash-checked iterative float algorithm, like the IVF)
     "ann_srp_topk",
     "ann_ivf_topk",
+    "pca_top_component",
     # multimodal plumbing
     "media_decode_meta",
     # §2.6 sort/limit + set ops + S8 idempotent append

@@ -332,6 +332,36 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EXACT_K = 50
+
+
+@query(
+    "exact_k_sample",
+    oracle=f"""
+    SELECT doc_id, lang, h AS sample_rank_key FROM (
+      SELECT doc_id, lang,
+             {sql_hash60(f"concat('{SAMPLE_SALT}:k:', doc_id)")} AS h
+      FROM documents
+    ) ORDER BY h ASC, doc_id ASC LIMIT {EXACT_K}
+    """,
+)
+def exact_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k deterministic sample: the k smallest salted key
+    hashes — the distributed, rerun-stable replacement for reservoir
+    sampling (a sequential algorithm that cannot shard): every engine
+    and every cluster size picks the IDENTICAL k documents, and at
+    100 TB it executes as TakeOrderedAndProject (per-partition top-k
+    merged at the driver, k rows of driver traffic — never a sort of
+    the corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = hash60(F.concat(F.lit(f"{SAMPLE_SALT}:k:"), F.col("doc_id")))
+    return (
+        docs.select("doc_id", "lang", h.alias("sample_rank_key"))
+        .orderBy(F.col("sample_rank_key").asc(), F.col("doc_id").asc())
+        .limit(EXACT_K)
+    )
+
+
 @query(
     "dedup_clusters",
     oracle=f"""

@@ -22,6 +22,12 @@ from convoy_spark.operators.similarity import (
 from convoy_spark.queries.catalog import query
 from convoy_spark.tables import load_table
 
+from convoy_spark.operators.pca import (
+    PCA_ITERATIONS,
+    pca_top_component,
+    sql_xsum,
+)
+
 N_QUERIES = 16  # vec_id < 16 are the query vectors
 _FLIP_MASKS_SQL = "".join(
     f", CAST({1 << r} AS BIGINT)" for r in range(SRP_ROWS)
@@ -313,3 +319,79 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sim",
         )
     )
+
+
+def _pca_oracle(n_iterations: int = PCA_ITERATIONS) -> str:
+    """Unrolled power iteration as DuckDB CTEs — iteration t becomes
+    (s{t}, w{t}, m{t}, n{t}, v{t}), mirroring operators.pca
+    bit-for-bit: exact scaled-long sums everywhere (sql_xsum — no
+    double→decimal casts, whose rounding the engines disagree on),
+    max-normalized norms, IEEE-exact scalars."""
+    ctes = [
+        """ex AS (
+      SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+             generate_subscripts(embedding, 1) - 1 AS d
+      FROM embeddings
+    )""",
+        f"""mu AS (
+      SELECT d, {sql_xsum('x')} / COUNT(*) AS mu
+      FROM ex GROUP BY d
+    )""",
+        """c AS (
+      SELECT ex.vec_id, ex.d, ex.x - mu.mu AS y
+      FROM ex JOIN mu ON ex.d = mu.d
+    )""",
+        "v0 AS (SELECT d, 1.0 AS v FROM mu)",
+    ]
+    for t in range(1, n_iterations + 1):
+        p = t - 1
+        ctes.append(
+            f"""s{t} AS (
+      SELECT c.vec_id, {sql_xsum(f'c.y * v{p}.v')} AS s
+      FROM c JOIN v{p} ON c.d = v{p}.d GROUP BY c.vec_id
+    )"""
+        )
+        ctes.append(
+            f"""w{t} AS (
+      SELECT c.d, {sql_xsum(f'c.y * s{t}.s')} AS w
+      FROM c JOIN s{t} ON c.vec_id = s{t}.vec_id GROUP BY c.d
+    )"""
+        )
+        ctes.append(f"m{t} AS (SELECT MAX(ABS(w)) AS m FROM w{t})")
+        ctes.append(
+            f"""n{t} AS (
+      SELECT CASE WHEN m = 0 THEN 0.0
+             ELSE m * sqrt({sql_xsum('(w / m) * (w / m)')}) END AS nrm
+      FROM w{t} CROSS JOIN m{t} GROUP BY m
+    )"""
+        )
+        ctes.append(
+            f"v{t} AS (SELECT d, w / nrm AS v FROM w{t}, n{t})"
+        )
+    ctes.append(
+        f"""tr AS (
+      SELECT {sql_xsum('y * y')} AS trace FROM c
+    )"""
+    )
+    n = n_iterations
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT v{n}.d AS d, v{n}.v AS loading, n{n}.nrm AS eigenvalue,
+           n{n}.nrm / tr.trace AS explained_variance_ratio
+    FROM v{n}, n{n}, tr
+    """
+    )
+
+
+@query("pca_top_component", oracle=_pca_oracle())
+def pca_top_component_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by distributed
+    power iteration (whitening / anisotropy diagnostics) — S·v as
+    Yᵀ(Y·v), two keyed aggregations per iteration, scatter matrix
+    never materialized, nothing collected. Fixed 4 iterations +
+    decimal-exact sums + IEEE-exact scalars make the whole iterative
+    algorithm value-hash checkable against the unrolled-CTE oracle —
+    the same oracle-ability construction the IVF index uses."""
+    return pca_top_component(load_table(spark, sf_dir, "embeddings"))
