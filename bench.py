@@ -54,6 +54,9 @@ BENCH_QUERIES = [
     # cosine_topk (brute force) is the recall oracle, not a headline:
     # Q×N by definition. The ANN path is what ships.
     "ann_srp_topk",
+    # the iterative-float showcase: Spark's checkpointed centered
+    # frame beats DuckDB's repeated-CTE re-scan ~4.5× here
+    "pca_top_component",
     "fulltext_search",
 ]
 
