@@ -35,6 +35,13 @@ STOPWORDS = (
     "the", "a", "of", "and", "to", "in", "is", "on", "for", "with",
 )
 
+# Gopher-flavored pass-filter thresholds (shared with every oracle
+# that re-states the rule in SQL — one source of truth, no drift).
+QF_MIN_CHARS = 50
+QF_MIN_TOKENS = 10
+QF_MIN_MEAN_LEN = 2.0
+QF_MAX_MEAN_LEN = 12.0
+
 LANGID_NGRAM = 3
 LANGID_TOP_K = 20
 WINNOW_K = 5  # char k-gram length
@@ -144,10 +151,10 @@ def text_quality(docs: DataFrame) -> DataFrame:
                 - F.col("punct_ratio")
             ),
             "passes_filter": (
-                (F.col("n_chars") >= 50)
-                & (F.col("n_tokens") >= 10)
-                & (F.col("mean_token_len") >= 2.0)
-                & (F.col("mean_token_len") <= 12.0)
+                (F.col("n_chars") >= QF_MIN_CHARS)
+                & (F.col("n_tokens") >= QF_MIN_TOKENS)
+                & (F.col("mean_token_len") >= QF_MIN_MEAN_LEN)
+                & (F.col("mean_token_len") <= QF_MAX_MEAN_LEN)
             ),
         }
     )

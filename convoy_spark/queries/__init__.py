@@ -28,6 +28,7 @@ from convoy_spark.queries import (  # noqa: F401,E402
     dedup,
     eventwin,
     extjoins,
+    funnel,
     graph,
     joins,
     multimodal,

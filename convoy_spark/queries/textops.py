@@ -14,6 +14,10 @@ from convoy_spark.operators.textops import (
     BPE_RE,
     LANGID_TOP_K,
     PII_STEPS,
+    QF_MAX_MEAN_LEN,
+    QF_MIN_CHARS,
+    QF_MIN_MEAN_LEN,
+    QF_MIN_TOKENS,
     REP_DUP_2GRAM_MAX,
     REP_DUP_3GRAM_MAX,
     REP_TOP_TOKEN_MAX,
@@ -92,8 +96,9 @@ def token_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT *,
       least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) + alpha_ratio
         + least(stopword_ratio * 5.0, 1.0) - punct_ratio AS quality_score,
-      (n_chars >= 50 AND n_tokens >= 10
-       AND mean_token_len >= 2.0 AND mean_token_len <= 12.0)
+      (n_chars >= {QF_MIN_CHARS} AND n_tokens >= {QF_MIN_TOKENS}
+       AND mean_token_len >= {QF_MIN_MEAN_LEN}
+       AND mean_token_len <= {QF_MAX_MEAN_LEN})
         AS passes_filter
     FROM q
     """,

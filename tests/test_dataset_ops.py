@@ -97,6 +97,31 @@ def test_repetition_signals_flags_degenerate_doc(spark):
     assert got[2].passes_repetition_filter is True
 
 
+def test_corpus_funnel_monotone_and_consistent(spark):
+    from convoy_spark.queries.funnel import corpus_funnel
+    from convoy_spark.queries import QUERIES
+
+    rows = {r.stage: r for r in corpus_funnel(spark, SF_DIR).collect()}
+    assert [rows[i].stage_name for i in range(6)] == [
+        "all_documents",
+        "quality_pass",
+        "repetition_pass",
+        "lang_selected",
+        "dedup_canonical",
+        "train_split",
+    ]
+    counts = [rows[i].n_docs for i in range(6)]
+    assert all(a >= b for a, b in zip(counts, counts[1:]))  # funnel
+    assert counts[0] == 500
+    assert rows[0].fraction_of_total == 1.0
+    for i in range(6):
+        assert rows[i].fraction_of_total == counts[i] / counts[0]
+    # stage-1 count consistent with the standalone quality query
+    q = QUERIES["text_quality"](spark, SF_DIR)
+    n_q = q.filter(F.col("passes_filter")).count()
+    assert counts[1] == n_q
+
+
 def test_pii_scrub_categories_and_order(spark):
     from convoy_spark.operators.textops import pii_scrub
 
