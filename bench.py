@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     # the iterative-float showcase: Spark's checkpointed centered
     # frame beats DuckDB's repeated-CTE re-scan ~4.5× here
     "pca_top_component",
+    # the composed preprocessing pipeline as one plan
+    "corpus_funnel",
     "fulltext_search",
 ]
 
