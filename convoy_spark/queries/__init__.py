@@ -44,6 +44,18 @@ from convoy_spark.queries import (  # noqa: F401,E402
 # The first 50 entries = the driver's check window. Grouped by SURVEY
 # §2 family; every name here proves at least one operator/component
 # row that no earlier entry already proves.
+#
+# STANDING ROTATION RULE (round-4, after three rounds of window
+# starvation findings): new first-class components enter the window
+# THE ROUND THEY LAND, displacing entries whose operators remain
+# proven by another in-window entry. Round-4 rotation:
+#   IN : repetition_filter, tfidf_topterms, pii_scrub, corpus_funnel
+#   OUT: session_window_agg  (§2.9 event-time proven by tumbling),
+#        embedding_neardup   (SRP-banded; proven by ann_srp_topk),
+#        pivot_matrix        (extension, no §2 row; 3 rounds green),
+#        ngram_jaccard_pairs (exact-Jaccard verify is exercised
+#                             inside minhash_lsh_neardup's in-window
+#                             sketch-then-verify stage, dedup.py:306)
 _CHECK_WINDOW = [
     # §2.3/§2.8 aggregates + SQL front door (two_pass_mad is past the
     # window: A6/P13 two-pass MAD is proven by tree_metric_mad)
@@ -53,11 +65,9 @@ _CHECK_WINDOW = [
     "percentile_stats",
     "sql_interface",
     "approx_distinct_rollup",
-    "pivot_matrix",
-    # §2.9 event-time windows (sliding_window_agg is past the window:
-    # tumbling + session already prove the event-time surface)
+    # §2.9 event-time windows (session/sliding_window_agg are past
+    # the window: tumbling proves the event-time surface)
     "tumbling_window_agg",
-    "session_window_agg",
     # time-series joins (range_bucket_join is past the window: asof
     # proves the time-series-join surface; range join is an extension)
     "asof_join",
@@ -93,12 +103,15 @@ _CHECK_WINDOW = [
     "text_quality",
     "lang_id",
     "winnow_fingerprints",
+    # round-3 text/quality flagships (rotated in r4 per standing rule)
+    "repetition_filter",
+    "tfidf_topterms",
+    "pii_scrub",
+    "corpus_funnel",
     # dedup + dataset-management components
     "exact_dedup",
-    "ngram_jaccard_pairs",
     "minhash_lsh_neardup",
     "simhash_neardup",
-    "embedding_neardup",
     "dedup_clusters",
     "dataset_split",
     "split_contamination",

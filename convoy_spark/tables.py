@@ -38,20 +38,34 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # events.parquet is TIMESTAMP(NANOS); an unconfigured session (the
-    # driver builds its own vanilla SparkSession, not our get_spark())
-    # throws PARQUET_TYPE_ILLEGAL on it. The conf is runtime-settable,
-    # so set it here — the one choke point every query reads through —
-    # rather than relying on session-construction configs.
+    # events.parquet has shipped with TWO physical types for ts across
+    # driver testdata generations: TIMESTAMP(NANOS) (rounds 1–3) and
+    # TIMESTAMP(MICROS, isAdjustedToUTC=false) (round 4+). An
+    # unconfigured session (the driver builds its own vanilla
+    # SparkSession, not our get_spark()) throws PARQUET_TYPE_ILLEGAL on
+    # nanos; the conf is runtime-settable, so set it here — the one
+    # choke point every query reads through — then dispatch on the
+    # surfaced Spark type so either generation normalizes to the same
+    # TIMESTAMP(µs) column the queries and oracles agree on.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        # ts is TIMESTAMP(NANOS) in the file, surfaced as int64 nanos via
-        # spark.sql.legacy.parquet.nanosAsLong (see session.py). Truncate
-        # to µs — identical to DuckDB's TIMESTAMP_NS→TIMESTAMP cast, so
-        # oracle comparisons agree. `div` is integer floor division
-        # (exact; a double division would lose precision past 2^53).
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType.simpleString()
+        if ts_type == "bigint":
+            # int64 nanos via nanosAsLong: truncate to µs — identical
+            # to DuckDB's TIMESTAMP_NS→TIMESTAMP cast. `div` is
+            # integer floor division (exact; double division would
+            # lose precision past 2^53).
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        elif ts_type == "timestamp_ntz":
+            # µs, not adjusted to UTC → Spark surfaces TIMESTAMP_NTZ.
+            # Cast to session-zoned TIMESTAMP (all harnesses pin UTC,
+            # so wall values are preserved) for one stable schema
+            # across testdata generations and parity with DuckDB's
+            # naive TIMESTAMP under a UTC comparison.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
