@@ -81,20 +81,36 @@ def closure_roots(
     - ``mn`` — min id over ancestors at distance 1..2^i (windowed
       prefix-min doubling: ``mn ← min(mn, mn[ptr])``);
     - ``rooted`` — whether a true root (or dangling parent) lies
-      within distance 2^i (``rooted ← rooted OR rooted[ptr]``).
+      within distance 2^i (``rooted ← rooted OR rooted[ptr]``);
+    - ``ptr_root`` — whether ``ptr`` currently points AT a root (or
+      dangling terminal), i.e. this row is fully converged and no
+      accumulator of it can ever move again
+      (``ptr_root ← ptr_root[ptr]``, coalescing missing b-rows to
+      True like the ptr absorption).
 
-    ``rooted`` is seeded one hop ahead (init join: "is my PARENT a
-    root / dangling terminal?") so it covers window [0, 2^i] — the
-    same iteration at which ``ptr`` stabilizes at the root. Seeding
-    with only "am I a root" lags one doubling step behind the
-    pointer and costs 1–2 extra count-jobs per call (measured ~+0.5 s
-    on the sf0.1 closure query).
+    ``rooted`` and ``ptr_root`` are seeded one hop ahead (init join:
+    "is my PARENT a root / dangling terminal?") so they cover window
+    [0, 2^i] — the same iteration at which ``ptr`` stabilizes at the
+    root. Seeding with only "am I a root" lags one doubling step
+    behind the pointer and costs 1–2 extra count-jobs per call
+    (measured ~+0.5 s on the sf0.1 closure query).
 
-    Termination: no rooted transition, no ptr movement on rooted
-    rows, no mn movement on unrooted rows. Forests converge in
-    exactly as many iterations as the naive loop; cycles converge
-    once 2^i covers depth + cycle length. Result:
-    ``rooted ? ptr : mn`` — tree nodes get their true root,
+    Termination — TWO exit conditions checked by ONE aggregate per
+    iteration (round-4: this replaced a filter().count() of changes
+    only, which needed a full extra confirmation iteration after the
+    last movement):
+
+    - ``n_unfinished == 0``: every row's ptr sits on a root — fully
+      converged by construction, exit immediately. Forests take this
+      path the very iteration the last pointer lands, cutting the
+      pure-confirmation pass (sf0.1: 2 iterations → 1, ~0.8 s).
+    - ``n_changed == 0``: no rooted transition, no ptr movement on
+      rooted rows, no mn movement on unrooted rows — the stability
+      confirmation. Cycle-tainted rows never set ``ptr_root``, so
+      cyclic inputs exit through this path with semantics identical
+      to rounds 2–3.
+
+    Result: ``rooted ? ptr : mn`` — tree nodes get their true root,
     cycle-tainted nodes get min-reachable.
 
     Returns
@@ -119,20 +135,27 @@ def closure_roots(
             F.col("ptr").alias("mn"),
             # a ptr with no node row is a dangling terminal → root
             F.coalesce("p_rooted", F.lit(True)).alias("rooted"),
+            # seeded identically: "does my ptr point AT a terminal?"
+            F.coalesce("p_rooted", F.lit(True)).alias("ptr_root"),
         )
-        .localCheckpoint()
+        # Lazy: iteration 0's aggregate job materializes this together
+        # with its own checkpoint — one fewer job submission than the
+        # eager form (round-4: init job folded into iter 0, ~-0.3 s at
+        # sf0.1; identical plan shape at any scale).
+        .localCheckpoint(eager=False)
     )
 
     for i in range(max_iterations):
-        # Lazy checkpoint + immediate count: the count job materializes
-        # the checkpoint, so each iteration costs ONE Spark job instead
-        # of two (eager checkpoint job + count job) — half the
-        # fixed-overhead at any scale.
+        # Lazy checkpoint + immediate aggregate: the aggregate job
+        # materializes the checkpoint, so each iteration costs ONE
+        # Spark job instead of two (eager checkpoint job + count job)
+        # — half the fixed-overhead at any scale.
         b = m.select(
             F.col("node_id").alias("b_node"),
             F.col("ptr").alias("b_ptr"),
             F.col("mn").alias("b_mn"),
             F.col("rooted").alias("b_rooted"),
+            F.col("ptr_root").alias("b_ptr_root"),
         )
         jumped = (
             m.alias("a")
@@ -150,25 +173,38 @@ def closure_roots(
                     F.col("a.rooted")
                     | F.coalesce("b_rooted", F.lit(True))
                 ).alias("new_rooted"),
+                # new ptr = b's ptr, so "is my ptr a root" = b's own
+                # ptr_root; missing b row = dangling terminal.
+                F.coalesce("b_ptr_root", F.lit(True)).alias("new_ptr_root"),
                 F.col("a.ptr").alias("old_ptr"),
                 F.col("a.mn").alias("old_mn"),
                 F.col("a.rooted").alias("old_rooted"),
             )
             .localCheckpoint(eager=False)
         )
-        changed = jumped.filter(
+        moved = (
             (F.col("new_rooted") != F.col("old_rooted"))
             | (F.col("new_rooted") & (F.col("new_ptr") != F.col("old_ptr")))
             | (~F.col("new_rooted") & (F.col("new_mn") != F.col("old_mn")))
-        ).count()
-        log.info("closure iteration %d: %d accumulators moved", i, changed)
+        )
+        changed, unfinished = jumped.select(
+            F.sum(moved.cast("long")).alias("c"),
+            F.sum((~F.col("new_ptr_root")).cast("long")).alias("u"),
+        ).first()
+        log.info(
+            "closure iteration %d: %d accumulators moved, %d unfinished",
+            i,
+            changed,
+            unfinished,
+        )
         m = jumped.select(
             "node_id",
             F.col("new_ptr").alias("ptr"),
             F.col("new_mn").alias("mn"),
             F.col("new_rooted").alias("rooted"),
+            F.col("new_ptr_root").alias("ptr_root"),
         )
-        if changed == 0:
+        if changed == 0 or unfinished == 0:
             break
     else:
         raise RuntimeError(

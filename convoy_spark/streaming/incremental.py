@@ -39,33 +39,47 @@ from pyspark.sql.types import (
 )
 
 from convoy_spark.functions.numeric import dsum
+from convoy_spark.tables import table_path
 
 # Explicit source schema — a stream cannot infer (SURVEY §1.4 applies:
-# schema is declared, never guessed). ts arrives as int64 nanos (the
-# testdata stores TIMESTAMP(NANOS); see tables.load_table).
-EVENTS_STREAM_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+# schema is declared, never guessed). The ts physical type differs by
+# testdata generation (TIMESTAMP(NANOS) rounds 1–3, timestamp[us] NTZ
+# round 4+; see tables.load_table), so the ts field is resolved per
+# source dir by a footer-only probe of the batch reader's schema.
+def _events_stream_schema(ts_type) -> StructType:
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-stream over the events table with the same µs-truncating
-    ts normalization as the batch path."""
+    """File-stream over the events table with the same ts
+    normalization as the batch path (tables.load_table)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_type = (
+        spark.read.parquet(table_path(sf_dir, "events"))
+        .schema["ts"]
+        .dataType
+    )
     # The file-stream source wants a *directory*; pathGlobFilter picks
     # the events table out of the shared sf dir.
     raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(_events_stream_schema(ts_type))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type.simpleString() == "bigint":
+        return raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_agg(events: DataFrame, width: str = "1 hour") -> DataFrame:
