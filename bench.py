@@ -83,6 +83,26 @@ def main() -> None:
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+
+    # Shared materialized intermediates (queries.treestats
+    # .shared_descendant_pairs, queries.dedup.shared_lsh_pairs): the
+    # tree family and the dedup family each aggregate one deterministic
+    # frame that is localCheckpointed once per session. Time those
+    # builds EXPLICITLY as their own line items, counted into the
+    # total — otherwise the build cost would land in an untimed warm-up
+    # and vanish from every recorded number. Consumers below then
+    # measure their true steady-state (aggregate-from-materialized)
+    # cost, which is what a pipeline run pays per query.
+    from convoy_spark.queries.dedup import shared_lsh_pairs
+    from convoy_spark.queries.treestats import shared_descendant_pairs
+
+    for label, builder in [
+        ("_shared_tree_pairs_build", shared_descendant_pairs),
+        ("_shared_lsh_pairs_build", shared_lsh_pairs),
+    ]:
+        t0 = time.perf_counter()
+        builder(spark, sf_dir)
+        timings[label] = round(time.perf_counter() - t0, 4)
     for name in names:
         # Construction INSIDE the timer: the iterative operators
         # (closure, tree stats) run their convergence loops eagerly
@@ -106,6 +126,36 @@ def main() -> None:
             samples.append(time.perf_counter() - t0)
         timings[name] = round(sorted(samples)[len(samples) // 2], 4)
 
+    # Secondary measurement: the CONVOY_EXACT_AGG=0 production profile
+    # (functions/numeric.py exactness-contract note). The decimal-exact
+    # default pays a measured premium on sum-dominated stages; this
+    # times the same queries with plain double sums so the trade is
+    # RECORDED in every bench artifact, not just asserted in the
+    # docstring. Correctness of the fast profile is pytest-gated
+    # (tests/test_numeric_profiles.py: profiles agree within float
+    # tolerance).
+    from convoy_spark.functions import numeric
+
+    fast_timings: dict[str, float] = {}
+    numeric.EXACT_DEFAULT = False
+    try:
+        for name in ("pricing_summary", "flagship_conversation_rollup"):
+            if name not in QUERIES:
+                continue
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            samples = []
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                samples.append(time.perf_counter() - t0)
+            fast_timings[name] = round(sorted(samples)[len(samples) // 2], 4)
+    finally:
+        numeric.EXACT_DEFAULT = True
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -115,6 +165,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "fast_profile": fast_timings,
             }
         )
     )

@@ -133,6 +133,7 @@ def tree_stats(
     attrs: DataFrame | None = None,
     author_col: str = "author_id",
     metric_col: str = "metric",
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Per-node subtree statistics (A5 + A8 derived ratios).
 
@@ -159,8 +160,14 @@ def tree_stats(
     - ``metric_total`` / ``metric_mean`` — subtree metric sum and its
       per-node mean (decimal-exact summation; mean over 1+descendants,
       `:204-221`).
+
+    ``pairs`` lets callers supply an already-materialized
+    (anc_id, node_id, depth) expansion — the tree-family queries all
+    aggregate the SAME expansion, so re-deriving it per query is pure
+    waste (see queries.treestats.shared_descendant_pairs).
     """
-    pairs = descendant_pairs(edges)
+    if pairs is None:
+        pairs = descendant_pairs(edges)
     is_leaf = leaf_nodes(edges).withColumn("is_leaf", F.lit(1))
     enriched = pairs.join(
         is_leaf, pairs.node_id == is_leaf.node_id, "left"
@@ -220,6 +227,7 @@ def tree_metric_mad(
     edges: DataFrame,
     attrs: DataFrame,
     metric_col: str = "metric",
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Two-pass mean absolute deviation of a metric over each subtree
     (A6, `Tree.count_mads` `3_create_tweet_stats_i.py:141-178`).
@@ -229,9 +237,10 @@ def tree_metric_mad(
     the same key (the second reuses the first's partitioning under
     AQE). Decimal-exact summation keeps the result independent of
     partition order — required for oracle hashing and for stable
-    results across cluster sizes.
+    results across cluster sizes. ``pairs`` as in :func:`tree_stats`.
     """
-    pairs = descendant_pairs(edges)
+    if pairs is None:
+        pairs = descendant_pairs(edges)
     vals = pairs.join(
         attrs.select(
             F.col("node_id").alias("a_node"),

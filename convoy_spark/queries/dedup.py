@@ -35,6 +35,29 @@ from convoy_spark.tables import load_table
 
 NEARDUP_J = 0.8  # the corpus has planted near-dups at J ≈ 0.98
 
+# Three catalog queries consume the SAME verified LSH pair graph
+# (minhash_lsh_neardup, dedup_clusters, split_contamination); the
+# sketch→band→verify pipeline is by far their dominant cost, so
+# materialize it once per (session, sf_dir) — the cross-query
+# shared-frame pattern from queries.treestats.shared_descendant_pairs.
+# Deterministic, so results are unchanged; only recomputation is
+# removed. The DuckDB oracles still re-derive their pair CTE per
+# query.
+_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def shared_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _PAIRS_CACHE.get(key)
+    if df is None:
+        if len(_PAIRS_CACHE) > 8:  # stale-session hygiene
+            _PAIRS_CACHE.clear()
+        df = minhash_lsh_neardup(
+            load_table(spark, sf_dir, "documents"), min_jaccard=NEARDUP_J
+        ).localCheckpoint()
+        _PAIRS_CACHE[key] = df
+    return df
+
 # ---- shared oracle CTE fragments ---------------------------------------
 
 # Distinct word-3-gram shingle hashes per doc; mirrors
@@ -176,9 +199,7 @@ def minhash_lsh_neardup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-Jaccard verification. All equi-joins — the all-pairs
     explosion never happens, which is what makes this the 100 TB
     dedup path."""
-    return minhash_lsh_neardup(
-        load_table(spark, sf_dir, "documents"), min_jaccard=NEARDUP_J
-    )
+    return shared_lsh_pairs(spark, sf_dir)
 
 
 @query(
@@ -402,7 +423,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from convoy_spark.operators.closure import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_neardup(docs, min_jaccard=NEARDUP_J)
+    pairs = shared_lsh_pairs(spark, sf_dir)
     comp = connected_components(pairs)
     w = Window.partitionBy("cluster_id")
     return (
@@ -453,7 +474,7 @@ def split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side split assignment — so the whole check inherits their
     100 TB shape."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_neardup(docs, min_jaccard=NEARDUP_J)
+    pairs = shared_lsh_pairs(spark, sf_dir)
     splits = docs.select("doc_id", _split_col().alias("split"))
     return (
         pairs.join(
