@@ -75,6 +75,14 @@ def main() -> None:
     from convoy_spark.queries import QUERIES
 
     names = [n for n in BENCH_QUERIES if n in QUERIES]
+    # Optional subset filter (comma-separated names) — used by the
+    # slope-checkpoint runs over the synthetic documents/embeddings SF
+    # (tools/make_sf_synth.py), where only the doc/embedding workloads
+    # are at the larger scale.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        keep = {s.strip() for s in only.split(",") if s.strip()}
+        names = [n for n in names if n in keep]
 
     # JVM/codegen/parquet-reader warmup so q1 isn't charged for the
     # one-time Hadoop + footer machinery init (~2 s).
@@ -96,10 +104,14 @@ def main() -> None:
     from convoy_spark.queries.dedup import shared_lsh_pairs
     from convoy_spark.queries.treestats import shared_descendant_pairs
 
-    for label, builder in [
-        ("_shared_tree_pairs_build", shared_descendant_pairs),
-        ("_shared_lsh_pairs_build", shared_lsh_pairs),
+    _TREE_CONSUMERS = {"tree_stats", "tree_engagement", "root_stats_fastpath"}
+    _LSH_CONSUMERS = {"minhash_lsh_neardup", "dedup_clusters", "split_contamination"}
+    for label, builder, consumers in [
+        ("_shared_tree_pairs_build", shared_descendant_pairs, _TREE_CONSUMERS),
+        ("_shared_lsh_pairs_build", shared_lsh_pairs, _LSH_CONSUMERS),
     ]:
+        if not consumers & set(names):
+            continue
         t0 = time.perf_counter()
         builder(spark, sf_dir)
         timings[label] = round(time.perf_counter() - t0, 4)
@@ -140,7 +152,7 @@ def main() -> None:
     numeric.EXACT_DEFAULT = False
     try:
         for name in ("pricing_summary", "flagship_conversation_rollup"):
-            if name not in QUERIES:
+            if name not in QUERIES or name not in names:
                 continue
             QUERIES[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"

@@ -447,3 +447,87 @@ def exact_dedup_map(
     return hashed.join(canon, "content_hash").select(
         "doc_id", "content_hash", "canonical_id"
     )
+
+
+# --- Exact substring-overlap dedup (duplicate passage detection) ----
+#
+# Winnowing answers "do these docs share ANY ≥(k+w−1)-char substring"
+# via fingerprint overlap; training-data dedup also wants the
+# STRENGTH of exact overlap between doc pairs — how many distinct
+# shared passages — to drive keep/drop decisions on partially-copied
+# documents (cf. Lee et al., "Deduplicating Training Data Makes
+# Language Models Better", ACL 2022, whose ExactSubstr dedup uses a
+# corpus suffix array; a suffix array is not a distributed-friendly
+# structure, so this restates the same evidence with hashes + joins).
+SUBSTR_K = 24  # passage unit: char k-gram length
+SUBSTR_MOD = 8  # content-defined sampling: keep grams with h % MOD == 0
+SUBSTR_CAP = 64  # stop-gram cap: grams in more docs are boilerplate
+SUBSTR_MIN_SHARED = 3  # pair threshold: distinct shared sampled grams
+
+
+def substring_dup_pairs(
+    docs: DataFrame,
+    k: int = SUBSTR_K,
+    sample_mod: int = SUBSTR_MOD,
+    cap: int = SUBSTR_CAP,
+    min_shared: int = SUBSTR_MIN_SHARED,
+) -> DataFrame:
+    """(doc_a, doc_b, n_shared) — pairs of documents sharing at least
+    ``min_shared`` distinct sampled exact k-char passages.
+
+    Shape, all linear in corpus size:
+
+    1. Per row, hash every char k-gram with the Horner codepoint
+       polynomial (the winnowing machinery, textops.py — one codepoint
+       array per doc, k integer ops per position, no md5).
+    2. **Content-defined sampling**: keep hashes ≡ 0 (mod
+       ``sample_mod``). Unlike strided sampling, selection depends
+       only on passage CONTENT, so the same passage at different
+       offsets in two docs samples the same grams — offset-invariant
+       by construction, the property winnowing gets from window-minima
+       and suffix arrays get for free.
+    3. Distinct (doc_id, gram) + **stop-gram cap**: grams present in
+       more than ``cap`` docs are boilerplate (headers, licence
+       text); dropping them bounds every bucket of the join below
+       ``cap`` — the same skew guard as the LSH band join, making the
+       worst-case join cost cap²·|grams| instead of |corpus|².
+    4. Equi-join on gram hash, count distinct shared grams per
+       ordered pair, threshold.
+
+    Expected shared-gram count for an L-char exact overlap is
+    ~L/(sample_mod) k-grams, so ``min_shared=3`` with mod 8 needs
+    roughly a 24+3·8-char true overlap — tune per corpus.
+    """
+    from convoy_spark.operators.scale import widen_narrow_scan
+    from convoy_spark.operators.textops import winnow_gram_hash_sql
+
+    codes = F.expr(
+        "transform(sequence(1, length(_low)),"
+        " i -> cast(ascii(substring(_low, i, 1)) as bigint))"
+    )
+    hashes = F.expr(
+        f"transform(sequence(1, size(_codes) - {k - 1}),"
+        f" i -> {winnow_gram_hash_sql('_codes', 'i', k)})"
+    )
+    sampled = F.expr(f"filter(_h, h -> h % {sample_mod} = 0)")
+    g = (
+        widen_narrow_scan(docs.filter(F.length("text") >= k))
+        .select("doc_id", F.lower(F.col("text")).alias("_low"))
+        .select("doc_id", F.explode(F.array(codes)).alias("_codes"))
+        .select("doc_id", hashes.alias("_h"))
+        .select("doc_id", F.explode(sampled).alias("gh"))
+        .distinct()
+    )
+    ok = g.groupBy("gh").agg(F.count("*").alias("_n")).filter(
+        F.col("_n") <= cap
+    )
+    gg = g.join(ok.select("gh"), "gh", "left_semi")
+    a = gg.select(F.col("doc_id").alias("doc_a"), "gh")
+    b = gg.select(F.col("doc_id").alias("doc_b"), "gh")
+    return (
+        a.join(b, "gh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

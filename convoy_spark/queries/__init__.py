@@ -49,13 +49,17 @@ from convoy_spark.queries import (  # noqa: F401,E402
 # starvation findings): new first-class components enter the window
 # THE ROUND THEY LAND, displacing entries whose operators remain
 # proven by another in-window entry. Round-4 rotation:
-#   IN : repetition_filter, tfidf_topterms, pii_scrub, corpus_funnel
+#   IN : repetition_filter, tfidf_topterms, pii_scrub, corpus_funnel,
+#        substring_dup_pairs (new this round)
 #   OUT: session_window_agg  (§2.9 event-time proven by tumbling),
 #        embedding_neardup   (SRP-banded; proven by ann_srp_topk),
 #        pivot_matrix        (extension, no §2 row; 3 rounds green),
 #        ngram_jaccard_pairs (exact-Jaccard verify is exercised
 #                             inside minhash_lsh_neardup's in-window
-#                             sketch-then-verify stage, dedup.py:306)
+#                             sketch-then-verify stage, dedup.py:306),
+#        dataset_split       (the salted-hash split column is
+#                             exercised verbatim inside in-window
+#                             split_contamination, dedup.py:_split_col)
 _CHECK_WINDOW = [
     # §2.3/§2.8 aggregates + SQL front door (two_pass_mad is past the
     # window: A6/P13 two-pass MAD is proven by tree_metric_mad)
@@ -112,8 +116,8 @@ _CHECK_WINDOW = [
     "exact_dedup",
     "minhash_lsh_neardup",
     "simhash_neardup",
+    "substring_dup_pairs",
     "dedup_clusters",
-    "dataset_split",
     "split_contamination",
     "stratified_sample",
     # similarity / embedding components (cosine_topk is past the

@@ -22,6 +22,11 @@ from convoy_spark.functions.hashing import (
     sql_hash60,
 )
 from convoy_spark.operators.dedup import (
+    SUBSTR_CAP,
+    SUBSTR_K,
+    SUBSTR_MIN_SHARED,
+    SUBSTR_MOD,
+    substring_dup_pairs,
     LSH_ROWS,
     NUM_HASHES,
     exact_dedup_map,
@@ -491,3 +496,56 @@ def split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_a", "doc_b", "split_a", "split_b", "jaccard")
     )
+
+
+def _substr_horner_oracle(k: int) -> str:
+    """DuckDB mirror of the Spark-side Horner k-gram hash at 1-based
+    position ``pos`` of lower(text) — same polynomial as the winnowing
+    oracle (queries/textops.py::_winnow_horner_oracle), parameterized
+    for the passage-length k."""
+    from convoy_spark.functions.hashing import MERSENNE31
+    from convoy_spark.operators.textops import WINNOW_B
+
+    c = "CAST(ascii(substring(lower(text), CAST(pos AS INT) + {j}, 1)) AS BIGINT)"
+    expr = c.format(j=0)
+    for j in range(1, k):
+        expr = f"(({expr}) * {WINNOW_B} + {c.format(j=j)}) % {MERSENNE31}"
+    return expr
+
+
+@query(
+    "substring_dup_pairs",
+    oracle=f"""
+    WITH g0 AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, length(lower(text)) - {SUBSTR_K - 1}))
+               AS pos
+      FROM documents WHERE length(text) >= {SUBSTR_K}
+    ),
+    gh AS (
+      SELECT doc_id, {_substr_horner_oracle(SUBSTR_K)} AS gh
+      FROM g0
+    ),
+    sampled AS (
+      SELECT DISTINCT doc_id, gh FROM gh WHERE gh % {SUBSTR_MOD} = 0
+    ),
+    ok AS (
+      SELECT gh FROM sampled GROUP BY gh HAVING COUNT(*) <= {SUBSTR_CAP}
+    ),
+    gg AS (SELECT s.doc_id, s.gh FROM sampled s JOIN ok USING (gh))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM gg a JOIN gg b ON a.gh = b.gh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {SUBSTR_MIN_SHARED}
+    """,
+)
+def substring_dup_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-overlap pairs (duplicate passage detection, the
+    ExactSubstr evidence of Lee et al. ACL 2022 restated as hashes +
+    equi-joins): content-defined sampling of Horner char-24-gram
+    hashes, stop-gram cap, shared-count per pair. Complements
+    winnowing (any-overlap indicator) with overlap STRENGTH, and the
+    shingle-Jaccard family (whole-doc similarity) with passage-level
+    evidence."""
+    return substring_dup_pairs(load_table(spark, sf_dir, "documents"))

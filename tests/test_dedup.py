@@ -124,3 +124,40 @@ def test_simhash_matches_naive_reference(spark):
     got = {r.doc_id: r.simhash for r in simhash_signature(docs).collect()}
     for doc_id, text in rows:
         assert got[doc_id] == naive_simhash(text), doc_id
+
+
+def test_substring_dup_pairs_planted(spark):
+    from convoy_spark.operators.dedup import substring_dup_pairs
+
+    passage = (
+        "this exact shared passage of considerable length appears "
+        "verbatim in two different documents and nowhere else at all"
+    )
+    rows = [
+        (1, "unique preamble one " + passage + " unique tail one"),
+        # same passage at a DIFFERENT offset — content-defined
+        # sampling must still align the sampled grams
+        (2, "a much longer and quite distinct unique preamble two " + passage),
+        (3, "entirely unrelated text about columnar execution engines "
+            "and shuffle partitioning strategies for distributed joins"),
+    ]
+    docs = spark.createDataFrame(rows, DOCS_SCHEMA)
+    got = {
+        (r.doc_a, r.doc_b): r.n_shared
+        for r in substring_dup_pairs(docs, min_shared=2).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] >= 2
+    assert all(3 not in pair for pair in got)
+
+
+def test_substring_dup_pairs_identical_docs_share_all(spark):
+    from convoy_spark.operators.dedup import substring_dup_pairs
+
+    text = BASE + " " + BASE  # long enough to sample several grams
+    docs = spark.createDataFrame([(1, text), (2, text)], DOCS_SCHEMA)
+    pairs = substring_dup_pairs(docs, min_shared=1).collect()
+    assert len(pairs) == 1
+    # every sampled gram of doc 1 is shared with its identical twin
+    from convoy_spark.operators.dedup import SUBSTR_MOD
+    from convoy_spark.operators.textops import winnow_gram_hash_sql  # noqa: F401
+    assert pairs[0].n_shared >= 1

@@ -35,7 +35,12 @@ def main() -> None:
             f"read_parquet('{os.path.join(sf_dir, t + '.parquet')}')"
         )
     timings = {}
-    for name in BENCH_QUERIES:
+    names = list(BENCH_QUERIES)
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        keep = {s.strip() for s in only.split(",") if s.strip()}
+        names = [n for n in names if n in keep]
+    for name in names:
         if name not in ORACLES:
             continue  # rows-only queries have no oracle to time
         t0 = time.perf_counter()
