@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "winnow_fingerprints",
     "minhash_lsh_neardup",
     "simhash_neardup",
+    "substring_dup_pairs",
     "dedup_clusters",
     # cosine_topk (brute force) is the recall oracle, not a headline:
     # Q×N by definition. The ANN path is what ships.

@@ -161,3 +161,26 @@ def test_substring_dup_pairs_identical_docs_share_all(spark):
     from convoy_spark.operators.dedup import SUBSTR_MOD
     from convoy_spark.operators.textops import winnow_gram_hash_sql  # noqa: F401
     assert pairs[0].n_shared >= 1
+
+
+def test_shared_lsh_pairs_cache_matches_fresh(spark):
+    """The per-session materialized pair frame must equal a fresh
+    pipeline run — guards the cross-query cache against staleness."""
+    from convoy_spark.operators.dedup import minhash_lsh_neardup
+    from convoy_spark.queries.dedup import NEARDUP_J, shared_lsh_pairs
+    from convoy_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    cached = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 9)
+        for r in shared_lsh_pairs(spark, sf).collect()
+    }
+    fresh = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 9)
+        for r in minhash_lsh_neardup(
+            load_table(spark, sf, "documents"), min_jaccard=NEARDUP_J
+        ).collect()
+    }
+    assert cached == fresh
+    # second access returns the same materialized frame object
+    assert shared_lsh_pairs(spark, sf) is shared_lsh_pairs(spark, sf)

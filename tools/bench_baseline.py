@@ -40,17 +40,39 @@ def main() -> None:
     if only:
         keep = {s.strip() for s in only.split(",") if s.strip()}
         names = [n for n in names if n in keep]
+    # Per-query wall cap (seconds) via duckdb's interrupt — used by
+    # the large-SF slope runs, where some oracle CTE chains blow up
+    # superlinearly (the re-evaluation cost the engine's checkpointed
+    # frames avoid). A timed-out query records -1 and is reported so
+    # the comparison can say "oracle did not complete within T".
+    cap = float(os.environ.get("SPARK_GRAFT_BASELINE_TIMEOUT_S", "0")) or None
+    import threading
+
     for name in names:
         if name not in ORACLES:
             continue  # rows-only queries have no oracle to time
         t0 = time.perf_counter()
-        con.execute(ORACLES[name]).fetchall()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        timer = None
+        if cap:
+            timer = threading.Timer(cap, con.interrupt)
+            timer.start()
+        try:
+            con.execute(ORACLES[name]).fetchall()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except duckdb.InterruptException:
+            timings[name] = -1.0  # did not complete within cap
+        finally:
+            if timer:
+                timer.cancel()
+        print(f"# {name}: {timings[name]}", file=sys.stderr, flush=True)
     print(
         json.dumps(
             {
                 "sf": float(m.group(1)) if m else None,
-                "duckdb_total": round(sum(timings.values()), 4),
+                "duckdb_total": round(
+                    sum(v for v in timings.values() if v >= 0), 4
+                ),
+                "timed_out": [k for k, v in timings.items() if v < 0],
                 "queries": timings,
             }
         )
