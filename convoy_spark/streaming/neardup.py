@@ -1,0 +1,195 @@
+"""Streaming incremental MinHash-LSH near-dup — the flagship dedup
+path (`operators/dedup.py::minhash_lsh_neardup`) folded into the
+continuously-fed-corpus shape, like `streaming/dedup.py` does for the
+exact content-hash gate.
+
+Batch LSH re-sketches the WHOLE corpus per run; a crawl pipeline
+wants each micro-batch deduped against everything already seen
+without re-scanning it. This module keeps two persisted, append-only
+keyed stores:
+
+- ``bands``: (doc_id, band, key) — every historical doc's LSH band
+  keys (fixed number of rows per doc);
+- ``shingles``: (doc_id, h) — every historical doc's distinct shingle
+  hashes (the verification evidence).
+
+Per micro-batch: sketch the batch (O(batch)), take candidates as
+(within-batch band join) ∪ (batch bands ⋈ historical bands on
+(band, key)), verify ONLY candidates with exact Jaccard over shingle
+hashes (historical shingles are read join-pruned via a semi join on
+the candidate ids), emit pairs ≥ threshold, append the batch's bands
+and shingles to the stores. Every join is a keyed equi-join; nothing
+is ever all-pairs, and the per-batch work is O(batch + candidates).
+
+Emission is exactly-once per unordered pair: a pair is emitted by the
+batch that delivers its LATER member (both-in-batch pairs by that
+same batch), so no cross-batch duplicates are possible; re-delivery
+of a whole batch is fenced by the streaming checkpoint
+(``trigger(availableNow=True)`` + checkpointLocation, the same
+drain-and-resume contract as every incremental stage here).
+
+Result parity: processing any chunking of a corpus in any order
+yields EXACTLY the batch operator's pair set (tested stream==batch in
+``tests/test_streaming_neardup.py``) — candidates are "share ≥1 band
+key" and verification is the same exact-Jaccard count on both paths.
+
+100 TB posture: the band/shingle stores are plain parquet here; each
+batch's band join reads the band store through a (band, key) shuffle
+— on a cluster the store should be written ``bucketBy(key)`` (or be a
+Delta table with a Bloom index / Z-order on key) so the per-batch
+join co-locates against history instead of re-shuffling it, and the
+shingle store pruned by the candidate semi join benefits from the
+same layout on doc_id. The dataflow is unchanged by either swap —
+the same position as the Delta-MERGE note on the exact-dedup map
+(COVERAGE.md S8).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from convoy_spark.operators.dedup import (
+    LSH_ROWS,
+    NUM_HASHES,
+    lsh_band_keys_wide,
+    minhash_signatures_wide,
+    shingle_hashes,
+)
+from convoy_spark.streaming.dedup import DOC_STREAM_SCHEMA, stream_docs
+
+BANDS_SCHEMA = "doc_id long, band int, key string"
+SHINGLES_SCHEMA = "doc_id long, h long"
+
+
+def _load(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    if os.path.isdir(path):
+        return spark.read.parquet(path)
+    return spark.createDataFrame([], schema)
+
+
+def apply_neardup_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    state_dir: str,
+    pairs_sink,
+    min_jaccard: float = 0.8,
+    num_hashes: int = NUM_HASHES,
+    rows_per_band: int = LSH_ROWS,
+    n: int = 3,
+) -> None:
+    """Fold one micro-batch of (doc_id, text): emit near-dup pairs
+    against history + within the batch to ``pairs_sink(df)``, then
+    append the batch's sketch rows to the state stores."""
+    bands_path = os.path.join(state_dir, "bands")
+    shingles_path = os.path.join(state_dir, "shingles")
+
+    b_sh = shingle_hashes(batch, n).localCheckpoint()
+    b_bands = lsh_band_keys_wide(
+        minhash_signatures_wide(sh=b_sh, num_hashes=num_hashes),
+        num_hashes,
+        rows_per_band,
+    ).localCheckpoint()
+
+    hist_bands = _load(spark, bands_path, BANDS_SCHEMA)
+
+    # Within-batch candidates (a < b), as in the batch operator.
+    a = b_bands.select(F.col("doc_id").alias("doc_a"), "band", "key")
+    b = b_bands.select(F.col("doc_id").alias("doc_b"), "band", "key")
+    within = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    # Cross candidates: batch × history on the band key; normalize to
+    # (min, max) so the pair orientation matches the batch operator
+    # regardless of id ordering between crawls.
+    h = hist_bands.select(F.col("doc_id").alias("hist_id"), "band", "key")
+    cross = (
+        b_bands.select(F.col("doc_id").alias("batch_id"), "band", "key")
+        .join(h, ["band", "key"])
+        .select(
+            F.least("batch_id", "hist_id").alias("doc_a"),
+            F.greatest("batch_id", "hist_id").alias("doc_b"),
+        )
+    )
+    cand = within.unionByName(cross).distinct().localCheckpoint()
+
+    # Verification shingles: the batch's own + history rows for ONLY
+    # the candidate historical docs (semi-join pruning — O(candidates)
+    # of history is touched, never the whole store's row set).
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    hist_sh = _load(spark, shingles_path, SHINGLES_SCHEMA).join(
+        cand_ids, "doc_id", "left_semi"
+    )
+    sh = b_sh.unionByName(hist_sh)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "h")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "h")
+    common = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    pairs = (
+        common.join(
+            sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "na"}),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "nb"}),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("doc_a", "doc_b", "jaccard")
+        .localCheckpoint()
+    )
+    pairs_sink(pairs)
+
+    b_bands.write.mode("append").parquet(bands_path)
+    b_sh.write.mode("append").parquet(shingles_path)
+
+
+def run_incremental_neardup(
+    spark: SparkSession,
+    landing_dir: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    pairs_sink,
+    min_jaccard: float = 0.8,
+) -> None:
+    """Drain all document files present, near-dup-checking each batch
+    against the persisted sketch stores; stop when caught up.
+    Re-running with the same checkpoint processes only new files."""
+    docs = stream_docs(spark, landing_dir)
+    q = (
+        docs.writeStream.foreachBatch(
+            lambda b, _id: apply_neardup_batch(
+                spark, b, state_dir, pairs_sink, min_jaccard
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+__all__ = [
+    "BANDS_SCHEMA",
+    "SHINGLES_SCHEMA",
+    "apply_neardup_batch",
+    "run_incremental_neardup",
+]

@@ -1,0 +1,94 @@
+"""Streaming incremental MinHash-LSH near-dup: any chunking of the
+corpus, in any arrival order, must emit EXACTLY the batch operator's
+pair set, each pair exactly once; checkpoint resume emits nothing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from convoy_spark.operators.dedup import minhash_lsh_neardup
+from convoy_spark.streaming.neardup import run_incremental_neardup
+from convoy_spark.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+MIN_J = 0.8
+
+
+def _expected_pairs(spark):
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    return {
+        (r.doc_a, r.doc_b): round(r.jaccard, 9)
+        for r in minhash_lsh_neardup(docs, min_jaccard=MIN_J).collect()
+    }
+
+
+def _run_chunks(spark, tmp_path, chunks, tag):
+    landing = tmp_path / f"landing_{tag}"
+    landing.mkdir()
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    got: dict = {}
+
+    def sink(df):
+        for r in df.collect():
+            key = (r.doc_a, r.doc_b)
+            assert key not in got, f"pair {key} emitted twice"
+            got[key] = round(r.jaccard, 9)
+
+    for i, (lo, hi) in enumerate(chunks):
+        chunk = docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        )
+        chunk.coalesce(1).write.mode("overwrite").parquet(
+            str(landing / f"chunk{i}")
+        )
+        run_incremental_neardup(
+            spark,
+            str(landing / f"chunk{i}"),
+            str(tmp_path / f"ckpt_{tag}_{i}"),
+            str(tmp_path / f"state_{tag}"),
+            sink,
+            min_jaccard=MIN_J,
+        )
+    return got
+
+
+def test_stream_equals_batch_in_order(spark, tmp_path):
+    want = _expected_pairs(spark)
+    assert want, "corpus has no planted near-dups at this SF?"
+    got = _run_chunks(spark, tmp_path, [(0, 20), (20, 35), (35, 10_000)], "fwd")
+    assert got == want
+
+
+def test_stream_equals_batch_out_of_order(spark, tmp_path):
+    """Later crawl delivers EARLIER ids — pair orientation and the
+    pair set must still match the batch operator exactly."""
+    want = _expected_pairs(spark)
+    got = _run_chunks(spark, tmp_path, [(30, 10_000), (0, 30)], "rev")
+    assert got == want
+
+
+def test_checkpoint_resume_emits_nothing(spark, tmp_path):
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    landing = tmp_path / "landing_resume"
+    docs.coalesce(1).write.mode("overwrite").parquet(str(landing))
+    first: list = []
+    run_incremental_neardup(
+        spark,
+        str(landing),
+        str(tmp_path / "ckpt_resume"),
+        str(tmp_path / "state_resume"),
+        lambda df: first.extend(df.collect()),
+        min_jaccard=MIN_J,
+    )
+    assert first  # the whole corpus in one batch finds the planted dups
+    second: list = []
+    run_incremental_neardup(
+        spark,
+        str(landing),
+        str(tmp_path / "ckpt_resume"),
+        str(tmp_path / "state_resume"),
+        lambda df: second.extend(df.collect()),
+        min_jaccard=MIN_J,
+    )
+    assert second == []
