@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     # the composed preprocessing pipeline as one plan
     "corpus_funnel",
     "fulltext_search",
+    "bm25_search",
 ]
 
 

@@ -523,3 +523,104 @@ def winnow_fingerprints(
         .select("doc_id", F.explode(fps).alias("fp"))
         .distinct()
     )
+
+
+# --- BM25 ranked retrieval ------------------------------------------
+#
+# The reference declares a FULLTEXT index on the wide tweets table
+# (`4_create_tweets_a.py:35`) — a boolean/ranked text-search surface.
+# fulltext_search covers the boolean form; this is the ranked form: a
+# fixed multi-term query scored with BM25 (Robertson/Sparck Jones;
+# public algorithm) over the documents corpus — the retrieval step a
+# training-data pipeline runs for targeted corpus slicing and for
+# quality probes ("find docs about X").
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_search(
+    docs: DataFrame,
+    query_terms: list[str],
+    top_k: int = 50,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """(doc_id, score, n_hit_terms) — top-``top_k`` docs by BM25.
+
+    Cross-engine exactness choices (the same contracts as
+    tfidf_top_terms / functions.numeric):
+
+    - idf is the log-free RATIONAL form ``(N − df + 0.5)/(df + 0.5)``
+      — products/quotients of exactly-representable values, so
+      per-term scores are bit-identical across engines (ln() differs
+      in final ulps between libm and the JVM); ubiquitous terms still
+      rank last. Documented divergence from textbook BM25's ln().
+    - dl/avgdl enter as doubles derived from exact integers (token
+      counts), deterministic on both engines; k1/b parse to the same
+      IEEE doubles everywhere.
+    - the per-doc score SUM over query terms goes through
+      decimal-exact dsum — float addition is not associative, and the
+      term visit order differs by partitioning.
+
+    Shape: one (doc, token) count shuffle restricted to the query
+    terms (an isin filter BEFORE the aggregation, so only matching
+    rows shuffle), a broadcast df/N/avgdl scalar frame, and a
+    TakeOrderedAndProject top-k — never a global sort, nothing
+    driver-side. At 100 TB the query-term filter makes the shuffled
+    volume proportional to the posting lists, not the corpus.
+    """
+    from convoy_spark.functions.numeric import dsum
+    from convoy_spark.operators.dedup import doc_tokens
+
+    tk = doc_tokens(docs)
+    # document lengths over ALL tokens (needed for normalization even
+    # for docs that match no query term — but those score 0 and never
+    # reach the top-k, so dl is only joined for matching docs).
+    dl = tk.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    qt = [t.lower() for t in query_terms]
+    tf = (
+        tk.filter(F.col("token").isin(qt))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_tbl = tf.groupBy("token").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_tbl), "token")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .withColumn(
+            "_idf",
+            (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5)),
+        )
+        .withColumn(
+            "_norm",
+            F.col("tf").cast("double") * (1.0 + k1)
+            / (
+                F.col("tf").cast("double")
+                + k1
+                * (
+                    1.0
+                    - b
+                    + b
+                    * (
+                        F.col("dl").cast("double")
+                        * F.col("n_docs").cast("double")
+                        / F.col("total_len").cast("double")
+                    )
+                )
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            dsum(F.col("_idf") * F.col("_norm")).alias("score"),
+            F.count("*").cast("long").alias("n_hit_terms"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(top_k)
+    )

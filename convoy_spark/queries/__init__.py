@@ -50,7 +50,7 @@ from convoy_spark.queries import (  # noqa: F401,E402
 # THE ROUND THEY LAND, displacing entries whose operators remain
 # proven by another in-window entry. Round-4 rotation:
 #   IN : repetition_filter, tfidf_topterms, pii_scrub, corpus_funnel,
-#        substring_dup_pairs (new this round)
+#        substring_dup_pairs, bm25_search (new this round)
 #   OUT: session_window_agg  (§2.9 event-time proven by tumbling),
 #        embedding_neardup   (SRP-banded; proven by ann_srp_topk),
 #        pivot_matrix        (extension, no §2 row; 3 rounds green),
@@ -59,7 +59,9 @@ from convoy_spark.queries import (  # noqa: F401,E402
 #                             sketch-then-verify stage, dedup.py:306),
 #        dataset_split       (the salted-hash split column is
 #                             exercised verbatim inside in-window
-#                             split_contamination, dedup.py:_split_col)
+#                             split_contamination, dedup.py:_split_col),
+#        fulltext_search     (§2.8 text-search surface proven by the
+#                             strictly stronger ranked bm25_search)
 _CHECK_WINDOW = [
     # §2.3/§2.8 aggregates + SQL front door (two_pass_mad is past the
     # window: A6/P13 two-pass MAD is proven by tree_metric_mad)
@@ -99,9 +101,9 @@ _CHECK_WINDOW = [
     "coalesce_preference",
     "scalar_surface",
     "filter_suite",
-    # §2.7 unnest + §2.8 text search
+    # §2.7 unnest + §2.8 text search (ranked retrieval)
     "explode_tokens",
-    "fulltext_search",
+    "bm25_search",
     # text analysis components
     "token_stats",
     "text_quality",

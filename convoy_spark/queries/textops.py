@@ -10,7 +10,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from convoy_spark.functions.hashing import MERSENNE31, WS_SPLIT
+from convoy_spark.functions.numeric import sql_dsum
 from convoy_spark.operators.textops import (
+    bm25_search,
     BPE_RE,
     LANGID_TOP_K,
     PII_STEPS,
@@ -407,3 +409,56 @@ def winnow_fingerprints_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared substring of length ≥ 12 produces a shared fingerprint.
     One shuffle (the per-doc window sort)."""
     return winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+BM25_QUERY_TERMS = ["spark", "stream", "vector"]
+
+
+@query(
+    "bm25_search",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(text), '{WS_SPLIT}')) AS token
+      FROM documents
+    ),
+    tk2 AS (SELECT doc_id, token FROM tk WHERE token <> ''),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tk2 GROUP BY doc_id),
+    stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len FROM dl),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tk2
+      WHERE token IN ({", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)})
+      GROUP BY doc_id, token
+    ),
+    dfp AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    scored AS (
+      SELECT tf.doc_id,
+             (s.n_docs - dfp.df + 0.5) / (dfp.df + 0.5) AS idf,
+             CAST(tf.tf AS DOUBLE) * (1.0 + 1.2)
+               / (CAST(tf.tf AS DOUBLE)
+                  + 1.2 * (1.0 - 0.75
+                           + 0.75 * (CAST(dl.dl AS DOUBLE)
+                                     * CAST(s.n_docs AS DOUBLE)
+                                     / CAST(s.total_len AS DOUBLE))))
+               AS norm
+      FROM tf
+      JOIN dfp USING (token)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats s
+    )
+    SELECT doc_id, {sql_dsum('idf * norm')} AS score,
+           CAST(COUNT(*) AS BIGINT) AS n_hit_terms
+    FROM scored GROUP BY doc_id
+    ORDER BY score DESC, doc_id ASC LIMIT 50
+    """,
+)
+def bm25_search_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval for a fixed 3-term query — the ranked
+    form of the reference's FULLTEXT surface (`4_create_tweets_a.py:
+    35`), with the log-free rational idf and decimal-exact score sums
+    that make a ranking function value-hash-comparable across engines
+    (same contracts as tfidf_topterms). TakeOrderedAndProject top-k;
+    posting-list-proportional shuffle."""
+    return bm25_search(
+        load_table(spark, sf_dir, "documents"), BM25_QUERY_TERMS
+    )

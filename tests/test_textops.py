@@ -66,3 +66,29 @@ def test_winnow_shared_substring(spark):
     # winnowing guarantee: docs sharing a >= k+w-1 substring share a fingerprint
     assert by_doc[1] & by_doc[2]
     assert not (by_doc[1] & by_doc[3] & by_doc[2])
+
+
+def test_bm25_ranking_sanity(spark):
+    from convoy_spark.operators.textops import bm25_search
+
+    rows = [
+        (1, "spark stream vector spark stream vector spark"),      # all 3
+        (2, "spark spark spark unrelated words here padding out"), # 1 term
+        (3, "nothing relevant in this document at all honestly"),  # 0 terms
+        (4, "spark stream other filler tokens appear here too"),   # 2 terms
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = bm25_search(docs, ["spark", "stream", "vector"], top_k=10).collect()
+    ids = [r.doc_id for r in got]
+    assert 3 not in ids  # zero-match docs never appear
+    assert ids[0] == 1  # the all-terms doc wins
+    by_id = {r.doc_id: r for r in got}
+    assert by_id[1].n_hit_terms == 3
+    assert by_id[4].n_hit_terms == 2
+    assert by_id[2].n_hit_terms == 1
+    assert by_id[1].score > by_id[4].score > 0.0
+    # deterministic across re-evaluation (decimal-exact sums)
+    again = bm25_search(docs, ["spark", "stream", "vector"], top_k=10).collect()
+    assert [(r.doc_id, r.score) for r in got] == [
+        (r.doc_id, r.score) for r in again
+    ]
