@@ -80,16 +80,10 @@ def sql_xsum(expr: str) -> str:
     )
 
 
-def pca_top_component(
-    vectors: DataFrame,
-    n_iterations: int = PCA_ITERATIONS,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-) -> DataFrame:
-    """(d, loading, eigenvalue, explained_variance_ratio) — one row
-    per dimension; ``loading`` is the unit top eigenvector of the
-    scatter matrix, ``eigenvalue`` its ‖S·v‖ estimate, and the ratio
-    is eigenvalue / trace(S) (fraction of total variance captured)."""
+def _centered(vectors: DataFrame, vec_col: str, id_col: str):
+    """(centered, mu): the checkpointed mean-centered exploded frame
+    (vec_id, d, y) and the per-dimension mean frame (reused as the
+    dim list for the v seed — no extra shuffle)."""
     ex = exploded_vectors(vectors, vec_col, id_col).localCheckpoint(
         eager=False
     )
@@ -101,7 +95,14 @@ def pca_top_component(
         .select("vec_id", "d", (F.col("x") - F.col("mu")).alias("y"))
         .localCheckpoint(eager=False)
     )
-    v = mu.select("d", F.lit(1.0).alias("v"))
+    return centered, mu
+
+
+def _power_iterate(centered: DataFrame, dims: DataFrame, n_iterations: int):
+    """Run the S·v-as-Yᵀ(Y·v) loop; return (v, nrm) — the unit
+    iterate (d, v) and its ‖S·v‖ one-row frame. ``dims`` is any
+    one-row-per-dimension frame (the mu frame — already derived)."""
+    v = dims.select("d", F.lit(1.0).alias("v"))
     nrm = None
     for _ in range(n_iterations):
         s = (
@@ -136,6 +137,21 @@ def pca_top_component(
             .select("d", (F.col("w") / F.col("nrm")).alias("v"))
             .localCheckpoint(eager=False)
         )
+    return v, nrm
+
+
+def pca_top_component(
+    vectors: DataFrame,
+    n_iterations: int = PCA_ITERATIONS,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(d, loading, eigenvalue, explained_variance_ratio) — one row
+    per dimension; ``loading`` is the unit top eigenvector of the
+    scatter matrix, ``eigenvalue`` its ‖S·v‖ estimate, and the ratio
+    is eigenvalue / trace(S) (fraction of total variance captured)."""
+    centered, mu = _centered(vectors, vec_col, id_col)
+    v, nrm = _power_iterate(centered, mu, n_iterations)
     trace = centered.agg(_xsum(F.col("y") * F.col("y")).alias("trace"))
     return (
         v.crossJoin(F.broadcast(nrm))
@@ -148,4 +164,45 @@ def pca_top_component(
                 "explained_variance_ratio"
             ),
         )
+    )
+
+
+def pca_project(
+    vectors: DataFrame,
+    n_iterations: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_id, score, whitened) — every vector's projection onto the
+    ``n_iterations``-step top-component iterate, and the
+    variance-normalized ("whitened") form ``score / √λ̂``.
+
+    The apply-step of PCA: anisotropy removal (drop or shrink the
+    dominant direction of encoder output spaces, cf. the
+    all-but-the-top family of embedding post-processing) and
+    decile-bucketing embeddings by their principal score both start
+    exactly here. One extra keyed aggregation after the iteration
+    loop — the same s-step shape as inside it — so the whole query
+    stays two-shuffles-per-iteration + one. Defaults to a 2-step
+    iterate: the projection inherits the power method's contract (it
+    is EXACTLY the t-step iterate's projection, bit-reproducible;
+    more steps → closer to the true eigenvector and a ~2× costlier
+    unrolled oracle).
+
+    λ̂ = ‖S·v‖ of the final step; ``whitened`` guards the degenerate
+    zero-variance corpus to 0.0 on both engines.
+    """
+    centered, mu = _centered(vectors, vec_col, id_col)
+    v, nrm = _power_iterate(centered, mu, n_iterations)
+    score = (
+        centered.join(F.broadcast(v), "d")
+        .groupBy("vec_id")
+        .agg(_xsum(F.col("y") * F.col("v")).alias("score"))
+    )
+    return score.crossJoin(F.broadcast(nrm)).select(
+        "vec_id",
+        "score",
+        F.when(F.col("nrm") == 0.0, F.lit(0.0))
+        .otherwise(F.col("score") / F.sqrt(F.col("nrm")))
+        .alias("whitened"),
     )

@@ -321,7 +321,7 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pca_oracle(n_iterations: int = PCA_ITERATIONS) -> str:
+def _pca_ctes(n_iterations: int) -> list[str]:
     """Unrolled power iteration as DuckDB CTEs — iteration t becomes
     (s{t}, w{t}, m{t}, n{t}, v{t}), mirroring operators.pca
     bit-for-bit: exact scaled-long sums everywhere (sql_xsum — no
@@ -368,6 +368,11 @@ def _pca_oracle(n_iterations: int = PCA_ITERATIONS) -> str:
         ctes.append(
             f"v{t} AS (SELECT d, w / nrm AS v FROM w{t}, n{t})"
         )
+    return ctes
+
+
+def _pca_oracle(n_iterations: int = PCA_ITERATIONS) -> str:
+    ctes = _pca_ctes(n_iterations)
     ctes.append(
         f"""tr AS (
       SELECT {sql_xsum('y * y')} AS trace FROM c
@@ -385,6 +390,27 @@ def _pca_oracle(n_iterations: int = PCA_ITERATIONS) -> str:
     )
 
 
+def _pca_project_oracle(n_iterations: int = 2) -> str:
+    ctes = _pca_ctes(n_iterations)
+    n = n_iterations
+    ctes.append(
+        f"""sc AS (
+      SELECT c.vec_id, {sql_xsum(f'c.y * v{n}.v')} AS score
+      FROM c JOIN v{n} ON c.d = v{n}.d GROUP BY c.vec_id
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT sc.vec_id, sc.score,
+           CASE WHEN n{n}.nrm = 0 THEN 0.0
+                ELSE sc.score / sqrt(n{n}.nrm) END AS whitened
+    FROM sc, n{n}
+    """
+    )
+
+
 @query("pca_top_component", oracle=_pca_oracle())
 def pca_top_component_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal component of the embedding corpus by distributed
@@ -395,3 +421,17 @@ def pca_top_component_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithm value-hash checkable against the unrolled-CTE oracle —
     the same oracle-ability construction the IVF index uses."""
     return pca_top_component(load_table(spark, sf_dir, "embeddings"))
+
+
+@query("pca_project", oracle=_pca_project_oracle())
+def pca_project_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA apply-step: every embedding's projection onto the 2-step
+    top-component iterate plus the √λ̂-whitened score — the anisotropy
+    removal / principal-score bucketing transform (all-but-the-top
+    family). Same exactness construction as pca_top_component, so all
+    |V| output rows are value-hash-checked against the unrolled
+    oracle. Past-window by design: an apply VARIANT of the in-window
+    pca_top_component, not a new component family."""
+    from convoy_spark.operators.pca import pca_project
+
+    return pca_project(load_table(spark, sf_dir, "embeddings"))

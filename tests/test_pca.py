@@ -104,3 +104,36 @@ def test_pca_more_iterations_improves_rayleigh(spark):
     e4 = pca_top_component(emb, 4).collect()[0].eigenvalue
     e6 = pca_top_component(emb, 6).collect()[0].eigenvalue
     assert e6 >= e4 - 1e-9
+
+
+def test_pca_project_matches_numpy(spark):
+    """pca_project == numpy running the identical scaled-long steps,
+    and the whitened column is score/sqrt(lambda-hat)."""
+    import numpy as np
+
+    from convoy_spark.operators.pca import PSCALE, pca_project
+
+    rng = np.random.RandomState(7)
+    base = rng.normal(0, 0.05, (40, 8))
+    base[:, 2] += rng.normal(0, 1.0, 40)  # dominant direction
+    rows = [(int(i), [float(x) for x in base[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.vec_id: (r.score, r.whitened) for r in pca_project(df, 2).collect()}
+
+    def xsum(vals):
+        return float(np.sum(np.floor(np.asarray(vals) * PSCALE))) / PSCALE
+
+    y32 = base.astype(np.float32).astype(np.float64)
+    mu = np.array([xsum(y32[:, d]) / len(y32) for d in range(8)])
+    y = y32 - mu
+    v = np.ones(8)
+    for _ in range(2):
+        s = np.array([xsum(y[i] * v) for i in range(len(y))])
+        w = np.array([xsum(y[:, d] * s) for d in range(8)])
+        m = np.abs(w).max()
+        nrm = m * np.sqrt(xsum((w / m) * (w / m)))
+        v = w / nrm
+    for i in range(len(y)):
+        sc = xsum(y[i] * v)
+        assert abs(got[i][0] - sc) < 1e-9, (i, got[i][0], sc)
+        assert abs(got[i][1] - sc / np.sqrt(nrm)) < 1e-9
