@@ -624,3 +624,49 @@ def bm25_search(
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(top_k)
     )
+
+
+def bpe_merge_candidates(docs: DataFrame, top_k: int = 100) -> DataFrame:
+    """(rank, left, right, n_occurrences) — the corpus's most frequent
+    ADJACENT token pairs: the statistic a BPE/WordPiece tokenizer
+    trainer computes to pick its next merge (Sennrich et al., ACL
+    2016; each training iteration re-counts pairs after applying the
+    previous merge — this operator is that counting step, the part
+    that touches the corpus and therefore the part that must scale).
+
+    Pairs are built per-row with zip_with over two array slices (no
+    posexplode self-join — the naive formulation joins the exploded
+    token table to itself on (doc, pos+1), shuffling the corpus
+    twice); the only shuffle is the map-side-combined pair count, and
+    top-k is TakeOrderedAndProject with a (count desc, pair asc)
+    deterministic tiebreak — the same no-global-sort discipline as
+    vocab_top_terms, which profiles single tokens where this profiles
+    adjacencies."""
+    from convoy_spark.operators.scale import widen_narrow_scan
+
+    toks = widen_narrow_scan(docs).select(
+        F.filter(_tokens(), lambda t: t != "").alias("toks")
+    )
+    pairs = F.expr(
+        "zip_with(slice(toks, 1, size(toks) - 1),"
+        " slice(toks, 2, size(toks) - 1),"
+        " (a, b) -> struct(a AS left, b AS right))"
+    )
+    counted = (
+        toks.filter(F.size("toks") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.left").alias("left"), F.col("p.right").alias("right"))
+        .agg(F.count("*").cast("long").alias("n_occurrences"))
+        .orderBy(
+            F.col("n_occurrences").desc(),
+            F.col("left").asc(),
+            F.col("right").asc(),
+        )
+        .limit(top_k)
+    )
+    w = Window.orderBy(
+        F.col("n_occurrences").desc(), F.col("left").asc(), F.col("right").asc()
+    )
+    return counted.select(
+        F.row_number().over(w).alias("rank"), "left", "right", "n_occurrences"
+    )

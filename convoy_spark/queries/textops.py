@@ -13,6 +13,7 @@ from convoy_spark.functions.hashing import MERSENNE31, WS_SPLIT
 from convoy_spark.functions.numeric import sql_dsum
 from convoy_spark.operators.textops import (
     bm25_search,
+    bpe_merge_candidates,
     BPE_RE,
     LANGID_TOP_K,
     PII_STEPS,
@@ -462,3 +463,39 @@ def bm25_search_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_search(
         load_table(spark, sf_dir, "documents"), BM25_QUERY_TERMS
     )
+
+
+@query(
+    "bpe_merge_candidates",
+    oracle=f"""
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(lower(text), '{WS_SPLIT}'),
+                         t -> t <> '') AS t
+      FROM documents
+    ),
+    pairs AS (
+      SELECT t[CAST(i AS INT)] AS "left", t[CAST(i AS INT) + 1] AS "right"
+      FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+      WHERE len(t) >= 2
+    ),
+    counted AS (
+      SELECT "left", "right", CAST(COUNT(*) AS BIGINT) AS n_occurrences
+      FROM pairs GROUP BY 1, 2
+      ORDER BY n_occurrences DESC, "left" ASC, "right" ASC
+      LIMIT 100
+    )
+    SELECT CAST(row_number() OVER (
+             ORDER BY n_occurrences DESC, "left" ASC, "right" ASC
+           ) AS INT) AS rank,
+           "left", "right", n_occurrences
+    FROM counted
+    """,
+)
+def bpe_merge_candidates_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 adjacent-token-pair frequencies — the BPE merge-pick
+    statistic (the corpus-touching step of tokenizer training).
+    Per-row zip_with pair construction, one map-side-combined count
+    shuffle, TakeOrderedAndProject top-k. Past-window by design: the
+    tokenizer/vocab family's adjacency variant (vocab_top_terms
+    profiles single tokens in-window via tfidf's machinery)."""
+    return bpe_merge_candidates(load_table(spark, sf_dir, "documents"))

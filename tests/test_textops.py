@@ -92,3 +92,21 @@ def test_bm25_ranking_sanity(spark):
     assert [(r.doc_id, r.score) for r in got] == [
         (r.doc_id, r.score) for r in again
     ]
+
+
+def test_bpe_merge_candidates(spark):
+    from convoy_spark.operators.textops import bpe_merge_candidates
+
+    rows = [
+        (1, "new york new york new york city"),
+        (2, "york new york is not new jersey"),
+        (3, "single"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = bpe_merge_candidates(docs, top_k=5).collect()
+    assert got[0].asDict() == {
+        "rank": 1, "left": "new", "right": "york", "n_occurrences": 4,
+    }
+    # pairs never cross document boundaries: "city"/"york" adjacency
+    # between doc 1's tail and doc 2's head must not exist
+    assert ("city", "york") not in {(r.left, r.right) for r in got}
