@@ -549,3 +549,92 @@ def substring_dup_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle-Jaccard family (whole-doc similarity) with passage-level
     evidence."""
     return substring_dup_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "domain_dedup_rates",
+    oracle=f"""
+    WITH {SHINGLES_SQL},
+    {MINHASH_SQL},
+    {LSH_PAIRS_SQL},
+    eh AS (
+      SELECT doc_id, {sql_hash60('text')} AS content_hash FROM documents
+    ),
+    ec AS (
+      SELECT content_hash, MIN(doc_id) AS canonical_id
+      FROM eh GROUP BY content_hash
+    ),
+    flags AS (
+      SELECT d.doc_id, d.source,
+             CASE WHEN eh.doc_id <> ec.canonical_id THEN 1 ELSE 0 END
+               AS is_exact_dup,
+             CASE WHEN nd.doc_id IS NOT NULL THEN 1 ELSE 0 END
+               AS is_near_dup
+      FROM documents d
+      JOIN eh ON eh.doc_id = d.doc_id
+      JOIN ec ON ec.content_hash = eh.content_hash
+      LEFT JOIN (
+        SELECT doc_a AS doc_id FROM pairs
+        UNION
+        SELECT doc_b FROM pairs
+      ) nd ON nd.doc_id = d.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(is_exact_dup) AS BIGINT) AS n_exact_dups,
+           CAST(SUM(is_near_dup) AS BIGINT) AS n_near_dup_docs,
+           CAST(SUM(is_exact_dup) AS DOUBLE) / COUNT(*) AS exact_dup_rate,
+           CAST(SUM(is_near_dup) AS DOUBLE) / COUNT(*) AS near_dup_rate
+    FROM flags GROUP BY source
+    """,
+)
+def domain_dedup_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dedup health rollup: how much of each domain's
+    contribution is exact-duplicate or near-dup-tainted — the
+    curation dashboard that decides which crawl sources get
+    down-weighted. A pure composition of in-window components (exact
+    canonical map + the shared LSH pair frame) joined to the source
+    dim and rolled up in one hash aggregation; rates are
+    exact-integer counts divided as doubles, so the whole report is
+    value-hash-checkable. Past-window by design: a reporting
+    composition of already-proven components."""
+    docs = load_table(spark, sf_dir, "documents")
+    em = exact_dedup_map(docs).select(
+        "doc_id",
+        (F.col("doc_id") != F.col("canonical_id"))
+        .cast("int")
+        .alias("is_exact_dup"),
+    )
+    pairs = shared_lsh_pairs(spark, sf_dir)
+    near = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("is_near_dup", F.lit(1))
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(em, "doc_id")
+        .join(near, "doc_id", "left")
+        .fillna(0, ["is_near_dup"])
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("is_exact_dup").cast("long").alias("n_exact_dups"),
+            F.sum("is_near_dup").cast("long").alias("n_near_dup_docs"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_exact_dups",
+            "n_near_dup_docs",
+            (
+                F.col("n_exact_dups").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("exact_dup_rate"),
+            (
+                F.col("n_near_dup_docs").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("near_dup_rate"),
+        )
+    )
