@@ -71,6 +71,11 @@ EXPECTATIONS = {
         "HashAggregate",
         "ReadSchema: struct<doc_id:bigint,text:string>",
     ],
+    # BM25: top-k must be TakeOrderedAndProject (never a global sort);
+    # posting aggregation is a hash agg fed by the pre-filtered stream
+    "bm25_search": ["TakeOrderedAndProject", "HashAggregate"],
+    # BPE pairs: per-row zip_with behind Generate; distributed top-k
+    "bpe_merge_candidates": ["TakeOrderedAndProject", "Generate"],
 }
 
 
