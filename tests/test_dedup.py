@@ -184,3 +184,14 @@ def test_shared_lsh_pairs_cache_matches_fresh(spark):
     assert cached == fresh
     # second access returns the same materialized frame object
     assert shared_lsh_pairs(spark, sf) is shared_lsh_pairs(spark, sf)
+
+
+def test_substring_dup_pairs_short_docs_no_error(spark):
+    """Docs shorter than the k-gram unit are filtered, not crashed
+    on; an all-short corpus yields zero pairs."""
+    from convoy_spark.operators.dedup import substring_dup_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "tiny"), (2, "also tiny"), (3, "")], DOCS_SCHEMA
+    )
+    assert substring_dup_pairs(docs).count() == 0

@@ -110,3 +110,12 @@ def test_bpe_merge_candidates(spark):
     # pairs never cross document boundaries: "city"/"york" adjacency
     # between doc 1's tail and doc 2's head must not exist
     assert ("city", "york") not in {(r.left, r.right) for r in got}
+
+
+def test_bm25_no_matching_terms_is_empty(spark):
+    from convoy_spark.operators.textops import bm25_search
+
+    docs = spark.createDataFrame(
+        [(1, "some ordinary text here")], "doc_id long, text string"
+    )
+    assert bm25_search(docs, ["absent", "terms"]).count() == 0
