@@ -401,7 +401,11 @@ def simhash_neardup(
     # without a materialization barrier Spark recomputes the whole
     # tokenize+hash+aggregate branch twice (a measured 2× on the
     # dominant stage). One row per doc — the checkpoint is tiny.
-    fp = simhash_signature(docs, bits).localCheckpoint()
+    # Lazy: the pair job materializes it (both join sides share the
+    # cached blocks), saving the separate checkpoint job — the same
+    # count-as-materializer pattern as the iterative loops (~-0.2 s
+    # of fixed overhead at any SF, round-4 measurement).
+    fp = simhash_signature(docs, bits).localCheckpoint(eager=False)
     blocked = fp.select(
         "doc_id",
         "simhash",
