@@ -187,9 +187,14 @@ def closure_roots(
             | (F.col("new_rooted") & (F.col("new_ptr") != F.col("old_ptr")))
             | (~F.col("new_rooted") & (F.col("new_mn") != F.col("old_mn")))
         )
+        # coalesce: F.sum over ZERO rows is NULL — an empty edge frame
+        # (e.g. an incremental batch whose children are all already
+        # mapped) must terminate on iteration 0, not loop to the cap.
         changed, unfinished = jumped.select(
-            F.sum(moved.cast("long")).alias("c"),
-            F.sum((~F.col("new_ptr_root")).cast("long")).alias("u"),
+            F.coalesce(F.sum(moved.cast("long")), F.lit(0)).alias("c"),
+            F.coalesce(
+                F.sum((~F.col("new_ptr_root")).cast("long")), F.lit(0)
+            ).alias("u"),
         ).first()
         log.info(
             "closure iteration %d: %d accumulators moved, %d unfinished",

@@ -36,6 +36,7 @@ from convoy_spark.operators.dedup import (
     simhash_neardup,
 )
 from convoy_spark.queries.catalog import query
+from convoy_spark.queries.shared import session_cached
 from convoy_spark.tables import load_table
 
 NEARDUP_J = 0.8  # the corpus has planted near-dups at J ≈ 0.98
@@ -52,16 +53,14 @@ _PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def shared_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    df = _PAIRS_CACHE.get(key)
-    if df is None:
-        if len(_PAIRS_CACHE) > 8:  # stale-session hygiene
-            _PAIRS_CACHE.clear()
-        df = minhash_lsh_neardup(
+    return session_cached(
+        _PAIRS_CACHE,
+        spark,
+        sf_dir,
+        lambda: minhash_lsh_neardup(
             load_table(spark, sf_dir, "documents"), min_jaccard=NEARDUP_J
-        ).localCheckpoint()
-        _PAIRS_CACHE[key] = df
-    return df
+        ),
+    )
 
 # ---- shared oracle CTE fragments ---------------------------------------
 

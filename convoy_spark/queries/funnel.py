@@ -54,6 +54,60 @@ _STAGES = [
 ]
 
 
+def funnel_flags(docs: DataFrame) -> DataFrame:
+    """Per-document cumulative stage flags (doc_id, c1..c5) of the
+    funnel — the SINGLE definition of the stage semantics, consumed by
+    the batch retention query below, the streaming funnel's
+    equivalence test, and anything else that needs "which docs
+    survive stage k"."""
+    q = text_quality(docs).select(
+        "doc_id", F.col("passes_filter").alias("q_ok")
+    )
+    r = repetition_signals(docs).select(
+        "doc_id", F.col("passes_repetition_filter").alias("r_ok")
+    )
+    dd = exact_dedup_map(docs).select(
+        "doc_id",
+        (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
+    )
+    b = (
+        docs.select("doc_id", "lang", _split_col().alias("split"))
+        .join(q, "doc_id", "left")
+        .join(r, "doc_id", "left")
+        .join(dd, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("q_ok", F.lit(False)).alias("c1_"),
+            F.coalesce("r_ok", F.lit(False)).alias("r_ok"),
+            "lang",
+            F.coalesce("is_canonical", F.lit(False)).alias("is_canonical"),
+            "split",
+        )
+    )
+    return b.select(
+        "doc_id",
+        F.col("c1_").alias("c1"),
+        (F.col("c1_") & F.col("r_ok")).alias("c2"),
+        (F.col("c1_") & F.col("r_ok") & (F.col("lang") == FUNNEL_LANG)).alias(
+            "c3"
+        ),
+        (
+            F.col("c1_")
+            & F.col("r_ok")
+            & (F.col("lang") == FUNNEL_LANG)
+            & F.col("is_canonical")
+        ).alias("c4"),
+        (
+            F.col("c1_")
+            & F.col("r_ok")
+            & (F.col("lang") == FUNNEL_LANG)
+            & F.col("is_canonical")
+            & (F.col("split") == "train")
+        ).alias("c5"),
+    )
+
+
+
 @query(
     "corpus_funnel",
     oracle=f"""
@@ -136,49 +190,7 @@ def corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     split, as cumulative conjunctions over one documents scan family
     (see module docstring)."""
     docs = load_table(spark, sf_dir, "documents")
-    q = text_quality(docs).select(
-        "doc_id", F.col("passes_filter").alias("q_ok")
-    )
-    r = repetition_signals(docs).select(
-        "doc_id", F.col("passes_repetition_filter").alias("r_ok")
-    )
-    dd = exact_dedup_map(docs).select(
-        "doc_id",
-        (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
-    )
-    b = (
-        docs.select("doc_id", "lang", _split_col().alias("split"))
-        .join(q, "doc_id", "left")
-        .join(r, "doc_id", "left")
-        .join(dd, "doc_id", "left")
-        .select(
-            F.coalesce("q_ok", F.lit(False)).alias("c1_"),
-            F.coalesce("r_ok", F.lit(False)).alias("r_ok"),
-            "lang",
-            F.coalesce("is_canonical", F.lit(False)).alias("is_canonical"),
-            "split",
-        )
-    )
-    flags = b.select(
-        F.col("c1_").alias("c1"),
-        (F.col("c1_") & F.col("r_ok")).alias("c2"),
-        (F.col("c1_") & F.col("r_ok") & (F.col("lang") == FUNNEL_LANG)).alias(
-            "c3"
-        ),
-        (
-            F.col("c1_")
-            & F.col("r_ok")
-            & (F.col("lang") == FUNNEL_LANG)
-            & F.col("is_canonical")
-        ).alias("c4"),
-        (
-            F.col("c1_")
-            & F.col("r_ok")
-            & (F.col("lang") == FUNNEL_LANG)
-            & F.col("is_canonical")
-            & (F.col("split") == "train")
-        ).alias("c5"),
-    )
+    flags = funnel_flags(docs)
     counts = flags.agg(
         F.count("*").alias("n0"),
         *[

@@ -25,6 +25,7 @@ from convoy_spark.operators.treestats import (
     tree_stats_pandas,
 )
 from convoy_spark.queries.catalog import query
+from convoy_spark.queries.shared import session_cached
 from convoy_spark.tables import load_table
 
 # The tree-family queries (tree_stats, tree_engagement,
@@ -43,14 +44,12 @@ _PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def shared_descendant_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    df = _PAIRS_CACHE.get(key)
-    if df is None:
-        if len(_PAIRS_CACHE) > 8:  # stale-session hygiene
-            _PAIRS_CACHE.clear()
-        df = descendant_pairs(forest_edges(spark, sf_dir)).localCheckpoint()
-        _PAIRS_CACHE[key] = df
-    return df
+    return session_cached(
+        _PAIRS_CACHE,
+        spark,
+        sf_dir,
+        lambda: descendant_pairs(forest_edges(spark, sf_dir)),
+    )
 
 # Every (ancestor, descendant, depth) pair incl. the depth-0 self pair
 # — the oracle twin of operators.treestats.descendant_pairs, plus the

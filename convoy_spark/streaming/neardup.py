@@ -86,6 +86,20 @@ def apply_neardup_batch(
     bands_path = os.path.join(state_dir, "bands")
     shingles_path = os.path.join(state_dir, "shingles")
 
+    hist_ids = _load(spark, bands_path, BANDS_SCHEMA).select(
+        "doc_id"
+    ).distinct()
+    # First-crawl-wins: a doc_id re-delivered in a LATER file (the
+    # checkpoint only fences re-processing of the SAME file) is
+    # dropped before sketching — otherwise it band-joins its own
+    # historical sketch into a jaccard-1.0 self-pair, re-emits pairs
+    # already emitted at first delivery, and double-appends its
+    # band/shingle rows (inflating n_sh for every future jaccard).
+    # Exactly-once and completeness are preserved: its pairs vs older
+    # docs were emitted at first delivery, and newer docs pair with it
+    # through the store.
+    batch = batch.join(hist_ids, "doc_id", "left_anti")
+
     b_sh = shingle_hashes(batch, n).localCheckpoint()
     b_bands = lsh_band_keys_wide(
         minhash_signatures_wide(sh=b_sh, num_hashes=num_hashes),
@@ -110,6 +124,9 @@ def apply_neardup_batch(
     cross = (
         b_bands.select(F.col("doc_id").alias("batch_id"), "band", "key")
         .join(h, ["band", "key"])
+        # defense-in-depth: batch is fresh-only, so no self-joins —
+        # but a (x, x) pair would be silently wrong, so guard anyway.
+        .filter(F.col("batch_id") != F.col("hist_id"))
         .select(
             F.least("batch_id", "hist_id").alias("doc_a"),
             F.greatest("batch_id", "hist_id").alias("doc_b"),
@@ -158,6 +175,8 @@ def apply_neardup_batch(
     )
     pairs_sink(pairs)
 
+    # batch is fresh-only (anti-joined above), so plain appends keep
+    # the stores one-row-set-per-doc.
     b_bands.write.mode("append").parquet(bands_path)
     b_sh.write.mode("append").parquet(shingles_path)
 

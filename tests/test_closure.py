@@ -24,6 +24,14 @@ def test_chain(spark):
     assert roots_dict(spark, edges) == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
 
 
+def test_empty_edges_terminates(spark):
+    # F.sum over zero rows is NULL; the convergence check must treat
+    # that as 0 and exit on iteration 0 (reachable from
+    # incremental_closure_update when a batch only re-delivers
+    # already-mapped children → empty fresh subgraph).
+    assert roots_dict(spark, []) == {}
+
+
 def test_star_singleton_two_trees(spark):
     edges = [
         (10, None), (11, 10), (12, 10), (13, 10),  # star

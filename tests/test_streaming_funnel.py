@@ -6,10 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from convoy_spark.operators.dedup import exact_dedup_map
-from convoy_spark.operators.textops import repetition_signals, text_quality
-from convoy_spark.queries.dedup import _split_col
-from convoy_spark.queries.funnel import FUNNEL_LANG
+from convoy_spark.queries.funnel import funnel_flags
 from convoy_spark.streaming.funnel import run_streaming_funnel
 from convoy_spark.tables import load_table
 
@@ -17,31 +14,12 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 def _batch_survivors(spark) -> set[int]:
+    # Derived from the SAME funnel_flags the batch corpus_funnel query
+    # aggregates — drift in the stage semantics breaks this test, not
+    # just the hash oracle.
     docs = load_table(spark, SF_DIR, "documents")
-    q = text_quality(docs).select(
-        "doc_id", F.col("passes_filter").alias("q_ok")
-    )
-    r = repetition_signals(docs).select(
-        "doc_id", F.col("passes_repetition_filter").alias("r_ok")
-    )
-    dd = exact_dedup_map(docs).select(
-        "doc_id",
-        (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
-    )
-    surv = (
-        docs.select("doc_id", "lang", _split_col().alias("split"))
-        .join(q, "doc_id", "left")
-        .join(r, "doc_id", "left")
-        .join(dd, "doc_id", "left")
-        .filter(
-            F.coalesce("q_ok", F.lit(False))
-            & F.coalesce("r_ok", F.lit(False))
-            & (F.col("lang") == FUNNEL_LANG)
-            & F.coalesce("is_canonical", F.lit(False))
-            & (F.col("split") == "train")
-        )
-    )
-    return {r.doc_id for r in surv.select("doc_id").collect()}
+    surv = funnel_flags(docs).filter(F.col("c5")).select("doc_id")
+    return {r.doc_id for r in surv.collect()}
 
 
 def test_streaming_funnel_equals_batch(spark, tmp_path):

@@ -68,6 +68,31 @@ def test_stream_equals_batch_out_of_order(spark, tmp_path):
     assert got == want
 
 
+def test_redelivered_doc_no_self_pair_no_store_inflation(spark, tmp_path):
+    """A doc_id re-delivered in a LATER file (not fenced by the
+    checkpoint) must not emit a (x, x) self-pair against its own
+    historical sketch, must not duplicate its band/shingle store rows
+    (inflated n_sh skews future jaccards), and overlapping-chunk
+    delivery must still yield exactly the batch pair set."""
+    want = _expected_pairs(spark)
+    # chunks overlap on [20, 35): those docs arrive twice
+    got = _run_chunks(
+        spark, tmp_path, [(0, 35), (20, 10_000)], "redeliver"
+    )
+    for a, b in got:
+        assert a != b, f"self-pair ({a},{b}) emitted"
+    assert got == want
+    # store hygiene: one shingle row set per doc (first-crawl-wins)
+    sh = spark.read.parquet(str(tmp_path / "state_redeliver" / "shingles"))
+    dup = (
+        sh.groupBy("doc_id", "h")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup == 0, "re-delivered doc duplicated its shingle rows"
+
+
 def test_checkpoint_resume_emits_nothing(spark, tmp_path):
     docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
     landing = tmp_path / "landing_resume"
