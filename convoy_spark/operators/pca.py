@@ -167,6 +167,80 @@ def pca_top_component(
     )
 
 
+def pca_topk_components(
+    vectors: DataFrame,
+    k: int = 3,
+    n_iterations: int = PCA_ITERATIONS,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(component, d, loading, eigenvalue, explained_variance_ratio)
+    — the top-``k`` principal components by power iteration with
+    Hotelling deflation.
+
+    Component 0 is exactly :func:`pca_top_component`'s iterate; for
+    each next component the data is deflated by the previous iterate,
+    ``y ← y − (Σ_d y·v_d)·v_d`` (subtract the projection onto v — one
+    keyed aggregation producing the per-vector score s, then a
+    broadcast-v map step), and the same fixed-step power loop runs on
+    the deflated frame. Each deflated frame is checkpointed, so at
+    100 TB the cost is k·(2·n_iterations + 1) keyed aggregations over
+    the exploded frame — no scatter matrix, nothing collected, every
+    v/μ frame a broadcast.
+
+    Exactness contract: identical to the module header — s is an
+    exact scaled-long sum, and ``y − s·v`` is two IEEE-correctly-
+    rounded scalar ops on deterministic inputs, so the whole deflation
+    chain stays bit-identical across engines and the full component
+    matrix remains value-hash oracle-able (the oracle unrolls k·n
+    CTE blocks). The components are the deflated-iterate basis — for
+    a fixed budget t they approach the true top-k eigenvectors at the
+    power method's (λ_{i+1}/λ_i)^t rate, exactly as k=1 does.
+    """
+    centered, mu = _centered(vectors, vec_col, id_col)
+    trace = centered.agg(_xsum(F.col("y") * F.col("y")).alias("trace"))
+    y = centered
+    outs = []
+    for comp in range(k):
+        v, nrm = _power_iterate(y, mu, n_iterations)
+        outs.append(
+            v.crossJoin(F.broadcast(nrm)).select(
+                F.lit(comp).alias("component"),
+                "d",
+                F.col("v").alias("loading"),
+                F.col("nrm").alias("eigenvalue"),
+            )
+        )
+        if comp < k - 1:
+            s = (
+                y.join(F.broadcast(v), "d")
+                .groupBy("vec_id")
+                .agg(_xsum(F.col("y") * F.col("v")).alias("s"))
+            )
+            y = (
+                y.join(s, "vec_id")
+                .join(F.broadcast(v), "d")
+                .select(
+                    "vec_id",
+                    "d",
+                    (F.col("y") - F.col("s") * F.col("v")).alias("y"),
+                )
+                .localCheckpoint(eager=False)
+            )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.crossJoin(F.broadcast(trace)).select(
+        "component",
+        "d",
+        "loading",
+        "eigenvalue",
+        (F.col("eigenvalue") / F.col("trace")).alias(
+            "explained_variance_ratio"
+        ),
+    )
+
+
 def pca_project(
     vectors: DataFrame,
     n_iterations: int = 2,

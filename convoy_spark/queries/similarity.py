@@ -321,54 +321,67 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pca_ctes(n_iterations: int) -> list[str]:
-    """Unrolled power iteration as DuckDB CTEs — iteration t becomes
-    (s{t}, w{t}, m{t}, n{t}, v{t}), mirroring operators.pca
-    bit-for-bit: exact scaled-long sums everywhere (sql_xsum — no
-    double→decimal casts, whose rounding the engines disagree on),
-    max-normalized norms, IEEE-exact scalars."""
-    ctes = [
-        """ex AS (
+_PCA_BASE_CTES = [
+    """ex AS (
       SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
              generate_subscripts(embedding, 1) - 1 AS d
       FROM embeddings
     )""",
-        f"""mu AS (
+    f"""mu AS (
       SELECT d, {sql_xsum('x')} / COUNT(*) AS mu
       FROM ex GROUP BY d
     )""",
-        """c AS (
+    """c AS (
       SELECT ex.vec_id, ex.d, ex.x - mu.mu AS y
       FROM ex JOIN mu ON ex.d = mu.d
     )""",
-        "v0 AS (SELECT d, 1.0 AS v FROM mu)",
-    ]
+]
+
+
+def _power_ctes(src: str, sfx: str, n_iterations: int) -> list[str]:
+    """One unrolled power loop over source frame ``src`` (vec_id, d,
+    y), CTE names suffixed ``sfx`` — iteration t becomes
+    (s{t}{sfx}, w{t}{sfx}, m{t}{sfx}, n{t}{sfx}, v{t}{sfx}),
+    mirroring operators.pca bit-for-bit: exact scaled-long sums
+    everywhere (sql_xsum — no double→decimal casts, whose rounding
+    the engines disagree on), max-normalized norms, IEEE-exact
+    scalars."""
+    ctes = [f"v0{sfx} AS (SELECT d, 1.0 AS v FROM mu)"]
     for t in range(1, n_iterations + 1):
         p = t - 1
         ctes.append(
-            f"""s{t} AS (
-      SELECT c.vec_id, {sql_xsum(f'c.y * v{p}.v')} AS s
-      FROM c JOIN v{p} ON c.d = v{p}.d GROUP BY c.vec_id
+            f"""s{t}{sfx} AS (
+      SELECT {src}.vec_id, {sql_xsum(f'{src}.y * v{p}{sfx}.v')} AS s
+      FROM {src} JOIN v{p}{sfx} ON {src}.d = v{p}{sfx}.d
+      GROUP BY {src}.vec_id
     )"""
         )
         ctes.append(
-            f"""w{t} AS (
-      SELECT c.d, {sql_xsum(f'c.y * s{t}.s')} AS w
-      FROM c JOIN s{t} ON c.vec_id = s{t}.vec_id GROUP BY c.d
+            f"""w{t}{sfx} AS (
+      SELECT {src}.d, {sql_xsum(f'{src}.y * s{t}{sfx}.s')} AS w
+      FROM {src} JOIN s{t}{sfx} ON {src}.vec_id = s{t}{sfx}.vec_id
+      GROUP BY {src}.d
     )"""
         )
-        ctes.append(f"m{t} AS (SELECT MAX(ABS(w)) AS m FROM w{t})")
         ctes.append(
-            f"""n{t} AS (
+            f"m{t}{sfx} AS (SELECT MAX(ABS(w)) AS m FROM w{t}{sfx})"
+        )
+        ctes.append(
+            f"""n{t}{sfx} AS (
       SELECT CASE WHEN m = 0 THEN 0.0
              ELSE m * sqrt({sql_xsum('(w / m) * (w / m)')}) END AS nrm
-      FROM w{t} CROSS JOIN m{t} GROUP BY m
+      FROM w{t}{sfx} CROSS JOIN m{t}{sfx} GROUP BY m
     )"""
         )
         ctes.append(
-            f"v{t} AS (SELECT d, w / nrm AS v FROM w{t}, n{t})"
+            f"v{t}{sfx} AS (SELECT d, w / nrm AS v "
+            f"FROM w{t}{sfx}, n{t}{sfx})"
         )
     return ctes
+
+
+def _pca_ctes(n_iterations: int) -> list[str]:
+    return _PCA_BASE_CTES + _power_ctes("c", "", n_iterations)
 
 
 def _pca_oracle(n_iterations: int = PCA_ITERATIONS) -> str:
@@ -387,6 +400,58 @@ def _pca_oracle(n_iterations: int = PCA_ITERATIONS) -> str:
            n{n}.nrm / tr.trace AS explained_variance_ratio
     FROM v{n}, n{n}, tr
     """
+    )
+
+
+def _pca_topk_oracle(k: int, n_iterations: int) -> str:
+    """Deflation unrolled: component i runs a full power loop (suffix
+    _k{i}) over frame c_k{i} (c_k0 = c); between components the frame
+    deflates by the finished iterate, y ← y − s·v (sd_k{i} is the
+    exact-sum projection score). Mirrors operators.pca::
+    pca_topk_components CTE-for-aggregation."""
+    n = n_iterations
+    ctes = list(_PCA_BASE_CTES)
+    # MATERIALIZED: each deflated frame is referenced 2n+3 times by
+    # its power loop + the next deflation; DuckDB's default inlining
+    # re-evaluates the whole upstream chain per reference, which goes
+    # EXPONENTIAL in k (the "too many open files" / CTE-re-eval
+    # detonation BENCH_NOTES documents for the k=1 oracle). The
+    # engine's localCheckpoint is the Spark-side analogue, so
+    # materializing here is the faithful oracle restatement, not a
+    # handicap on either side.
+    ctes.append("c_k0 AS MATERIALIZED (SELECT * FROM c)")
+    for i in range(k):
+        src = f"c_k{i}"
+        ctes += _power_ctes(src, f"_k{i}", n)
+        if i < k - 1:
+            ctes.append(
+                f"""sd_k{i} AS (
+      SELECT {src}.vec_id,
+             {sql_xsum(f'{src}.y * v{n}_k{i}.v')} AS s
+      FROM {src} JOIN v{n}_k{i} ON {src}.d = v{n}_k{i}.d
+      GROUP BY {src}.vec_id
+    )"""
+            )
+            ctes.append(
+                f"""c_k{i + 1} AS MATERIALIZED (
+      SELECT {src}.vec_id, {src}.d,
+             {src}.y - sd_k{i}.s * v{n}_k{i}.v AS y
+      FROM {src}
+      JOIN sd_k{i} ON {src}.vec_id = sd_k{i}.vec_id
+      JOIN v{n}_k{i} ON {src}.d = v{n}_k{i}.d
+    )"""
+            )
+    ctes.append(f"tr AS (SELECT {sql_xsum('y * y')} AS trace FROM c)")
+    selects = [
+        f"""SELECT {i} AS component, v{n}_k{i}.d AS d,
+           v{n}_k{i}.v AS loading, n{n}_k{i}.nrm AS eigenvalue,
+           n{n}_k{i}.nrm / tr.trace AS explained_variance_ratio
+    FROM v{n}_k{i}, n{n}_k{i}, tr"""
+        for i in range(k)
+    ]
+    return (
+        "WITH " + ",\n    ".join(ctes) + "\n    "
+        + "\n    UNION ALL ".join(selects)
     )
 
 
@@ -421,6 +486,31 @@ def pca_top_component_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithm value-hash checkable against the unrolled-CTE oracle —
     the same oracle-ability construction the IVF index uses."""
     return pca_top_component(load_table(spark, sf_dir, "embeddings"))
+
+
+PCA_TOPK_K = 3
+PCA_TOPK_ITER = 2
+
+
+@query("pca_topk_components", oracle=_pca_topk_oracle(PCA_TOPK_K, PCA_TOPK_ITER))
+def pca_topk_components_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{PCA_TOPK_K} principal components by power iteration with
+    Hotelling deflation — the multi-component form every embedding-
+    analysis user actually asks for (subspace whitening, anisotropy
+    spectra). Between components the exploded frame deflates by the
+    finished iterate (y ← y − s·v, one exact-sum aggregation + a
+    broadcast map step) and the same fixed-step loop reruns; the full
+    k×dim component matrix plus eigenvalue estimates is value-hash
+    checked against the k-times-unrolled deflation oracle. 2-step
+    iterates like pca_project (each extra step is two more shuffles
+    AND a ~2× costlier unrolled oracle — documented trade)."""
+    from convoy_spark.operators.pca import pca_topk_components
+
+    return pca_topk_components(
+        load_table(spark, sf_dir, "embeddings"),
+        k=PCA_TOPK_K,
+        n_iterations=PCA_TOPK_ITER,
+    )
 
 
 @query("pca_project", oracle=_pca_project_oracle())

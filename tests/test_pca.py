@@ -106,6 +106,63 @@ def test_pca_more_iterations_improves_rayleigh(spark):
     assert e6 >= e4 - 1e-9
 
 
+def test_pca_topk_matches_numpy_deflation(spark):
+    """pca_topk_components == numpy running the identical fixed-step
+    power loops with Hotelling deflation between components; on the
+    planted-two-direction corpus the deflated iterates recover the
+    true top-2 eigenvectors."""
+    from convoy_spark.operators.pca import pca_topk_components
+
+    rng = np.random.RandomState(11)
+    dim, n = 12, 250
+    u1 = rng.randn(dim); u1 /= np.linalg.norm(u1)
+    u2 = rng.randn(dim); u2 -= (u2 @ u1) * u1; u2 /= np.linalg.norm(u2)
+    X = (
+        rng.randn(n, dim) * 0.3
+        + np.outer(rng.randn(n) * 8.0, u1)
+        + np.outer(rng.randn(n) * 4.0, u2)
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    k, t = 3, 4
+    got = pca_topk_components(emb, k=k, n_iterations=t).collect()
+    by_comp = {
+        c: np.array(
+            [r.loading for r in sorted(got, key=lambda r: r.d)
+             if r.component == c]
+        )
+        for c in range(k)
+    }
+    eig = {r.component: r.eigenvalue for r in got}
+
+    # numpy twin: same steps, double precision (quantization ~1e-12)
+    Y = X - X.mean(axis=0)
+    tr = np.trace(Y.T @ Y)
+    for c in range(k):
+        S = Y.T @ Y
+        v = np.ones(dim)
+        nrm = None
+        for _ in range(t):
+            w = S @ v
+            nrm = np.linalg.norm(w)
+            v = w / nrm
+        assert np.max(np.abs(by_comp[c] - v)) < 1e-6, c
+        assert abs(eig[c] - nrm) / nrm < 1e-6, c
+        Y = Y - np.outer(Y @ v, v)  # deflate for the next component
+
+    # structure: deflated iterates find the true top-2 directions
+    evals, evecs = np.linalg.eigh((X - X.mean(0)).T @ (X - X.mean(0)))
+    assert abs(float(by_comp[0] @ evecs[:, -1])) > 0.999
+    assert abs(float(by_comp[1] @ evecs[:, -2])) > 0.99
+    # eigenvalue estimates decrease and evr sums below 1
+    assert eig[0] > eig[1] > eig[2] > 0
+    evr = {r.component: r.explained_variance_ratio for r in got}
+    assert sum(evr.values()) <= 1.0 + 1e-9
+    assert abs(evr[0] - eig[0] / tr) < 1e-9
+
+
 def test_pca_project_matches_numpy(spark):
     """pca_project == numpy running the identical scaled-long steps,
     and the whitened column is score/sqrt(lambda-hat)."""
