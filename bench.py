@@ -58,10 +58,15 @@ BENCH_QUERIES = [
     # the iterative-float showcase: Spark's checkpointed centered
     # frame beats DuckDB's repeated-CTE re-scan ~4.5× here
     "pca_top_component",
+    # round-5: deflation loop (3 components), the multi-probe BM25
+    # form, and the iterated BPE merge-application loop
+    "pca_topk_components",
     # the composed preprocessing pipeline as one plan
     "corpus_funnel",
     "fulltext_search",
     "bm25_search",
+    "bm25_multi_query",
+    "bpe_train_steps",
 ]
 
 

@@ -587,9 +587,13 @@ def bm25_search(
         .agg(F.count("*").alias("tf"))
     )
     df_tbl = tf.groupBy("token").agg(F.count("*").alias("df"))
+    # posting-pruned doc lengths (round-4 verdict: joining the FULL
+    # length table shuffles all N rows though only posting docs can
+    # score) — semi-join dl down to the posting set first.
+    dl_p = dl.join(tf.select("doc_id").distinct(), "doc_id", "left_semi")
     scored = (
         tf.join(F.broadcast(df_tbl), "token")
-        .join(dl, "doc_id")
+        .join(dl_p, "doc_id")
         .join(F.broadcast(stats))
         .withColumn(
             "_idf",
@@ -623,6 +627,185 @@ def bm25_search(
         )
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(top_k)
+    )
+
+
+def bm25_search_multi(
+    docs: DataFrame,
+    queries: DataFrame,
+    top_k: int = 20,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """(query_id, doc_id, score, n_hit_terms) — top-``top_k`` docs per
+    query by BM25, for a query TABLE (query_id, term): the
+    pipeline-shaped form of :func:`bm25_search` that scores MANY
+    probes in one corpus pass instead of one fixed Python term list
+    per job.
+
+    Same exactness contracts as bm25_search (rational idf,
+    decimal-exact per-(query, doc) score sums, integer-derived
+    dl/avgdl). Shape at 100 TB:
+
+    - the corpus token stream is filtered by a BROADCAST semi join on
+      the distinct query vocabulary BEFORE the tf aggregation — the
+      shuffled volume is the union of posting lists, never the corpus,
+      regardless of how many queries ride along;
+    - df/avgdl stats ride broadcasts; the doc-length table is
+      semi-join-PRUNED to posting docs before its join (the round-4
+      verdict's unpruned-dl finding, fixed here and in bm25_search);
+    - per-(term → query) expansion is a broadcast join against the
+      tiny query table;
+    - ranking is one row_number window partitioned BY QUERY — a keyed
+      shuffle on query_id over scored candidates only, no global sort.
+    """
+    from convoy_spark.functions.numeric import dsum
+    from convoy_spark.operators.dedup import doc_tokens
+
+    q = queries.select(
+        "query_id", F.lower(F.col("term")).alias("token")
+    ).distinct()
+    vocab = q.select("token").distinct()
+
+    tk = doc_tokens(docs)
+    dl = tk.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    tf = (
+        tk.join(F.broadcast(vocab), "token", "left_semi")
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    # posting-pruned doc lengths: only docs that matched some query
+    # term can score, so never shuffle the other N-|postings| lengths.
+    dl_p = dl.join(tf.select("doc_id").distinct(), "doc_id", "left_semi")
+    df_tbl = tf.groupBy("token").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_tbl), "token")
+        .join(dl_p, "doc_id")
+        .join(F.broadcast(stats))
+        .withColumn(
+            "_idf",
+            (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5)),
+        )
+        .withColumn(
+            "_norm",
+            F.col("tf").cast("double") * (1.0 + k1)
+            / (
+                F.col("tf").cast("double")
+                + k1
+                * (
+                    1.0
+                    - b
+                    + b
+                    * (
+                        F.col("dl").cast("double")
+                        * F.col("n_docs").cast("double")
+                        / F.col("total_len").cast("double")
+                    )
+                )
+            ),
+        )
+    )
+    per_query = (
+        scored.join(F.broadcast(q), "token")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            dsum(F.col("_idf") * F.col("_norm")).alias("score"),
+            F.count("*").cast("long").alias("n_hit_terms"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        per_query.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= top_k)
+        .select("query_id", "doc_id", "score", "n_hit_terms")
+    )
+
+
+def bpe_train_steps(docs: DataFrame, n_steps: int = 4) -> DataFrame:
+    """(step, left, right, n_occurrences) — ``n_steps`` rounds of the
+    BPE trainer inner loop (Sennrich et al., ACL 2016): count adjacent
+    pairs, pick the most frequent (deterministic (count desc, left,
+    right) tie-break), APPLY the merge greedily left-to-right across
+    every row's token sequence, re-count. :func:`bpe_merge_candidates`
+    is one round's counting step; this iterates it, testing that the
+    pair statistic composes under application — the actual
+    tokenizer-training loop.
+
+    The merge application is a per-row ``aggregate`` fold (JVM
+    higher-order function, zero shuffle): append each token unless the
+    accumulator ends with ``left`` and the token is ``right``, in
+    which case replace the tail with the merged symbol. Because the
+    merged symbol is ``left || ' ' || right`` (tokens are
+    whitespace-split, so a space can never occur inside one) it can
+    itself be merged in later rounds without collision. Greedy
+    left-to-right equals odd-parity selection within each run of
+    overlapping occurrences — the window formulation the unrolled
+    oracle uses; runs only arise when left == right.
+
+    Per round: one map-side-combined pair-count shuffle + a top-1
+    TakeOrdered probe (a scalar, like the closure convergence probe)
+    + a scan-side fold, with the re-tokenized frame lazily
+    checkpointed — O(n_steps · corpus), never quadratic. The returned
+    frame is n_steps driver-assembled scalar rows (the learned merge
+    table — the ARTIFACT of training, inherently tiny)."""
+    from convoy_spark.operators.scale import widen_narrow_scan
+
+    spark = docs.sparkSession
+    cur = (
+        widen_narrow_scan(docs)
+        .select(F.filter(_tokens(), lambda t: t != "").alias("toks"))
+        .localCheckpoint(eager=False)
+    )
+    pairs_expr = F.expr(
+        "zip_with(slice(toks, 1, size(toks) - 1),"
+        " slice(toks, 2, size(toks) - 1),"
+        " (a, b) -> struct(a AS left, b AS right))"
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(n_steps):
+        top = (
+            cur.filter(F.size("toks") >= 2)
+            .select(F.explode(pairs_expr).alias("p"))
+            .groupBy(
+                F.col("p.left").alias("left"),
+                F.col("p.right").alias("right"),
+            )
+            .agg(F.count("*").cast("long").alias("n"))
+            .orderBy(
+                F.col("n").desc(), F.col("left").asc(), F.col("right").asc()
+            )
+            .limit(1)
+            .first()
+        )
+        if top is None:
+            break
+        merges.append((step, top.left, top.right, top.n))
+        if step < n_steps - 1:
+            l, r = F.lit(top.left), F.lit(top.right)
+            m = F.lit(f"{top.left} {top.right}")
+            cur = cur.select(
+                F.aggregate(
+                    "toks",
+                    F.expr("cast(array() as array<string>)"),
+                    lambda acc, x: F.when(
+                        (F.size(acc) > 0)
+                        & (F.element_at(acc, -1) == l)
+                        & (x == r),
+                        F.concat(
+                            F.slice(acc, F.lit(1), F.size(acc) - 1),
+                            F.array(m),
+                        ),
+                    ).otherwise(F.concat(acc, F.array(x))),
+                ).alias("toks")
+            ).localCheckpoint(eager=False)
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, n_occurrences long"
     )
 
 

@@ -62,6 +62,20 @@ from convoy_spark.queries import (  # noqa: F401,E402
 #                             split_contamination, dedup.py:_split_col),
 #        fulltext_search     (§2.8 text-search surface proven by the
 #                             strictly stronger ranked bm25_search)
+# Round-5 rotation:
+#   IN : pca_topk_components (multi-component PCA via deflation),
+#        bm25_multi_query    (BM25 with a query TABLE),
+#        bpe_train_steps     (iterated BPE merge application)
+#   OUT: pca_top_component  (component 0 of the strictly stronger
+#                            in-window pca_topk_components; same
+#                            _centered/_power_iterate/exact-sum path),
+#        bm25_search        (single fixed-term form of the strictly
+#                            stronger in-window bm25_multi_query —
+#                            same scoring pipeline, §2.8 ranked
+#                            surface stays proven),
+#        window_funcs       (extension surface with no §2 row, four
+#                            rounds driver-green; the pivot_matrix
+#                            precedent — stays emulator-checked)
 _CHECK_WINDOW = [
     # §2.3/§2.8 aggregates + SQL front door (two_pass_mad is past the
     # window: A6/P13 two-pass MAD is proven by tree_metric_mad)
@@ -103,7 +117,7 @@ _CHECK_WINDOW = [
     "filter_suite",
     # §2.7 unnest + §2.8 text search (ranked retrieval)
     "explode_tokens",
-    "bm25_search",
+    "bm25_multi_query",
     # text analysis components
     "token_stats",
     "text_quality",
@@ -129,15 +143,15 @@ _CHECK_WINDOW = [
     # value-hash-checked iterative float algorithm, like the IVF)
     "ann_srp_topk",
     "ann_ivf_topk",
-    "pca_top_component",
+    "pca_topk_components",
     # multimodal plumbing
     "media_decode_meta",
     # §2.6 sort/limit + set ops + S8 idempotent append
     "top_k_ordered",
     "union_dedup",
     "dedup_first_wins",
-    # window-function surface (merged running/lag/lead suite)
-    "window_funcs",
+    # tokenizer-training loop (iterated BPE merge application)
+    "bpe_train_steps",
 ]
 
 

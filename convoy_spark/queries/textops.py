@@ -13,7 +13,9 @@ from convoy_spark.functions.hashing import MERSENNE31, WS_SPLIT
 from convoy_spark.functions.numeric import sql_dsum
 from convoy_spark.operators.textops import (
     bm25_search,
+    bm25_search_multi,
     bpe_merge_candidates,
+    bpe_train_steps,
     BPE_RE,
     LANGID_TOP_K,
     PII_STEPS,
@@ -462,6 +464,184 @@ def bm25_search_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting-list-proportional shuffle."""
     return bm25_search(
         load_table(spark, sf_dir, "documents"), BM25_QUERY_TERMS
+    )
+
+
+BM25_MULTI_QUERIES = [
+    (0, "spark"), (0, "stream"), (0, "vector"),
+    (1, "data"), (1, "query"),
+    (2, "join"), (2, "batch"), (2, "spark"),
+    (3, "query"), (3, "stream"),
+]
+BM25_MULTI_TOPK = 20
+
+_BM25_Q_VALUES = ", ".join(
+    f"({qid}, '{term}')" for qid, term in BM25_MULTI_QUERIES
+)
+
+
+@query(
+    "bm25_multi_query",
+    oracle=f"""
+    WITH q AS (
+      SELECT * FROM (VALUES {_BM25_Q_VALUES}) AS v(query_id, token)
+    ),
+    tk AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(text), '{WS_SPLIT}')) AS token
+      FROM documents
+    ),
+    tk2 AS (SELECT doc_id, token FROM tk WHERE token <> ''),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tk2 GROUP BY doc_id),
+    stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len FROM dl),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tk2
+      WHERE token IN (SELECT DISTINCT token FROM q)
+      GROUP BY doc_id, token
+    ),
+    dfp AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             (s.n_docs - dfp.df + 0.5) / (dfp.df + 0.5) AS idf,
+             CAST(tf.tf AS DOUBLE) * (1.0 + 1.2)
+               / (CAST(tf.tf AS DOUBLE)
+                  + 1.2 * (1.0 - 0.75
+                           + 0.75 * (CAST(dl.dl AS DOUBLE)
+                                     * CAST(s.n_docs AS DOUBLE)
+                                     / CAST(s.total_len AS DOUBLE))))
+               AS norm
+      FROM tf
+      JOIN dfp USING (token)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats s
+    ),
+    per_q AS (
+      SELECT q.query_id, scored.doc_id,
+             {sql_dsum('idf * norm')} AS score,
+             CAST(COUNT(*) AS BIGINT) AS n_hit_terms
+      FROM scored JOIN q USING (token)
+      GROUP BY q.query_id, scored.doc_id
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score,
+           n_hit_terms
+    FROM per_q
+    QUALIFY row_number() OVER (
+      PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+    ) <= {BM25_MULTI_TOPK}
+    """,
+)
+def bm25_multi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 with a query TABLE — {len(set(q for q, _ in
+    BM25_MULTI_QUERIES))} probes scored in ONE corpus pass (the
+    pipeline-shaped retrieval form the round-4 verdict asked for):
+    broadcast query-vocabulary semi join before the tf shuffle,
+    posting-pruned doc-length join, per-query row_number top-k.
+    Shares every exactness contract with in-window bm25_search."""
+    qdf = spark.createDataFrame(
+        BM25_MULTI_QUERIES, "query_id long, term string"
+    )
+    return bm25_search_multi(
+        load_table(spark, sf_dir, "documents"),
+        qdf,
+        top_k=BM25_MULTI_TOPK,
+    )
+
+
+BPE_TRAIN_STEPS = 3
+
+
+def _bpe_train_oracle(n_steps: int) -> str:
+    """Fixed-depth unroll of the BPE training loop: round r counts
+    adjacent pairs of stream s{r} (lead window), top{r} picks the
+    merge, sel{r} selects greedy-non-overlapping occurrences (odd
+    parity within each run of consecutive occurrence positions —
+    equals the engine's left-to-right fold; runs only arise when
+    left == right), s{r+1} rewrites the stream. MATERIALIZED: each
+    stream feeds 3+ consumers and DuckDB's default inlining would
+    re-evaluate the whole chain per reference (the same CTE-re-eval
+    blowup as the PCA oracle)."""
+    ctes = [
+        f"""s0 AS MATERIALIZED (
+      SELECT doc_id, generate_subscripts(toks, 1) AS p, unnest(toks) AS tok
+      FROM (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '{WS_SPLIT}'),
+                           t -> t <> '') AS toks
+        FROM documents
+      )
+    )"""
+    ]
+    for r in range(n_steps):
+        ctes.append(
+            f"""pr{r} AS MATERIALIZED (
+      SELECT doc_id, p, tok,
+             lead(tok) OVER (PARTITION BY doc_id ORDER BY p) AS nxt
+      FROM s{r}
+    )"""
+        )
+        ctes.append(
+            f"""top{r} AS MATERIALIZED (
+      SELECT tok AS l, nxt AS r, CAST(COUNT(*) AS BIGINT) AS c
+      FROM pr{r} WHERE nxt IS NOT NULL
+      GROUP BY tok, nxt ORDER BY c DESC, l ASC, r ASC LIMIT 1
+    )"""
+        )
+        if r < n_steps - 1:
+            ctes.append(
+                f"""occ{r} AS (
+      SELECT pr.doc_id, pr.p
+      FROM pr{r} pr, top{r} t WHERE pr.tok = t.l AND pr.nxt = t.r
+    )"""
+            )
+            ctes.append(
+                f"""sel{r} AS MATERIALIZED (
+      SELECT doc_id, p FROM (
+        SELECT doc_id, p,
+               row_number() OVER (PARTITION BY doc_id, g ORDER BY p) AS rn
+        FROM (
+          SELECT doc_id, p,
+                 p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS g
+          FROM occ{r}
+        )
+      ) WHERE rn % 2 = 1
+    )"""
+            )
+            ctes.append(
+                f"""s{r + 1} AS MATERIALIZED (
+      SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY p) AS p,
+             tok
+      FROM (
+        SELECT s.doc_id, s.p,
+               CASE WHEN sel.p IS NOT NULL
+                    THEN (SELECT l || ' ' || r FROM top{r})
+                    ELSE s.tok END AS tok
+        FROM s{r} s
+        LEFT JOIN sel{r} sel ON s.doc_id = sel.doc_id AND s.p = sel.p
+        LEFT JOIN sel{r} cons ON s.doc_id = cons.doc_id AND s.p = cons.p + 1
+        WHERE cons.p IS NULL
+      )
+    )"""
+            )
+    selects = [
+        f'SELECT CAST({r} AS INT) AS step, l AS "left", r AS "right",'
+        f" c AS n_occurrences FROM top{r}"
+        for r in range(n_steps)
+    ]
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + "\n    UNION ALL ".join(
+        selects
+    )
+
+
+@query("bpe_train_steps", oracle=_bpe_train_oracle(BPE_TRAIN_STEPS))
+def bpe_train_steps_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{BPE_TRAIN_STEPS} rounds of the BPE tokenizer-training inner
+    loop: count adjacent pairs → pick top merge (deterministic
+    tie-break) → APPLY it greedily per row (JVM aggregate fold, zero
+    shuffle) → re-count. Verifies the merge statistic composes under
+    iteration against a fixed-depth window-formulation oracle (greedy
+    == odd-parity run selection)."""
+    return bpe_train_steps(
+        load_table(spark, sf_dir, "documents"), n_steps=BPE_TRAIN_STEPS
     )
 
 

@@ -112,6 +112,62 @@ def test_bpe_merge_candidates(spark):
     assert ("city", "york") not in {(r.left, r.right) for r in got}
 
 
+def test_bpe_train_steps_applies_merges(spark):
+    """The learned merge table on a corpus with a known structure:
+    round 1 merges (a, a) GREEDILY (odd-parity within runs), round 2
+    must see the post-merge stream — including the fused 'a a' symbol
+    — not the original counts."""
+    from convoy_spark.operators.textops import bpe_train_steps
+
+    rows = [
+        (1, "a a a a b"),   # run of four a's → two 'a a' merges
+        (2, "a a a b"),     # run of three → one merge, one bare a
+        (3, "c b c b"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r.step, r.left, r.right, r.n_occurrences)
+        for r in bpe_train_steps(docs, n_steps=2).collect()
+    ]
+    # round 0 counts: (a,a)=5 (overlaps counted), top merge (a,a).
+    assert got[0] == (0, "a", "a", 5)
+    # post-merge streams: doc1 = [a a, a a, b]; doc2 = [a a, a, b];
+    # doc3 unchanged. round-1 counts: ('a a','a a')=1, ('a a','a')=1,
+    # ('a a','b')=1, ('a','b')=1, ('c','b')=2, ('b','c')=1 → top is
+    # (c,b)=2 — only reachable if the greedy application really ran.
+    assert got[1] == (1, "c", "b", 2)
+
+
+def test_bm25_multi_query_matches_single(spark):
+    """Per-query results of the multi-query form == running the
+    single-query operator per term list (same corpus stats)."""
+    from convoy_spark.operators.textops import bm25_search, bm25_search_multi
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark stream spark vector"),
+            (2, "vector vector stream data"),
+            (3, "data spark data model"),
+            (4, "stream model vector spark"),
+        ],
+        "doc_id long, text string",
+    )
+    qdf = spark.createDataFrame(
+        [(0, "spark"), (0, "vector"), (1, "data"), (1, "model")],
+        "query_id long, term string",
+    )
+    multi = bm25_search_multi(docs, qdf, top_k=10).collect()
+    for qid, terms in [(0, ["spark", "vector"]), (1, ["data", "model"])]:
+        single = bm25_search(docs, terms, top_k=10).collect()
+        got = sorted(
+            (r.doc_id, r.score, r.n_hit_terms)
+            for r in multi
+            if r.query_id == qid
+        )
+        want = sorted((r.doc_id, r.score, r.n_hit_terms) for r in single)
+        assert got == want, qid
+
+
 def test_bm25_no_matching_terms_is_empty(spark):
     from convoy_spark.operators.textops import bm25_search
 
