@@ -287,10 +287,24 @@ def minhash_lsh_neardup(
             rows_per_band,
         )
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # Semi-join-prune the verification inputs to CANDIDATE docs (the
+    # same pruning streaming/neardup.py applies to its history store):
+    # candidates are a vanishing fraction of the corpus, so without
+    # this both verification joins and the sizes agg shuffle EVERY
+    # doc's shingles — candidate-proportional beats corpus-
+    # proportional at any scale (round-5 sf1.0 slope profiling showed
+    # the full-sh verification shuffle dominating the build).
+    cand = cand.localCheckpoint(eager=False)
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_c = sh.join(cand_ids, "doc_id", "left_semi")
+    sizes = sh_c.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     # Verification: count common shingle hashes per candidate pair.
-    a = sh.select(F.col("doc_id").alias("doc_a"), "h")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "h")
+    a = sh_c.select(F.col("doc_id").alias("doc_a"), "h")
+    b = sh_c.select(F.col("doc_id").alias("doc_b"), "h")
     common = (
         cand.join(a, "doc_a")
         .join(b, ["doc_b", "h"])
@@ -469,6 +483,34 @@ SUBSTR_CAP = 64  # stop-gram cap: grams in more docs are boilerplate
 SUBSTR_MIN_SHARED = 3  # pair threshold: distinct shared sampled grams
 
 
+def sampled_gram_hashes(
+    docs: DataFrame, k: int = SUBSTR_K, sample_mod: int = SUBSTR_MOD
+) -> DataFrame:
+    """(doc_id, gh) — distinct content-sampled Horner char-k-gram
+    hashes per doc (stages 1–2 of :func:`substring_dup_pairs`; also
+    the per-batch sketch of the streaming form)."""
+    from convoy_spark.operators.scale import widen_narrow_scan
+    from convoy_spark.operators.textops import winnow_gram_hash_sql
+
+    codes = F.expr(
+        "transform(sequence(1, length(_low)),"
+        " i -> cast(ascii(substring(_low, i, 1)) as bigint))"
+    )
+    hashes = F.expr(
+        f"transform(sequence(1, size(_codes) - {k - 1}),"
+        f" i -> {winnow_gram_hash_sql('_codes', 'i', k)})"
+    )
+    sampled = F.expr(f"filter(_h, h -> h % {sample_mod} = 0)")
+    return (
+        widen_narrow_scan(docs.filter(F.length("text") >= k))
+        .select("doc_id", F.lower(F.col("text")).alias("_low"))
+        .select("doc_id", F.explode(F.array(codes)).alias("_codes"))
+        .select("doc_id", hashes.alias("_h"))
+        .select("doc_id", F.explode(sampled).alias("gh"))
+        .distinct()
+    )
+
+
 def substring_dup_pairs(
     docs: DataFrame,
     k: int = SUBSTR_K,
@@ -502,26 +544,7 @@ def substring_dup_pairs(
     ~L/(sample_mod) k-grams, so ``min_shared=3`` with mod 8 needs
     roughly a 24+3·8-char true overlap — tune per corpus.
     """
-    from convoy_spark.operators.scale import widen_narrow_scan
-    from convoy_spark.operators.textops import winnow_gram_hash_sql
-
-    codes = F.expr(
-        "transform(sequence(1, length(_low)),"
-        " i -> cast(ascii(substring(_low, i, 1)) as bigint))"
-    )
-    hashes = F.expr(
-        f"transform(sequence(1, size(_codes) - {k - 1}),"
-        f" i -> {winnow_gram_hash_sql('_codes', 'i', k)})"
-    )
-    sampled = F.expr(f"filter(_h, h -> h % {sample_mod} = 0)")
-    g = (
-        widen_narrow_scan(docs.filter(F.length("text") >= k))
-        .select("doc_id", F.lower(F.col("text")).alias("_low"))
-        .select("doc_id", F.explode(F.array(codes)).alias("_codes"))
-        .select("doc_id", hashes.alias("_h"))
-        .select("doc_id", F.explode(sampled).alias("gh"))
-        .distinct()
-    )
+    g = sampled_gram_hashes(docs, k, sample_mod)
     ok = g.groupBy("gh").agg(F.count("*").alias("_n")).filter(
         F.col("_n") <= cap
     )

@@ -1,0 +1,170 @@
+"""Streaming incremental exact substring-overlap dedup — the
+continuously-fed form of `operators/dedup.py::substring_dup_pairs`,
+exactly parallel to `streaming/neardup.py`'s band store: the gram
+store here plays the band store's role, with one extra piece of
+state semantics — the stop-gram cap maintained incrementally.
+
+State: one persisted, append-only keyed store
+
+- ``grams``: (doc_id, gh) — every historical doc's distinct sampled
+  Horner char-k-gram hashes (operators.dedup.sampled_gram_hashes).
+
+Per micro-batch: sample the batch's grams (O(batch)), count each
+TOUCHED gram's historical postings via a semi-join-pruned aggregation
+(O(batch posting lists), never the store's row set), drop grams whose
+cumulative count (history + batch) exceeds the cap, equi-join batch ×
+(batch ∪ pruned history) on the surviving grams, count distinct
+shared grams per pair, emit pairs ≥ ``min_shared``, append the batch's
+grams (capped ones INCLUDED — the count must keep growing so the cap
+stays monotone). Every join is keyed; per-batch work is
+O(batch + candidates).
+
+Cap semantics, incremental: a gram is dead once its cumulative doc
+count exceeds ``cap``, and counts only grow, so a gram that crosses
+the cap mid-stream NEVER produces new pairs afterwards (tested).
+This is the monotone restatement of the batch operator's global cap —
+the two agree exactly whenever no pair's qualifying grams cross the
+cap after the pair's later member arrives (draining the whole corpus
+as ONE batch is bit-identical to the batch operator, tested). When a
+gram does cross the cap later, the streaming result keeps pairs the
+batch run would retroactively drop — first-crawl-wins applied to the
+cap, the operationally correct choice for a pipeline that already
+shipped those drops downstream.
+
+Re-delivery: a doc_id already in the gram store is dropped before
+sketching (anti-join), as in streaming/neardup.py — no self-pairs, no
+double-appended postings, exactly-once pair emission by the batch
+that delivers the later member.
+
+100 TB posture: identical to the neardup stores — plain parquet here;
+on a cluster write the gram store ``bucketBy(gh)`` (or a Delta table
+with a Bloom index on gh) so the per-batch posting join co-locates
+against history, and the doc-side anti-join gets the same layout on
+doc_id. The dataflow is unchanged by the swap.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from convoy_spark.operators.dedup import (
+    SUBSTR_CAP,
+    SUBSTR_K,
+    SUBSTR_MIN_SHARED,
+    SUBSTR_MOD,
+    sampled_gram_hashes,
+)
+from convoy_spark.streaming.dedup import stream_docs
+
+GRAMS_SCHEMA = "doc_id long, gh long"
+
+
+def _load(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    if os.path.isdir(path):
+        return spark.read.parquet(path)
+    return spark.createDataFrame([], schema)
+
+
+def apply_substrdup_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    state_dir: str,
+    pairs_sink,
+    k: int = SUBSTR_K,
+    sample_mod: int = SUBSTR_MOD,
+    cap: int = SUBSTR_CAP,
+    min_shared: int = SUBSTR_MIN_SHARED,
+) -> None:
+    """Fold one micro-batch of (doc_id, text): emit substring-overlap
+    pairs against history + within the batch to ``pairs_sink(df)``,
+    then append the batch's gram rows to the store."""
+    grams_path = os.path.join(state_dir, "grams")
+    hist = _load(spark, grams_path, GRAMS_SCHEMA)
+
+    # first-crawl-wins: drop re-delivered doc_ids before sketching
+    batch = batch.join(hist.select("doc_id"), "doc_id", "left_anti")
+
+    b_g = sampled_gram_hashes(batch, k, sample_mod).localCheckpoint()
+
+    # Historical postings for ONLY the batch's grams (semi-join
+    # pruning — a pair's shared grams all occur in the batch member's
+    # gram set, so nothing outside these keys can matter).
+    hist_touch = hist.join(
+        b_g.select("gh").distinct(), "gh", "left_semi"
+    ).localCheckpoint()
+
+    # Incremental stop-gram cap: cumulative count = history + batch.
+    # Computed over touched grams only; an untouched gram's count
+    # cannot change this batch.
+    counts = (
+        b_g.select("gh")
+        .unionByName(hist_touch.select("gh"))
+        .groupBy("gh")
+        .agg(F.count("*").alias("_n"))
+    )
+    ok = counts.filter(F.col("_n") <= cap).select("gh")
+    b_ok = b_g.join(ok, "gh", "left_semi")
+    h_ok = hist_touch.join(ok, "gh", "left_semi")
+
+    # Within-batch pairs (a < b) + cross batch×history pairs
+    # (min, max orientation), counted over distinct shared grams.
+    a = b_ok.select(F.col("doc_id").alias("doc_a"), "gh")
+    b = b_ok.select(F.col("doc_id").alias("doc_b"), "gh")
+    within = a.join(b, "gh").filter(F.col("doc_a") < F.col("doc_b"))
+    cross = (
+        b_ok.select(F.col("doc_id").alias("batch_id"), "gh")
+        .join(h_ok.select(F.col("doc_id").alias("hist_id"), "gh"), "gh")
+        .select(
+            F.least("batch_id", "hist_id").alias("doc_a"),
+            F.greatest("batch_id", "hist_id").alias("doc_b"),
+            "gh",
+        )
+    )
+    pairs = (
+        within.select("doc_a", "doc_b")
+        .unionByName(cross.select("doc_a", "doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .localCheckpoint()
+    )
+    pairs_sink(pairs)
+
+    # Append ALL batch grams, capped included: the cumulative count
+    # must keep growing so the cap stays monotone for future batches.
+    b_g.write.mode("append").parquet(grams_path)
+
+
+def run_incremental_substrdup(
+    spark: SparkSession,
+    landing_dir: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    pairs_sink,
+    **kw,
+) -> None:
+    """Drain all document files present, substring-dup-checking each
+    batch against the persisted gram store; stop when caught up.
+    Re-running with the same checkpoint processes only new files."""
+    docs = stream_docs(spark, landing_dir)
+    q = (
+        docs.writeStream.foreachBatch(
+            lambda b, _id: apply_substrdup_batch(
+                spark, b, state_dir, pairs_sink, **kw
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+__all__ = [
+    "GRAMS_SCHEMA",
+    "apply_substrdup_batch",
+    "run_incremental_substrdup",
+]

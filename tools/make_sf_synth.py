@@ -5,24 +5,39 @@ slope checkpoint above sf0.1 (BENCH_NOTES ratio-curve evidence).
 Deterministic construction, no RNG state shared with the queries:
 
 - copy 0 is the source corpus verbatim;
-- copies i >= 1 re-salt ids (``+= i * ID_STRIDE``) and reorder each
-  text's token sequence by a per-copy keyed hash. That preserves the
-  within-copy near-dup structure (two docs with near-equal token
-  multisets sort into near-equal sequences, so their shingle Jaccard
-  stays high) while sending cross-copy shingle Jaccard to ~0 (every
-  shingle is a hash-ordered k-gram, different per copy) — the LSH
-  pair graph therefore scales LINEARLY with copies instead of
-  quadratically, which is the honest shape for a bigger corpus; token
-  multisets, and hence token counts, char trigram profiles and
-  quality ratios, are preserved per doc.
+- copies i >= 1 re-salt ids (``+= i * ID_STRIDE``) and apply a
+  per-copy deterministic SUBSTITUTION CIPHER over [a-zA-Z0-9] (seeded
+  alphabet permutation, case-aligned). A character bijection leaves
+  token boundaries, token/char counts and every length statistic
+  untouched, and maps each word n-gram / char k-gram 1:1 — so two
+  docs within a copy share a (ciphered) shingle IFF they shared the
+  original: the within-copy near-dup PAIR GRAPH is exactly copy 0's,
+  and cross-copy shingle Jaccard is ~0 (different cipher per copy).
+  The pair graph therefore scales LINEARLY with copies, which is the
+  honest shape for a bigger corpus.
+
+  (Round-5 note: the previous construction — per-copy keyed token
+  SORT — canonicalized token order corpus-wide, so unrelated docs
+  sharing vocabulary collided into near-equal sequences: each sorted
+  copy produced 300–600k LSH candidate pairs vs the real corpus's
+  319, inflating every sketch-family sf1.0 number ~1000× in candidate
+  volume. The cipher keeps the intended linear structure without that
+  artifact.)
 - embeddings get per-copy deterministic Gaussian jitter (sigma 0.01,
   seeded by the copy index) so ANN/PCA row volume scales without
   planting exact duplicate vectors.
 
-Relational tables are NOT synthesized — the slope queries are the
-documents/embeddings workloads (the 100 TB argument's subject); the
-other tables are symlinked from the source SF so any catalog query
-still runs, at source scale.
+- round 5 extends the slope to the REFERENCE-CORE families:
+  orders/lineitem are scaled the same way (``key += i * KEY_STRIDE``,
+  stride a multiple of 1000) — since the synthetic forest's parent
+  rule is pure div/mod-block arithmetic (operators/forest.py), a
+  stride-shifted copy reproduces copy 0's tree structure EXACTLY
+  (parent(k + S) = parent(k) + S for S ≡ 0 mod 1000), so
+  closure/tree/rollup workloads see 10× the trees at identical depth
+  — more conversations, not deeper ones, matching how a crawl grows.
+
+Remaining tables (events, dims) are symlinked from the source SF so
+any catalog query still runs, at source scale.
 
 Usage::
 
@@ -34,7 +49,6 @@ encodes the effective documents SF for bench.py's sf regex).
 
 from __future__ import annotations
 
-import hashlib
 import os
 import sys
 
@@ -45,10 +59,23 @@ import pyarrow.parquet as pq
 ID_STRIDE = 10_000_000
 
 
-def _shuffle_key(token: str, salt: str) -> bytes:
-    return hashlib.blake2b(
-        (token + salt).encode(), digest_size=8
-    ).digest()
+def _cipher_table(copy_idx: int) -> dict[int, int]:
+    """Deterministic per-copy substitution cipher over a-z / A-Z /
+    0-9 (case-aligned: 'a'→'q' implies 'A'→'Q', so lowercasing
+    commutes with the cipher and the Spark/DuckDB lowercase token
+    pipelines see a consistent bijection)."""
+    rng = np.random.RandomState(7000 + copy_idx)
+    lower = list("abcdefghijklmnopqrstuvwxyz")
+    digits = list("0123456789")
+    lp = rng.permutation(lower)
+    dp = rng.permutation(digits)
+    tbl: dict[int, int] = {}
+    for src_ch, dst_ch in zip(lower, lp):
+        tbl[ord(src_ch)] = ord(dst_ch)
+        tbl[ord(src_ch.upper())] = ord(dst_ch.upper())
+    for src_d, dst_d in zip(digits, dp):
+        tbl[ord(src_d)] = ord(dst_d)
+    return tbl
 
 
 def synth_documents(src: str, out: str, copies: int) -> int:
@@ -58,14 +85,8 @@ def synth_documents(src: str, out: str, copies: int) -> int:
         c = t.copy()
         c["doc_id"] = c["doc_id"] + i * ID_STRIDE
         if i > 0:
-            salt = f"copy{i}"
-            c["text"] = [
-                " ".join(
-                    sorted(txt.split(), key=lambda tok: _shuffle_key(tok, salt))
-                )
-                for txt in c["text"]
-            ]
-            c["n_chars"] = [len(x) for x in c["text"]]
+            tbl = _cipher_table(i)
+            c["text"] = [txt.translate(tbl) for txt in c["text"]]
         frames.append(c)
     import pandas as pd
 
@@ -106,6 +127,36 @@ def synth_embeddings(src: str, out: str, copies: int) -> int:
     return len(allp)
 
 
+KEY_STRIDE = 100_000_000  # multiple of 1000: preserves the forest's
+# div-100 parent blocks and div-1000 ur superblocks per copy
+
+
+def synth_relational(src: str, out: str, copies: int) -> tuple[int, int]:
+    import pandas as pd
+
+    o = pq.read_table(os.path.join(src, "orders.parquet")).to_pandas()
+    li = pq.read_table(os.path.join(src, "lineitem.parquet")).to_pandas()
+    of, lf = [], []
+    for i in range(copies):
+        oc = o.copy()
+        oc["o_orderkey"] = oc["o_orderkey"] + i * KEY_STRIDE
+        of.append(oc)
+        lc = li.copy()
+        lc["l_orderkey"] = lc["l_orderkey"] + i * KEY_STRIDE
+        lf.append(lc)
+    oall = pd.concat(of, ignore_index=True)
+    lall = pd.concat(lf, ignore_index=True)
+    pq.write_table(
+        pa.Table.from_pandas(oall, preserve_index=False),
+        os.path.join(out, "orders.parquet"),
+    )
+    pq.write_table(
+        pa.Table.from_pandas(lall, preserve_index=False),
+        os.path.join(out, "lineitem.parquet"),
+    )
+    return len(oall), len(lall)
+
+
 def main() -> None:
     copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
@@ -117,14 +168,14 @@ def main() -> None:
     os.makedirs(out, exist_ok=True)
     nd = synth_documents(src, out, copies)
     ne = synth_embeddings(src, out, copies)
+    no, nl = synth_relational(src, out, copies)
+    print(f"orders={no} lineitem={nl}")
     for tname in [
         "region",
         "nation",
         "customer",
         "supplier",
         "part",
-        "orders",
-        "lineitem",
         "events",
     ]:
         dst = os.path.join(out, f"{tname}.parquet")
