@@ -241,6 +241,64 @@ def pca_topk_components(
     )
 
 
+def pca_project_topk(
+    vectors: DataFrame,
+    k: int = 3,
+    n_iterations: int = PCA_ITERATIONS,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_id, component, score, whitened) — every vector's
+    coordinates in the k-component deflation basis of
+    :func:`pca_topk_components`, plus the √λ̂-whitened form: subspace
+    whitening / anisotropy removal over MULTIPLE directions, the
+    multi-component generalization of :func:`pca_project`.
+
+    Component c's score is the projection of the c-times-DEFLATED
+    centered data onto iterate v_c — exactly the Gram-Schmidt
+    coordinate in the deflation basis, and exactly the ``s`` frame
+    the deflation step already computes, so components 0..k-2 reuse
+    the loop's own aggregation and only the last adds one. Same
+    exactness chain as the component extraction (the oracle appends
+    one sc CTE per component to the same unrolled deflation chain).
+    """
+    centered, mu = _centered(vectors, vec_col, id_col)
+    y = centered
+    outs = []
+    for comp in range(k):
+        v, nrm = _power_iterate(y, mu, n_iterations)
+        s = (
+            y.join(F.broadcast(v), "d")
+            .groupBy("vec_id")
+            .agg(_xsum(F.col("y") * F.col("v")).alias("score"))
+        )
+        outs.append(
+            s.crossJoin(F.broadcast(nrm)).select(
+                "vec_id",
+                F.lit(comp).alias("component"),
+                "score",
+                F.when(F.col("nrm") == 0.0, F.lit(0.0))
+                .otherwise(F.col("score") / F.sqrt(F.col("nrm")))
+                .alias("whitened"),
+            )
+        )
+        if comp < k - 1:
+            y = (
+                y.join(s.select("vec_id", F.col("score").alias("s")), "vec_id")
+                .join(F.broadcast(v), "d")
+                .select(
+                    "vec_id",
+                    "d",
+                    (F.col("y") - F.col("s") * F.col("v")).alias("y"),
+                )
+                .localCheckpoint(eager=False)
+            )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 def pca_project(
     vectors: DataFrame,
     n_iterations: int = 2,

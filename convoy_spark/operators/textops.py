@@ -672,11 +672,21 @@ def bm25_search_multi(
     stats = dl.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("total_len")
     )
-    tf = (
-        tk.join(F.broadcast(vocab), "token", "left_semi")
-        .groupBy("doc_id", "token")
-        .agg(F.count("*").alias("tf"))
-    )
+    # Vocabulary filter, adaptively: a SMALL vocabulary (the common
+    # probe-set case) is collected and inlined as an isin predicate —
+    # codegen evaluates it inside the scan stage, measurably cheaper
+    # than a broadcast-hash-join probe per token row (sf1.0: 2.2 s vs
+    # 2.8 s). A large query table falls back to the broadcast semi
+    # join, which scales to any vocabulary. The limit(N+1) probe
+    # touches N+1 rows of a tiny distinct frame, same scalar-probe
+    # pattern as the closure convergence check.
+    ISIN_MAX = 256
+    head = [r.token for r in vocab.limit(ISIN_MAX + 1).collect()]
+    if len(head) <= ISIN_MAX:
+        filtered = tk.filter(F.col("token").isin(head))
+    else:
+        filtered = tk.join(F.broadcast(vocab), "token", "left_semi")
+    tf = filtered.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     # posting-pruned doc lengths: only docs that matched some query
     # term can score, so never shuffle the other N-|postings| lengths.
     dl_p = dl.join(tf.select("doc_id").distinct(), "doc_id", "left_semi")

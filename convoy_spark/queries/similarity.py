@@ -455,6 +455,58 @@ def _pca_topk_oracle(k: int, n_iterations: int) -> str:
     )
 
 
+def _pca_project_topk_oracle(k: int, n_iterations: int) -> str:
+    """The deflation chain of :func:`_pca_topk_oracle` already
+    computes component i's projection scores as sd_k{i} (i < k−1 —
+    the deflation needs them); this oracle reuses those and adds the
+    last component's sc CTE, then unions the per-component
+    (vec_id, score, whitened) selects."""
+    n = n_iterations
+    ctes = list(_PCA_BASE_CTES)
+    ctes.append("c_k0 AS MATERIALIZED (SELECT * FROM c)")
+    for i in range(k):
+        src = f"c_k{i}"
+        ctes += _power_ctes(src, f"_k{i}", n)
+        if i < k - 1:
+            ctes.append(
+                f"""sd_k{i} AS MATERIALIZED (
+      SELECT {src}.vec_id,
+             {sql_xsum(f'{src}.y * v{n}_k{i}.v')} AS s
+      FROM {src} JOIN v{n}_k{i} ON {src}.d = v{n}_k{i}.d
+      GROUP BY {src}.vec_id
+    )"""
+            )
+            ctes.append(
+                f"""c_k{i + 1} AS MATERIALIZED (
+      SELECT {src}.vec_id, {src}.d,
+             {src}.y - sd_k{i}.s * v{n}_k{i}.v AS y
+      FROM {src}
+      JOIN sd_k{i} ON {src}.vec_id = sd_k{i}.vec_id
+      JOIN v{n}_k{i} ON {src}.d = v{n}_k{i}.d
+    )"""
+            )
+        else:
+            ctes.append(
+                f"""sd_k{i} AS (
+      SELECT {src}.vec_id,
+             {sql_xsum(f'{src}.y * v{n}_k{i}.v')} AS s
+      FROM {src} JOIN v{n}_k{i} ON {src}.d = v{n}_k{i}.d
+      GROUP BY {src}.vec_id
+    )"""
+            )
+    selects = [
+        f"""SELECT sd_k{i}.vec_id, {i} AS component, sd_k{i}.s AS score,
+           CASE WHEN n{n}_k{i}.nrm = 0 THEN 0.0
+                ELSE sd_k{i}.s / sqrt(n{n}_k{i}.nrm) END AS whitened
+    FROM sd_k{i}, n{n}_k{i}"""
+        for i in range(k)
+    ]
+    return (
+        "WITH " + ",\n    ".join(ctes) + "\n    "
+        + "\n    UNION ALL ".join(selects)
+    )
+
+
 def _pca_project_oracle(n_iterations: int = 2) -> str:
     ctes = _pca_ctes(n_iterations)
     n = n_iterations
@@ -507,6 +559,25 @@ def pca_topk_components_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from convoy_spark.operators.pca import pca_topk_components
 
     return pca_topk_components(
+        load_table(spark, sf_dir, "embeddings"),
+        k=PCA_TOPK_K,
+        n_iterations=PCA_TOPK_ITER,
+    )
+
+
+@query(
+    "pca_project_topk",
+    oracle=_pca_project_topk_oracle(PCA_TOPK_K, PCA_TOPK_ITER),
+)
+def pca_project_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subspace whitening: every embedding's coordinates in the
+    {PCA_TOPK_K}-component deflation basis plus the √λ̂-whitened form —
+    the apply-step of in-window pca_topk_components (past-window by
+    design, the same relationship pca_project has to
+    pca_top_component). All k·|V| rows hash-checked."""
+    from convoy_spark.operators.pca import pca_project_topk
+
+    return pca_project_topk(
         load_table(spark, sf_dir, "embeddings"),
         k=PCA_TOPK_K,
         n_iterations=PCA_TOPK_ITER,

@@ -163,6 +163,35 @@ def test_pca_topk_matches_numpy_deflation(spark):
     assert abs(evr[0] - eig[0] / tr) < 1e-9
 
 
+def test_pca_project_topk_component0_equals_pca_project(spark):
+    """k=1 multi-component projection is exactly pca_project (same
+    iterate, same exact-sum chain); and at k=2 the two components'
+    scores decorrelate on planted-two-direction data (deflation basis
+    is Gram-Schmidt-orthogonal up to iterate convergence)."""
+    from convoy_spark.operators.pca import pca_project, pca_project_topk
+
+    rng = np.random.RandomState(3)
+    X = rng.randn(60, 8) + np.outer(rng.randn(60) * 5.0, rng.randn(8))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    single = {
+        r.vec_id: (r.score, r.whitened) for r in pca_project(emb, 2).collect()
+    }
+    multi = pca_project_topk(emb, k=2, n_iterations=2).collect()
+    comp0 = {
+        r.vec_id: (r.score, r.whitened) for r in multi if r.component == 0
+    }
+    assert comp0 == single
+    s0 = np.array([r.score for r in sorted(
+        (r for r in multi if r.component == 0), key=lambda r: r.vec_id)])
+    s1 = np.array([r.score for r in sorted(
+        (r for r in multi if r.component == 1), key=lambda r: r.vec_id)])
+    denom = np.linalg.norm(s0) * np.linalg.norm(s1)
+    assert abs(float(s0 @ s1)) / denom < 0.05  # near-orthogonal scores
+
+
 def test_pca_project_matches_numpy(spark):
     """pca_project == numpy running the identical scaled-long steps,
     and the whitened column is score/sqrt(lambda-hat)."""

@@ -76,6 +76,14 @@ EXPECTATIONS = {
     "bm25_search": ["TakeOrderedAndProject", "HashAggregate"],
     # BPE pairs: per-row zip_with behind Generate; distributed top-k
     "bpe_merge_candidates": ["TakeOrderedAndProject", "Generate"],
+    # multi-probe BM25: query vocabulary and term->query expansion
+    # ride broadcasts; per-query top-k is a rank window (keyed
+    # exchange on query_id), never a global sort
+    "bm25_multi_query": ["BroadcastHashJoin", "Window", "HashAggregate"],
+    # multi-component PCA: the deflated frames are checkpoint scans,
+    # but the final assembly must still broadcast the scalar
+    # eigenvalue/trace frames into the component projection
+    "pca_topk_components": ["BroadcastNestedLoopJoin", "Union"],
 }
 
 
