@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "bm25_search",
     "bm25_multi_query",
     "bpe_train_steps",
+    "bpe_train_vocab",
 ]
 
 

@@ -76,6 +76,11 @@ from convoy_spark.queries import (  # noqa: F401,E402
 #        window_funcs       (extension surface with no §2 row, four
 #                            rounds driver-green; the pivot_matrix
 #                            precedent — stays emulator-checked)
+# Round-5 late swap: bpe_train_vocab (the CLASSIC word-frequency
+# Sennrich trainer — one corpus pass + vocab-table rounds, the
+# scalable form) replaces bpe_train_steps in the window; the
+# corpus-stream variant stays emulator-checked (same merge-pick +
+# greedy-apply machinery, different symbol alphabet).
 _CHECK_WINDOW = [
     # §2.3/§2.8 aggregates + SQL front door (two_pass_mad is past the
     # window: A6/P13 two-pass MAD is proven by tree_metric_mad)
@@ -150,8 +155,8 @@ _CHECK_WINDOW = [
     "top_k_ordered",
     "union_dedup",
     "dedup_first_wins",
-    # tokenizer-training loop (iterated BPE merge application)
-    "bpe_train_steps",
+    # tokenizer-training loop (classic word-frequency BPE trainer)
+    "bpe_train_vocab",
 ]
 
 

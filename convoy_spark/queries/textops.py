@@ -16,6 +16,7 @@ from convoy_spark.operators.textops import (
     bm25_search_multi,
     bpe_merge_candidates,
     bpe_train_steps,
+    bpe_train_vocab,
     BPE_RE,
     LANGID_TOP_K,
     PII_STEPS,
@@ -629,6 +630,101 @@ def _bpe_train_oracle(n_steps: int) -> str:
     ]
     return "WITH " + ",\n    ".join(ctes) + "\n    " + "\n    UNION ALL ".join(
         selects
+    )
+
+
+BPE_VOCAB_MERGES = 4
+
+
+def _bpe_vocab_oracle(n_merges: int) -> str:
+    """The word-frequency BPE trainer unrolled: like
+    :func:`_bpe_train_oracle` but the stream is per-WORD character
+    symbols carrying the word's corpus frequency, pair counts are
+    SUM(freq), and merged symbols concatenate without a joiner."""
+    ctes = [
+        f"""v AS MATERIALIZED (
+      SELECT token AS word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        SELECT unnest(string_split_regex(lower(text), '{WS_SPLIT}')) AS token
+        FROM documents
+      ) WHERE token <> '' GROUP BY token
+    )""",
+        """s0 AS MATERIALIZED (
+      SELECT word, freq, CAST(i AS BIGINT) AS p,
+             substring(word, CAST(i AS INT), 1) AS sym
+      FROM v, unnest(generate_series(1, length(word))) AS u(i)
+    )""",
+    ]
+    for r in range(n_merges):
+        ctes.append(
+            f"""pr{r} AS MATERIALIZED (
+      SELECT word, freq, p, sym,
+             lead(sym) OVER (PARTITION BY word ORDER BY p) AS nxt
+      FROM s{r}
+    )"""
+        )
+        ctes.append(
+            f"""top{r} AS MATERIALIZED (
+      SELECT sym AS l, nxt AS r, CAST(SUM(freq) AS BIGINT) AS c
+      FROM pr{r} WHERE nxt IS NOT NULL
+      GROUP BY sym, nxt ORDER BY c DESC, l ASC, r ASC LIMIT 1
+    )"""
+        )
+        if r < n_merges - 1:
+            ctes.append(
+                f"""occ{r} AS (
+      SELECT pr.word, pr.p
+      FROM pr{r} pr, top{r} t WHERE pr.sym = t.l AND pr.nxt = t.r
+    )"""
+            )
+            ctes.append(
+                f"""sel{r} AS MATERIALIZED (
+      SELECT word, p FROM (
+        SELECT word, p,
+               row_number() OVER (PARTITION BY word, g ORDER BY p) AS rn
+        FROM (
+          SELECT word, p,
+                 p - row_number() OVER (PARTITION BY word ORDER BY p) AS g
+          FROM occ{r}
+        )
+      ) WHERE rn % 2 = 1
+    )"""
+            )
+            ctes.append(
+                f"""s{r + 1} AS MATERIALIZED (
+      SELECT word, freq,
+             row_number() OVER (PARTITION BY word ORDER BY p) AS p, sym
+      FROM (
+        SELECT s.word, s.freq, s.p,
+               CASE WHEN sel.p IS NOT NULL
+                    THEN (SELECT l || r FROM top{r})
+                    ELSE s.sym END AS sym
+        FROM s{r} s
+        LEFT JOIN sel{r} sel ON s.word = sel.word AND s.p = sel.p
+        LEFT JOIN sel{r} cons ON s.word = cons.word AND s.p = cons.p + 1
+        WHERE cons.p IS NULL
+      )
+    )"""
+            )
+    selects = [
+        f'SELECT CAST({r} AS INT) AS step, l AS "left", r AS "right",'
+        f" c AS n_occurrences FROM top{r}"
+        for r in range(n_merges)
+    ]
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + "\n    UNION ALL ".join(
+        selects
+    )
+
+
+@query("bpe_train_vocab", oracle=_bpe_vocab_oracle(BPE_VOCAB_MERGES))
+def bpe_train_vocab_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{BPE_VOCAB_MERGES} merges of the CLASSIC word-frequency BPE
+    trainer: one corpus pass to (word, freq), then every round counts
+    freq-weighted adjacent character-symbol pairs over the VOCAB
+    table, picks the top merge, greedily applies it per word — the
+    scalable tokenizer-training shape (corpus touched once). Oracle:
+    fixed-depth unrolled window formulation, freq-weighted."""
+    return bpe_train_vocab(
+        load_table(spark, sf_dir, "documents"), n_merges=BPE_VOCAB_MERGES
     )
 
 

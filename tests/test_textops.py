@@ -138,6 +138,25 @@ def test_bpe_train_steps_applies_merges(spark):
     assert got[1] == (1, "c", "b", 2)
 
 
+def test_bpe_train_vocab_sennrich_example(spark):
+    """The classic word-frequency trainer on a Sennrich-style toy
+    vocab (low×3, lower×2, newest×1): freq-weighted counts, char
+    symbols, deterministic tie-breaks."""
+    from convoy_spark.operators.textops import bpe_train_vocab
+
+    docs = spark.createDataFrame(
+        [(1, "low low low"), (2, "lower lower"), (3, "newest")],
+        "doc_id long, text string",
+    )
+    got = [
+        (r.step, r.left, r.right, r.n_occurrences)
+        for r in bpe_train_vocab(docs, n_merges=3).collect()
+    ]
+    # round 0: (l,o)=5 ties (o,w)=5 → left-asc tie-break picks (l,o).
+    # round 1: (lo,w)=5. round 2: (low,e)=2 ties (e,r)=2 → (e,r).
+    assert got == [(0, "l", "o", 5), (1, "lo", "w", 5), (2, "e", "r", 2)]
+
+
 def test_bm25_multi_query_matches_single(spark):
     """Per-query results of the multi-query form == running the
     single-query operator per term list (same corpus stats)."""
