@@ -1,0 +1,95 @@
+"""Streaming inverted index: incremental builds (any chunking, any
+order) must yield BM25 results identical to the batch multi-query
+operator over the full corpus; re-delivery is idempotent; checkpoint
+resume adds nothing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from convoy_spark.operators.textops import bm25_search_multi
+from convoy_spark.streaming.index import (
+    bm25_over_index,
+    run_incremental_index,
+)
+from convoy_spark.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+QUERIES = [
+    (0, "spark"), (0, "stream"), (0, "vector"),
+    (1, "data"), (1, "query"),
+]
+
+
+def _qdf(spark):
+    return spark.createDataFrame(QUERIES, "query_id long, term string")
+
+
+def _want(spark):
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    return sorted(
+        (r.query_id, r.doc_id, r.score, r.n_hit_terms)
+        for r in bm25_search_multi(docs, _qdf(spark), top_k=20).collect()
+    )
+
+
+def _build_index(spark, tmp_path, chunks, tag):
+    landing = tmp_path / f"landing_{tag}"
+    landing.mkdir()
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    for i, (lo, hi) in enumerate(chunks):
+        chunk = docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        )
+        chunk.coalesce(1).write.mode("overwrite").parquet(
+            str(landing / f"chunk{i}")
+        )
+        run_incremental_index(
+            spark,
+            str(landing / f"chunk{i}"),
+            str(tmp_path / f"ckpt_{tag}_{i}"),
+            str(tmp_path / f"state_{tag}"),
+        )
+    return str(tmp_path / f"state_{tag}")
+
+
+def _got(spark, state):
+    return sorted(
+        (r.query_id, r.doc_id, r.score, r.n_hit_terms)
+        for r in bm25_over_index(spark, state, _qdf(spark), top_k=20).collect()
+    )
+
+
+def test_incremental_index_bm25_equals_corpus(spark, tmp_path):
+    want = _want(spark)
+    assert want, "no query terms in the corpus at this SF?"
+    state = _build_index(
+        spark, tmp_path, [(0, 25), (25, 60), (60, 10_000)], "fwd"
+    )
+    assert _got(spark, state) == want
+
+
+def test_out_of_order_and_redelivery_idempotent(spark, tmp_path):
+    """Later chunk re-delivers earlier ids (overlap [10, 40)): the
+    anti-join keeps the index single-copy, so scores still equal the
+    batch corpus run."""
+    want = _want(spark)
+    state = _build_index(
+        spark, tmp_path, [(10, 10_000), (0, 40)], "redeliver"
+    )
+    assert _got(spark, state) == want
+
+
+def test_checkpoint_resume_adds_nothing(spark, tmp_path):
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    landing = tmp_path / "landing_resume"
+    docs.coalesce(1).write.mode("overwrite").parquet(str(landing))
+    for _ in range(2):  # second drain must be a no-op
+        run_incremental_index(
+            spark,
+            str(landing),
+            str(tmp_path / "ckpt_resume"),
+            str(tmp_path / "state_resume"),
+        )
+    n = spark.read.parquet(str(tmp_path / "state_resume" / "doclens")).count()
+    assert n == docs.count()
