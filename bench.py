@@ -163,7 +163,12 @@ def main() -> None:
     fast_timings: dict[str, float] = {}
     numeric.EXACT_DEFAULT = False
     try:
-        for name in ("pricing_summary", "flagship_conversation_rollup"):
+        for name in (
+            "pricing_summary",
+            "flagship_conversation_rollup",
+            "pca_top_component",
+            "pca_topk_components",
+        ):
             if name not in QUERIES or name not in names:
                 continue
             QUERIES[name](spark, sf_dir).write.format("noop").mode(

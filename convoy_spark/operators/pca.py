@@ -67,7 +67,18 @@ PSCALE = 1 << 40
 
 def _xsum(col):
     """Exact scaled-long sum of a double expression → double.
-    Deterministic on any engine / any partitioning / any order."""
+    Deterministic on any engine / any partitioning / any order.
+
+    Honors the ``CONVOY_EXACT_AGG`` production profile
+    (functions/numeric.py contract note): under the fast profile the
+    PCA family accumulates plain doubles — the iterate is then only
+    float-reproducible, not bit-identical across engines (the oracle
+    always runs the exact profile; profile agreement is pytest-gated
+    within float tolerance like the other numeric aggregates)."""
+    from convoy_spark.functions import numeric
+
+    if not numeric.EXACT_DEFAULT:
+        return F.sum(col)
     q = F.floor(col * PSCALE).cast("decimal(38,0)")
     return F.sum(q).cast("double") / PSCALE
 

@@ -14,7 +14,13 @@ from convoy_spark.queries import QUERIES
 
 SF_DIR = "/root/testdata/sf0.01"
 
-FLOAT_QUERIES = ["pricing_summary", "flagship_conversation_rollup"]
+FLOAT_QUERIES = [
+    "pricing_summary",
+    "flagship_conversation_rollup",
+    # round 5: the PCA family's _xsum joins the profile switch — the
+    # fast path runs the same power iteration on plain double sums
+    "pca_top_component",
+]
 
 
 @pytest.mark.parametrize("name", FLOAT_QUERIES)
