@@ -33,6 +33,7 @@ from convoy_spark.operators.dedup import (
     jaccard_pairs,
     minhash_lsh_neardup,
     minhash_signatures,
+    shingle_hashes,
     simhash_neardup,
 )
 from convoy_spark.queries.catalog import query
@@ -494,6 +495,89 @@ def split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             & ((F.col("split_a") == "train") | (F.col("split_b") == "train"))
         )
         .select("doc_a", "doc_b", "split_a", "split_b", "jaccard")
+    )
+
+
+NGRAM_CONTAM_N = 13  # GPT-3-style exact 13-gram overlap check
+NGRAM_CONTAM_CAP = 64  # stop-gram cap: boilerplate n-grams carry no signal
+
+
+@query(
+    "ngram_contamination",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '{WS_SPLIT}') AS t
+      FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, t,
+             unnest(generate_series(1, len(t) - {NGRAM_CONTAM_N - 1})) AS i
+      FROM toks WHERE len(t) >= {NGRAM_CONTAM_N}
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(
+               t[CAST(i AS INT):CAST(i AS INT) + {NGRAM_CONTAM_N - 1}],
+               ' ') AS shingle
+      FROM idx
+    ),
+    g0 AS (SELECT doc_id, {sql_hash60('shingle')} AS h FROM sh),
+    ok AS (SELECT h FROM g0 GROUP BY h HAVING COUNT(*) <= {NGRAM_CONTAM_CAP}),
+    g AS (SELECT g0.* FROM g0 JOIN ok USING (h)),
+    b3 AS (
+      SELECT doc_id,
+             {sql_hash60(f"concat('{SPLIT_SALT}:', doc_id)")} % 100 AS bucket
+      FROM documents
+    ),
+    s AS (SELECT doc_id, {_SPLIT_CASE_SQL} AS split FROM b3),
+    tr AS (
+      SELECT g.doc_id, g.h FROM g JOIN s USING (doc_id)
+      WHERE s.split = 'train'
+    ),
+    ev AS (
+      SELECT g.doc_id, g.h, s.split FROM g JOIN s USING (doc_id)
+      WHERE s.split <> 'train'
+    )
+    SELECT tr.doc_id AS train_doc, ev.doc_id AS eval_doc,
+           ev.split AS eval_split, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM tr JOIN ev ON tr.h = ev.h
+    GROUP BY tr.doc_id, ev.doc_id, ev.split
+    """,
+)
+def ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram eval-contamination check — the GPT-3-style
+    complement to the MinHash `split_contamination` above: an eval
+    doc is contaminated if it shares ANY {NGRAM_CONTAM_N}-token exact
+    n-gram with a training doc (near-dup similarity can miss verbatim
+    quoted passages inside otherwise-different documents; this
+    catches exactly those). Reports every (train, eval) pair with the
+    count of distinct shared n-grams. Shape: distinct word-n-gram
+    hashes per doc (scan-side Generate), stop-gram cap > {
+    NGRAM_CONTAM_CAP} docs (boilerplate bound, same skew guard as the
+    substring and LSH joins — worst-case join cost cap²·|grams|),
+    then ONE hash equi-join between the train and eval posting sides
+    — never all-pairs, map-side split assignment."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = shingle_hashes(docs, n=NGRAM_CONTAM_N)
+    ok = (
+        g.groupBy("h")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") <= NGRAM_CONTAM_CAP)
+        .select("h")
+    )
+    gg = g.join(ok, "h", "left_semi")
+    s = docs.select("doc_id", _split_col().alias("split"))
+    gs = gg.join(s, "doc_id")
+    tr = gs.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc"), "h"
+    )
+    ev = gs.filter(F.col("split") != "train").select(
+        F.col("doc_id").alias("eval_doc"), F.col("split").alias("eval_split"), "h"
+    )
+    return (
+        tr.join(ev, "h")
+        .groupBy("train_doc", "eval_doc", "eval_split")
+        .agg(F.count("*").cast("long").alias("n_shared"))
     )
 
 

@@ -195,3 +195,38 @@ def test_substring_dup_pairs_short_docs_no_error(spark):
         [(1, "tiny"), (2, "also tiny"), (3, "")], DOCS_SCHEMA
     )
     assert substring_dup_pairs(docs).count() == 0
+
+
+def test_ngram_contamination_exact_overlap(spark):
+    """A verbatim >=13-token passage shared across the train/eval
+    boundary is caught; a 12-token overlap is not (the n-gram window
+    is exact, not fuzzy)."""
+    from convoy_spark.queries.dedup import _split_col, ngram_contamination
+    from convoy_spark.tables import load_table
+    import os, tempfile
+
+    # find ids on each side of the salted split
+    ids = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    ).select("doc_id", _split_col().alias("split"))
+    by_split = {}
+    for r in ids.collect():
+        by_split.setdefault(r.split, []).append(r.doc_id)
+    t1, t2 = by_split["train"][:2]
+    e1, e2 = (by_split.get("val", []) + by_split.get("test", []))[:2]
+
+    passage13 = " ".join(f"tok{i}" for i in range(13))
+    passage12 = " ".join(f"alt{i}" for i in range(12))
+    rows = [
+        (t1, f"train doc one begins {passage13} and ends differently"),
+        (e1, f"completely other eval framing {passage13} closing words"),
+        (t2, f"second train document with {passage12} ending alpha"),
+        (e2, f"second eval document has {passage12} finale beta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        got = ngram_contamination(spark, d).collect()
+    pairs = {(r.train_doc, r.eval_doc) for r in got}
+    assert (t1, e1) in pairs
+    assert (t2, e2) not in pairs  # only 12 shared tokens

@@ -190,3 +190,51 @@ def test_tree_stats_invariants(spark, edges):
             assert 1.0 <= r.mean_leaf_depth <= r.max_depth
         else:
             assert r.mean_leaf_depth == 0.0 and r.max_depth == 0
+
+
+def _py_greedy_merge(syms: list[str], left: str, right: str) -> list[str]:
+    """Greedy left-to-right single-merge application — the reference
+    semantics the engine's aggregate fold and the oracle's odd-parity
+    run selection must both equal."""
+    out: list[str] = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+@given(
+    st.lists(st.sampled_from("ab"), min_size=0, max_size=14),
+    st.sampled_from(["aa", "ab", "ba", "bb"]),
+)
+@settings(max_examples=20, deadline=None)
+def test_bpe_greedy_fold_matches_python_reference(spark, syms, pair):
+    """The JVM aggregate fold inside bpe_train_vocab must equal the
+    pure-Python greedy scan for EVERY symbol sequence over a binary
+    alphabet — including the overlapping left==right runs where the
+    odd-parity subtlety lives."""
+    from pyspark.sql import functions as F
+
+    left, right = pair[0], pair[1]
+    df = spark.createDataFrame([([*syms],)], "syms array<string>")
+    l, r, m = F.lit(left), F.lit(right), F.lit(left + right)
+    folded = df.select(
+        F.aggregate(
+            "syms",
+            F.expr("cast(array() as array<string>)"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == l)
+                & (x == r),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(m)
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        ).alias("out")
+    ).first()
+    assert folded.out == _py_greedy_merge(syms, left, right), (syms, pair)
