@@ -178,6 +178,38 @@ def pca_top_component(
     )
 
 
+def _deflation_iterates(centered: DataFrame, mu: DataFrame, k: int, n_iterations: int):
+    """Yield ``(comp, v, nrm, s)`` for components 0..k−1: the power
+    iterate and norm over the comp-times-deflated frame, plus ``s`` —
+    the exact-sum projection scores (vec_id, s) of that deflated
+    frame onto v. Deflation (y ← y − s·v, checkpointed) happens
+    between yields. The SINGLE definition of the deflation loop —
+    :func:`pca_topk_components` (components) and
+    :func:`pca_project_topk` (scores) both consume it; ``s`` is a
+    lazy frame, so a consumer that ignores the last component's
+    scores never pays for them."""
+    y = centered
+    for comp in range(k):
+        v, nrm = _power_iterate(y, mu, n_iterations)
+        s = (
+            y.join(F.broadcast(v), "d")
+            .groupBy("vec_id")
+            .agg(_xsum(F.col("y") * F.col("v")).alias("s"))
+        )
+        yield comp, v, nrm, s
+        if comp < k - 1:
+            y = (
+                y.join(s, "vec_id")
+                .join(F.broadcast(v), "d")
+                .select(
+                    "vec_id",
+                    "d",
+                    (F.col("y") - F.col("s") * F.col("v")).alias("y"),
+                )
+                .localCheckpoint(eager=False)
+            )
+
+
 def pca_topk_components(
     vectors: DataFrame,
     k: int = 3,
@@ -210,34 +242,17 @@ def pca_topk_components(
     """
     centered, mu = _centered(vectors, vec_col, id_col)
     trace = centered.agg(_xsum(F.col("y") * F.col("y")).alias("trace"))
-    y = centered
-    outs = []
-    for comp in range(k):
-        v, nrm = _power_iterate(y, mu, n_iterations)
-        outs.append(
-            v.crossJoin(F.broadcast(nrm)).select(
-                F.lit(comp).alias("component"),
-                "d",
-                F.col("v").alias("loading"),
-                F.col("nrm").alias("eigenvalue"),
-            )
+    outs = [
+        v.crossJoin(F.broadcast(nrm)).select(
+            F.lit(comp).alias("component"),
+            "d",
+            F.col("v").alias("loading"),
+            F.col("nrm").alias("eigenvalue"),
         )
-        if comp < k - 1:
-            s = (
-                y.join(F.broadcast(v), "d")
-                .groupBy("vec_id")
-                .agg(_xsum(F.col("y") * F.col("v")).alias("s"))
-            )
-            y = (
-                y.join(s, "vec_id")
-                .join(F.broadcast(v), "d")
-                .select(
-                    "vec_id",
-                    "d",
-                    (F.col("y") - F.col("s") * F.col("v")).alias("y"),
-                )
-                .localCheckpoint(eager=False)
-            )
+        for comp, v, nrm, _s in _deflation_iterates(
+            centered, mu, k, n_iterations
+        )
+    ]
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
@@ -274,36 +289,19 @@ def pca_project_topk(
     one sc CTE per component to the same unrolled deflation chain).
     """
     centered, mu = _centered(vectors, vec_col, id_col)
-    y = centered
-    outs = []
-    for comp in range(k):
-        v, nrm = _power_iterate(y, mu, n_iterations)
-        s = (
-            y.join(F.broadcast(v), "d")
-            .groupBy("vec_id")
-            .agg(_xsum(F.col("y") * F.col("v")).alias("score"))
+    outs = [
+        s.crossJoin(F.broadcast(nrm)).select(
+            "vec_id",
+            F.lit(comp).alias("component"),
+            F.col("s").alias("score"),
+            F.when(F.col("nrm") == 0.0, F.lit(0.0))
+            .otherwise(F.col("s") / F.sqrt(F.col("nrm")))
+            .alias("whitened"),
         )
-        outs.append(
-            s.crossJoin(F.broadcast(nrm)).select(
-                "vec_id",
-                F.lit(comp).alias("component"),
-                "score",
-                F.when(F.col("nrm") == 0.0, F.lit(0.0))
-                .otherwise(F.col("score") / F.sqrt(F.col("nrm")))
-                .alias("whitened"),
-            )
+        for comp, _v, nrm, s in _deflation_iterates(
+            centered, mu, k, n_iterations
         )
-        if comp < k - 1:
-            y = (
-                y.join(s.select("vec_id", F.col("score").alias("s")), "vec_id")
-                .join(F.broadcast(v), "d")
-                .select(
-                    "vec_id",
-                    "d",
-                    (F.col("y") - F.col("s") * F.col("v")).alias("y"),
-                )
-                .localCheckpoint(eager=False)
-            )
+    ]
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)

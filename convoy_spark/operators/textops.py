@@ -630,65 +630,29 @@ def bm25_search(
     )
 
 
-def bm25_search_multi(
-    docs: DataFrame,
-    queries: DataFrame,
-    top_k: int = 20,
+def bm25_score_postings(
+    tf: DataFrame,
+    dl: DataFrame,
+    q: DataFrame,
+    top_k: int,
     k1: float = BM25_K1,
     b: float = BM25_B,
 ) -> DataFrame:
-    """(query_id, doc_id, score, n_hit_terms) — top-``top_k`` docs per
-    query by BM25, for a query TABLE (query_id, term): the
-    pipeline-shaped form of :func:`bm25_search` that scores MANY
-    probes in one corpus pass instead of one fixed Python term list
-    per job.
-
-    Same exactness contracts as bm25_search (rational idf,
-    decimal-exact per-(query, doc) score sums, integer-derived
-    dl/avgdl). Shape at 100 TB:
-
-    - the corpus token stream is filtered by a BROADCAST semi join on
-      the distinct query vocabulary BEFORE the tf aggregation — the
-      shuffled volume is the union of posting lists, never the corpus,
-      regardless of how many queries ride along;
-    - df/avgdl stats ride broadcasts; the doc-length table is
-      semi-join-PRUNED to posting docs before its join (the round-4
-      verdict's unpruned-dl finding, fixed here and in bm25_search);
-    - per-(term → query) expansion is a broadcast join against the
-      tiny query table;
-    - ranking is one row_number window partitioned BY QUERY — a keyed
-      shuffle on query_id over scored candidates only, no global sort.
-    """
+    """(query_id, doc_id, score, n_hit_terms) — the BM25 scoring
+    chain from prepared frames: ``tf`` (doc_id, token, tf) already
+    restricted to the query vocabulary, ``dl`` (doc_id, dl) over ALL
+    docs, ``q`` (query_id, token) lowercased-distinct. The SINGLE
+    definition of the scoring math — corpus-pass callers
+    (:func:`bm25_search_multi`) and index-backed callers
+    (streaming/index.py::bm25_over_index) both delegate here, so the
+    formula cannot drift between them. Exactness contracts per
+    :func:`bm25_search`; df/N/avgdl broadcast, doc-length table
+    semi-join-pruned to posting docs, per-query row_number top-k."""
     from convoy_spark.functions.numeric import dsum
-    from convoy_spark.operators.dedup import doc_tokens
 
-    q = queries.select(
-        "query_id", F.lower(F.col("term")).alias("token")
-    ).distinct()
-    vocab = q.select("token").distinct()
-
-    tk = doc_tokens(docs)
-    dl = tk.groupBy("doc_id").agg(F.count("*").alias("dl"))
     stats = dl.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("total_len")
     )
-    # Vocabulary filter, adaptively: a SMALL vocabulary (the common
-    # probe-set case) is collected and inlined as an isin predicate —
-    # codegen evaluates it inside the scan stage, measurably cheaper
-    # than a broadcast-hash-join probe per token row (sf1.0: 2.2 s vs
-    # 2.8 s). A large query table falls back to the broadcast semi
-    # join, which scales to any vocabulary. The limit(N+1) probe
-    # touches N+1 rows of a tiny distinct frame, same scalar-probe
-    # pattern as the closure convergence check.
-    ISIN_MAX = 256
-    head = [r.token for r in vocab.limit(ISIN_MAX + 1).collect()]
-    if len(head) <= ISIN_MAX:
-        filtered = tk.filter(F.col("token").isin(head))
-    else:
-        filtered = tk.join(F.broadcast(vocab), "token", "left_semi")
-    tf = filtered.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    # posting-pruned doc lengths: only docs that matched some query
-    # term can score, so never shuffle the other N-|postings| lengths.
     dl_p = dl.join(tf.select("doc_id").distinct(), "doc_id", "left_semi")
     df_tbl = tf.groupBy("token").agg(F.count("*").alias("df"))
     scored = (
@@ -735,6 +699,64 @@ def bm25_search_multi(
         .filter(F.col("_rk") <= top_k)
         .select("query_id", "doc_id", "score", "n_hit_terms")
     )
+
+
+def bm25_search_multi(
+    docs: DataFrame,
+    queries: DataFrame,
+    top_k: int = 20,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """(query_id, doc_id, score, n_hit_terms) — top-``top_k`` docs per
+    query by BM25, for a query TABLE (query_id, term): the
+    pipeline-shaped form of :func:`bm25_search` that scores MANY
+    probes in one corpus pass instead of one fixed Python term list
+    per job.
+
+    Same exactness contracts as bm25_search (rational idf,
+    decimal-exact per-(query, doc) score sums, integer-derived
+    dl/avgdl). Shape at 100 TB:
+
+    - the corpus token stream is filtered by a BROADCAST semi join on
+      the distinct query vocabulary BEFORE the tf aggregation — the
+      shuffled volume is the union of posting lists, never the corpus,
+      regardless of how many queries ride along;
+    - df/avgdl stats ride broadcasts; the doc-length table is
+      semi-join-PRUNED to posting docs before its join (the round-4
+      verdict's unpruned-dl finding, fixed here and in bm25_search);
+    - per-(term → query) expansion is a broadcast join against the
+      tiny query table;
+    - ranking is one row_number window partitioned BY QUERY — a keyed
+      shuffle on query_id over scored candidates only, no global sort
+      (the scoring chain itself is :func:`bm25_score_postings`,
+      shared with the streaming index's query path).
+    """
+    from convoy_spark.operators.dedup import doc_tokens
+
+    q = queries.select(
+        "query_id", F.lower(F.col("term")).alias("token")
+    ).distinct()
+    vocab = q.select("token").distinct()
+
+    tk = doc_tokens(docs)
+    dl = tk.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # Vocabulary filter, adaptively: a SMALL vocabulary (the common
+    # probe-set case) is collected and inlined as an isin predicate —
+    # codegen evaluates it inside the scan stage, measurably cheaper
+    # than a broadcast-hash-join probe per token row (sf1.0: 2.2 s vs
+    # 2.8 s). A large query table falls back to the broadcast semi
+    # join, which scales to any vocabulary. The limit(N+1) probe
+    # touches N+1 rows of a tiny distinct frame, same scalar-probe
+    # pattern as the closure convergence check.
+    ISIN_MAX = 256
+    head = [r.token for r in vocab.limit(ISIN_MAX + 1).collect()]
+    if len(head) <= ISIN_MAX:
+        filtered = tk.filter(F.col("token").isin(head))
+    else:
+        filtered = tk.join(F.broadcast(vocab), "token", "left_semi")
+    tf = filtered.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    return bm25_score_postings(tf, dl, q, top_k, k1, b)
 
 
 def bpe_train_steps(docs: DataFrame, n_steps: int = 4) -> DataFrame:

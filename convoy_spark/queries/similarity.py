@@ -403,35 +403,40 @@ def _pca_oracle(n_iterations: int = PCA_ITERATIONS) -> str:
     )
 
 
-def _pca_topk_oracle(k: int, n_iterations: int) -> str:
-    """Deflation unrolled: component i runs a full power loop (suffix
-    _k{i}) over frame c_k{i} (c_k0 = c); between components the frame
-    deflates by the finished iterate, y ← y − s·v (sd_k{i} is the
-    exact-sum projection score). Mirrors operators.pca::
-    pca_topk_components CTE-for-aggregation."""
-    n = n_iterations
+def _deflation_ctes(k: int, n: int, last_s: bool = False) -> list[str]:
+    """The unrolled deflation chain shared by both deflation oracles:
+    component i runs a full power loop (suffix _k{i}) over frame
+    c_k{i} (c_k0 = c); between components the frame deflates by the
+    finished iterate, y ← y − s·v, with sd_k{i} the exact-sum
+    projection score. ``last_s`` adds the final component's sd CTE
+    (the projection oracle needs every component's scores; the
+    component oracle does not). Mirrors operators.pca::
+    _deflation_iterates CTE-for-aggregation.
+
+    MATERIALIZED: each deflated frame is referenced 2n+3 times by its
+    power loop + the next deflation; DuckDB's default inlining
+    re-evaluates the whole upstream chain per reference, which goes
+    EXPONENTIAL in k (the "too many open files" / CTE-re-eval
+    detonation BENCH_NOTES documents for the k=1 oracle). The
+    engine's localCheckpoint is the Spark-side analogue, so
+    materializing here is the faithful oracle restatement, not a
+    handicap on either side."""
     ctes = list(_PCA_BASE_CTES)
-    # MATERIALIZED: each deflated frame is referenced 2n+3 times by
-    # its power loop + the next deflation; DuckDB's default inlining
-    # re-evaluates the whole upstream chain per reference, which goes
-    # EXPONENTIAL in k (the "too many open files" / CTE-re-eval
-    # detonation BENCH_NOTES documents for the k=1 oracle). The
-    # engine's localCheckpoint is the Spark-side analogue, so
-    # materializing here is the faithful oracle restatement, not a
-    # handicap on either side.
     ctes.append("c_k0 AS MATERIALIZED (SELECT * FROM c)")
     for i in range(k):
         src = f"c_k{i}"
         ctes += _power_ctes(src, f"_k{i}", n)
-        if i < k - 1:
+        if i < k - 1 or last_s:
+            mat = " MATERIALIZED" if i < k - 1 else ""
             ctes.append(
-                f"""sd_k{i} AS (
+                f"""sd_k{i} AS{mat} (
       SELECT {src}.vec_id,
              {sql_xsum(f'{src}.y * v{n}_k{i}.v')} AS s
       FROM {src} JOIN v{n}_k{i} ON {src}.d = v{n}_k{i}.d
       GROUP BY {src}.vec_id
     )"""
             )
+        if i < k - 1:
             ctes.append(
                 f"""c_k{i + 1} AS MATERIALIZED (
       SELECT {src}.vec_id, {src}.d,
@@ -441,6 +446,12 @@ def _pca_topk_oracle(k: int, n_iterations: int) -> str:
       JOIN v{n}_k{i} ON {src}.d = v{n}_k{i}.d
     )"""
             )
+    return ctes
+
+
+def _pca_topk_oracle(k: int, n_iterations: int) -> str:
+    n = n_iterations
+    ctes = _deflation_ctes(k, n)
     ctes.append(f"tr AS (SELECT {sql_xsum('y * y')} AS trace FROM c)")
     selects = [
         f"""SELECT {i} AS component, v{n}_k{i}.d AS d,
@@ -456,44 +467,11 @@ def _pca_topk_oracle(k: int, n_iterations: int) -> str:
 
 
 def _pca_project_topk_oracle(k: int, n_iterations: int) -> str:
-    """The deflation chain of :func:`_pca_topk_oracle` already
-    computes component i's projection scores as sd_k{i} (i < k−1 —
-    the deflation needs them); this oracle reuses those and adds the
-    last component's sc CTE, then unions the per-component
-    (vec_id, score, whitened) selects."""
+    """The shared deflation chain with ``last_s`` — every component's
+    sd CTE exists — unioned into per-component (vec_id, score,
+    whitened) selects."""
     n = n_iterations
-    ctes = list(_PCA_BASE_CTES)
-    ctes.append("c_k0 AS MATERIALIZED (SELECT * FROM c)")
-    for i in range(k):
-        src = f"c_k{i}"
-        ctes += _power_ctes(src, f"_k{i}", n)
-        if i < k - 1:
-            ctes.append(
-                f"""sd_k{i} AS MATERIALIZED (
-      SELECT {src}.vec_id,
-             {sql_xsum(f'{src}.y * v{n}_k{i}.v')} AS s
-      FROM {src} JOIN v{n}_k{i} ON {src}.d = v{n}_k{i}.d
-      GROUP BY {src}.vec_id
-    )"""
-            )
-            ctes.append(
-                f"""c_k{i + 1} AS MATERIALIZED (
-      SELECT {src}.vec_id, {src}.d,
-             {src}.y - sd_k{i}.s * v{n}_k{i}.v AS y
-      FROM {src}
-      JOIN sd_k{i} ON {src}.vec_id = sd_k{i}.vec_id
-      JOIN v{n}_k{i} ON {src}.d = v{n}_k{i}.d
-    )"""
-            )
-        else:
-            ctes.append(
-                f"""sd_k{i} AS (
-      SELECT {src}.vec_id,
-             {sql_xsum(f'{src}.y * v{n}_k{i}.v')} AS s
-      FROM {src} JOIN v{n}_k{i} ON {src}.d = v{n}_k{i}.d
-      GROUP BY {src}.vec_id
-    )"""
-            )
+    ctes = _deflation_ctes(k, n, last_s=True)
     selects = [
         f"""SELECT sd_k{i}.vec_id, {i} AS component, sd_k{i}.s AS score,
            CASE WHEN n{n}_k{i}.nrm = 0 THEN 0.0

@@ -13,17 +13,22 @@ State: two persisted, append-only keyed stores
   normalizer).
 
 Per micro-batch: tokenize the batch (O(batch)), aggregate its
-(doc, token) term frequencies and doc lengths, append both. Docs
-already indexed are dropped first (first-crawl-wins, as in every
-other store here). Nothing is re-read at ingest time — ingest cost
-is O(batch).
+(doc, token) term frequencies and doc lengths, append both — EACH
+append fenced on its OWN store's doc membership (streaming/util.py
+crash-consistency contract: foreachBatch replays a crashed batch, and
+per-store fences make the replay append exactly what the crash lost,
+never a second copy — a doclens-keyed fence alone would double a
+doc's postings if the crash landed between the two appends). Docs
+already present in both stores are dropped up front
+(first-crawl-wins). Nothing is re-read at ingest time — ingest cost
+is O(batch) plus the store-membership key scans.
 
 Query time: :func:`bm25_over_index` computes the same scores as
 ``operators/textops.py::bm25_search_multi`` run over the full corpus
-— df from the postings of the query vocabulary only (the token-keyed
-store makes this a pushed-down key filter, never a corpus scan),
-N/avgdl from the doclens store, decimal-exact per-(query, doc) sums,
-per-query row_number top-k — and is tested index==corpus equal.
+— it delegates to the SAME ``bm25_score_postings`` scoring chain
+(one definition, no drift), feeding it the query-vocabulary slice of
+the postings store (a token-keyed filter, never a corpus scan) and
+the doclens store — and is tested index==corpus equal.
 
 100 TB posture: plain parquet here; on a cluster the postings store
 is written partitioned/bucketed BY TOKEN (so a query's posting lists
@@ -40,16 +45,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from convoy_spark.operators.dedup import doc_tokens
-from convoy_spark.streaming.dedup import stream_docs
+from convoy_spark.streaming.util import drain, load_store
 
 POSTINGS_SCHEMA = "token string, doc_id long, tf long"
 DOCLENS_SCHEMA = "doc_id long, dl long"
-
-
-def _load(spark: SparkSession, path: str, schema: str) -> DataFrame:
-    if os.path.isdir(path):
-        return spark.read.parquet(path)
-    return spark.createDataFrame([], schema)
 
 
 def apply_index_batch(
@@ -61,17 +60,29 @@ def apply_index_batch(
     postings_path = os.path.join(state_dir, "postings")
     doclens_path = os.path.join(state_dir, "doclens")
 
-    seen = _load(spark, doclens_path, DOCLENS_SCHEMA).select("doc_id")
-    batch = batch.join(seen, "doc_id", "left_anti")
+    p_seen = load_store(spark, postings_path, POSTINGS_SCHEMA).select(
+        "doc_id"
+    ).distinct()
+    d_seen = load_store(spark, doclens_path, DOCLENS_SCHEMA).select("doc_id")
 
-    tk = doc_tokens(batch).localCheckpoint()
+    tk = doc_tokens(
+        batch.join(
+            p_seen.join(d_seen, "doc_id", "left_semi"), "doc_id", "left_anti"
+        )
+    ).localCheckpoint()
     tf = (
         tk.groupBy("token", "doc_id")
         .agg(F.count("*").cast("long").alias("tf"))
     )
     dl = tk.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
-    tf.write.mode("append").parquet(postings_path)
-    dl.write.mode("append").parquet(doclens_path)
+    # per-store fences (see module docstring): a replayed batch
+    # re-appends only to the store the crash left incomplete.
+    tf.join(p_seen, "doc_id", "left_anti").write.mode("append").parquet(
+        postings_path
+    )
+    dl.join(d_seen, "doc_id", "left_anti").write.mode("append").parquet(
+        doclens_path
+    )
 
 
 def run_incremental_index(
@@ -83,16 +94,12 @@ def run_incremental_index(
     """Drain all document files present into the index stores; stop
     when caught up. Re-running with the same checkpoint processes
     only new files."""
-    docs = stream_docs(spark, landing_dir)
-    q = (
-        docs.writeStream.foreachBatch(
-            lambda b, _id: apply_index_batch(spark, b, state_dir)
-        )
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    drain(
+        spark,
+        landing_dir,
+        checkpoint_dir,
+        lambda b: apply_index_batch(spark, b, state_dir),
     )
-    q.awaitTermination()
 
 
 def bm25_over_index(
@@ -100,75 +107,38 @@ def bm25_over_index(
     state_dir: str,
     queries: DataFrame,
     top_k: int = 20,
-    k1: float = 1.2,
-    b: float = 0.75,
+    k1: float | None = None,
+    b: float | None = None,
 ) -> DataFrame:
     """(query_id, doc_id, score, n_hit_terms) — BM25 top-k per query
-    computed from the persisted index ALONE; same scoring chain as
-    ``bm25_search_multi`` over the corpus (rational idf, decimal-exact
-    sums), tested equal."""
-    from pyspark.sql import Window
+    computed from the persisted index ALONE, via the shared
+    :func:`~convoy_spark.operators.textops.bm25_score_postings`
+    scoring chain (tested equal to the corpus-pass operator)."""
+    from convoy_spark.operators.textops import (
+        BM25_B,
+        BM25_K1,
+        bm25_score_postings,
+    )
 
-    from convoy_spark.functions.numeric import dsum
-
-    postings = _load(
+    postings = load_store(
         spark, os.path.join(state_dir, "postings"), POSTINGS_SCHEMA
     )
-    doclens = _load(spark, os.path.join(state_dir, "doclens"), DOCLENS_SCHEMA)
-
+    doclens = load_store(
+        spark, os.path.join(state_dir, "doclens"), DOCLENS_SCHEMA
+    )
     q = queries.select(
         "query_id", F.lower(F.col("term")).alias("token")
     ).distinct()
-    vocab = q.select("token").distinct()
-    tf = postings.join(F.broadcast(vocab), "token", "left_semi")
-    stats = doclens.agg(
-        F.count("*").alias("n_docs"), F.sum("dl").alias("total_len")
+    tf = postings.join(
+        F.broadcast(q.select("token").distinct()), "token", "left_semi"
     )
-    dl_p = doclens.join(tf.select("doc_id").distinct(), "doc_id", "left_semi")
-    df_tbl = tf.groupBy("token").agg(F.count("*").alias("df"))
-    scored = (
-        tf.join(F.broadcast(df_tbl), "token")
-        .join(dl_p, "doc_id")
-        .join(F.broadcast(stats))
-        .withColumn(
-            "_idf",
-            (F.col("n_docs") - F.col("df") + F.lit(0.5))
-            / (F.col("df") + F.lit(0.5)),
-        )
-        .withColumn(
-            "_norm",
-            F.col("tf").cast("double") * (1.0 + k1)
-            / (
-                F.col("tf").cast("double")
-                + k1
-                * (
-                    1.0
-                    - b
-                    + b
-                    * (
-                        F.col("dl").cast("double")
-                        * F.col("n_docs").cast("double")
-                        / F.col("total_len").cast("double")
-                    )
-                )
-            ),
-        )
-    )
-    per_query = (
-        scored.join(F.broadcast(q), "token")
-        .groupBy("query_id", "doc_id")
-        .agg(
-            dsum(F.col("_idf") * F.col("_norm")).alias("score"),
-            F.count("*").cast("long").alias("n_hit_terms"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("doc_id").asc()
-    )
-    return (
-        per_query.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= top_k)
-        .select("query_id", "doc_id", "score", "n_hit_terms")
+    return bm25_score_postings(
+        tf,
+        doclens,
+        q,
+        top_k,
+        BM25_K1 if k1 is None else k1,
+        BM25_B if b is None else b,
     )
 
 

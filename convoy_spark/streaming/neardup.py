@@ -21,12 +21,16 @@ the candidate ids), emit pairs ≥ threshold, append the batch's bands
 and shingles to the stores. Every join is a keyed equi-join; nothing
 is ever all-pairs, and the per-batch work is O(batch + candidates).
 
-Emission is exactly-once per unordered pair: a pair is emitted by the
-batch that delivers its LATER member (both-in-batch pairs by that
-same batch), so no cross-batch duplicates are possible; re-delivery
-of a whole batch is fenced by the streaming checkpoint
-(``trigger(availableNow=True)`` + checkpointLocation, the same
-drain-and-resume contract as every incremental stage here).
+Emission is exactly-once per unordered pair in normal operation: a
+pair is emitted by the batch that delivers its LATER member
+(both-in-batch pairs by that same batch), so no cross-batch
+duplicates are possible; re-delivery of a whole batch is fenced by
+the streaming checkpoint (``trigger(availableNow=True)`` +
+checkpointLocation, the same drain-and-resume contract as every
+incremental stage here). A crash MID-batch replays that batch
+(foreachBatch is at-least-once — streaming/util.py contract): store
+appends are per-store fenced so state converges, and the replayed
+pairs re-emit with identical deterministic keys for sink-side dedup.
 
 Result parity: processing any chunking of a corpus in any order
 yields EXACTLY the batch operator's pair set (tested stream==batch in
@@ -58,16 +62,12 @@ from convoy_spark.operators.dedup import (
     minhash_signatures_wide,
     shingle_hashes,
 )
-from convoy_spark.streaming.dedup import DOC_STREAM_SCHEMA, stream_docs
+from convoy_spark.streaming.dedup import DOC_STREAM_SCHEMA  # noqa: F401 (re-export)
+from convoy_spark.streaming.util import drain, load_store
 
 BANDS_SCHEMA = "doc_id long, band int, key string"
 SHINGLES_SCHEMA = "doc_id long, h long"
 
-
-def _load(spark: SparkSession, path: str, schema: str) -> DataFrame:
-    if os.path.isdir(path):
-        return spark.read.parquet(path)
-    return spark.createDataFrame([], schema)
 
 
 def apply_neardup_batch(
@@ -86,18 +86,20 @@ def apply_neardup_batch(
     bands_path = os.path.join(state_dir, "bands")
     shingles_path = os.path.join(state_dir, "shingles")
 
-    hist_ids = _load(spark, bands_path, BANDS_SCHEMA).select(
-        "doc_id"
-    ).distinct()
+    hist_bands = load_store(spark, bands_path, BANDS_SCHEMA)
+    hist_ids = hist_bands.select("doc_id").distinct()
     # First-crawl-wins: a doc_id re-delivered in a LATER file (the
     # checkpoint only fences re-processing of the SAME file) is
     # dropped before sketching — otherwise it band-joins its own
     # historical sketch into a jaccard-1.0 self-pair, re-emits pairs
     # already emitted at first delivery, and double-appends its
     # band/shingle rows (inflating n_sh for every future jaccard).
-    # Exactly-once and completeness are preserved: its pairs vs older
-    # docs were emitted at first delivery, and newer docs pair with it
-    # through the store.
+    # Completeness is preserved: its pairs vs older docs were emitted
+    # at first delivery, and newer docs pair with it through the
+    # store. (Pair emission is exactly-once per delivered FILE;
+    # at-least-once if a crash lands mid-batch — streaming/util.py
+    # crash-consistency contract. The store appends below are
+    # per-store fenced so a replay converges the stores regardless.)
     batch = batch.join(hist_ids, "doc_id", "left_anti")
 
     b_sh = shingle_hashes(batch, n).localCheckpoint()
@@ -106,8 +108,6 @@ def apply_neardup_batch(
         num_hashes,
         rows_per_band,
     ).localCheckpoint()
-
-    hist_bands = _load(spark, bands_path, BANDS_SCHEMA)
 
     # Within-batch candidates (a < b), as in the batch operator.
     a = b_bands.select(F.col("doc_id").alias("doc_a"), "band", "key")
@@ -142,7 +142,7 @@ def apply_neardup_batch(
         .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    hist_sh = _load(spark, shingles_path, SHINGLES_SCHEMA).join(
+    hist_sh = load_store(spark, shingles_path, SHINGLES_SCHEMA).join(
         cand_ids, "doc_id", "left_semi"
     )
     sh = b_sh.unionByName(hist_sh)
@@ -175,10 +175,19 @@ def apply_neardup_batch(
     )
     pairs_sink(pairs)
 
-    # batch is fresh-only (anti-joined above), so plain appends keep
-    # the stores one-row-set-per-doc.
+    # Per-store-fenced appends, SHINGLES FIRST: the batch is already
+    # fresh w.r.t. the bands store (the processing fence above), but a
+    # crash between the two appends replays the batch — shingles-first
+    # plus the shingle store's own fence means a replay re-processes
+    # the doc (it is absent from bands) without duplicating its
+    # shingle rows, and both stores converge to one row-set per doc.
+    sh_seen = load_store(spark, shingles_path, SHINGLES_SCHEMA).select(
+        "doc_id"
+    ).distinct()
+    b_sh.join(sh_seen, "doc_id", "left_anti").write.mode("append").parquet(
+        shingles_path
+    )
     b_bands.write.mode("append").parquet(bands_path)
-    b_sh.write.mode("append").parquet(shingles_path)
 
 
 def run_incremental_neardup(
@@ -192,18 +201,14 @@ def run_incremental_neardup(
     """Drain all document files present, near-dup-checking each batch
     against the persisted sketch stores; stop when caught up.
     Re-running with the same checkpoint processes only new files."""
-    docs = stream_docs(spark, landing_dir)
-    q = (
-        docs.writeStream.foreachBatch(
-            lambda b, _id: apply_neardup_batch(
-                spark, b, state_dir, pairs_sink, min_jaccard
-            )
-        )
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    drain(
+        spark,
+        landing_dir,
+        checkpoint_dir,
+        lambda b: apply_neardup_batch(
+            spark, b, state_dir, pairs_sink, min_jaccard
+        ),
     )
-    q.awaitTermination()
 
 
 __all__ = [

@@ -4,20 +4,24 @@ exactly parallel to `streaming/neardup.py`'s band store: the gram
 store here plays the band store's role, with one extra piece of
 state semantics — the stop-gram cap maintained incrementally.
 
-State: one persisted, append-only keyed store
+State: two persisted, append-only keyed stores
 
-- ``grams``: (doc_id, gh) — every historical doc's distinct sampled
-  Horner char-k-gram hashes (operators.dedup.sampled_gram_hashes).
+- ``grams``: (doc_id, gh) — each historical doc's distinct sampled
+  Horner char-k-gram hashes (operators.dedup.sampled_gram_hashes),
+  LIVE grams only — bounded at ≤ cap posting rows per gram;
+- ``dead_grams``: (gh) — grams whose cumulative doc count crossed the
+  stop-gram cap; membership is permanent (counts are monotone).
 
-Per micro-batch: sample the batch's grams (O(batch)), count each
-TOUCHED gram's historical postings via a semi-join-pruned aggregation
-(O(batch posting lists), never the store's row set), drop grams whose
-cumulative count (history + batch) exceeds the cap, equi-join batch ×
-(batch ∪ pruned history) on the surviving grams, count distinct
-shared grams per pair, emit pairs ≥ ``min_shared``, append the batch's
-grams (capped ones INCLUDED — the count must keep growing so the cap
-stays monotone). Every join is keyed; per-batch work is
-O(batch + candidates).
+Per micro-batch: sample the batch's grams (O(batch)) and drop DEAD
+grams up front, count each touched live gram's historical postings
+via a semi-join-pruned aggregation (≤ cap rows per gram by the store
+bound — never the store's row set), drop grams whose cumulative count
+(history + batch) exceeds the cap (appending those to the dead set),
+equi-join batch × (batch ∪ pruned history) on the surviving grams,
+count distinct shared grams per pair, emit pairs ≥ ``min_shared``,
+append the surviving batch grams. The dead set is what keeps a
+boilerplate gram from costing O(corpus-so-far) per batch forever.
+Every join is keyed; per-batch work is O(batch + candidates).
 
 Cap semantics, incremental: a gram is dead once its cumulative doc
 count exceeds ``cap``, and counts only grow, so a gram that crosses
@@ -34,7 +38,9 @@ shipped those drops downstream.
 Re-delivery: a doc_id already in the gram store is dropped before
 sketching (anti-join), as in streaming/neardup.py — no self-pairs, no
 double-appended postings, exactly-once pair emission by the batch
-that delivers the later member.
+that delivers the later member (at-least-once if a crash lands
+mid-batch — streaming/util.py crash-consistency contract; the
+dead-set and gram appends are anti-join-fenced so replays converge).
 
 100 TB posture: identical to the neardup stores — plain parquet here;
 on a cluster write the gram store ``bucketBy(gh)`` (or a Delta table
@@ -57,15 +63,11 @@ from convoy_spark.operators.dedup import (
     SUBSTR_MOD,
     sampled_gram_hashes,
 )
-from convoy_spark.streaming.dedup import stream_docs
+from convoy_spark.streaming.util import drain, load_store
 
 GRAMS_SCHEMA = "doc_id long, gh long"
+DEAD_SCHEMA = "gh long"
 
-
-def _load(spark: SparkSession, path: str, schema: str) -> DataFrame:
-    if os.path.isdir(path):
-        return spark.read.parquet(path)
-    return spark.createDataFrame([], schema)
 
 
 def apply_substrdup_batch(
@@ -82,14 +84,28 @@ def apply_substrdup_batch(
     pairs against history + within the batch to ``pairs_sink(df)``,
     then append the batch's gram rows to the store."""
     grams_path = os.path.join(state_dir, "grams")
-    hist = _load(spark, grams_path, GRAMS_SCHEMA)
+    dead_path = os.path.join(state_dir, "dead_grams")
+    hist = load_store(spark, grams_path, GRAMS_SCHEMA)
+    dead = load_store(spark, dead_path, DEAD_SCHEMA)
 
     # first-crawl-wins: drop re-delivered doc_ids before sketching
     batch = batch.join(hist.select("doc_id"), "doc_id", "left_anti")
 
-    b_g = sampled_gram_hashes(batch, k, sample_mod).localCheckpoint()
+    # Live grams only: a gram that crossed the cap is in the DEAD set
+    # and can never produce pairs again (counts are monotone), so its
+    # batch occurrences are dropped up front AND never appended — this
+    # is what bounds the store at ≤ cap posting rows per gram and the
+    # per-batch hist_touch pull at O(cap · touched grams) FOREVER;
+    # without it a boilerplate gram's posting list (and the per-batch
+    # cost of counting it) would grow linearly for the stream's whole
+    # lifetime.
+    b_g = (
+        sampled_gram_hashes(batch, k, sample_mod)
+        .join(dead, "gh", "left_anti")
+        .localCheckpoint()
+    )
 
-    # Historical postings for ONLY the batch's grams (semi-join
+    # Historical postings for ONLY the batch's live grams (semi-join
     # pruning — a pair's shared grams all occur in the batch member's
     # gram set, so nothing outside these keys can matter).
     hist_touch = hist.join(
@@ -104,7 +120,7 @@ def apply_substrdup_batch(
         .unionByName(hist_touch.select("gh"))
         .groupBy("gh")
         .agg(F.count("*").alias("_n"))
-    )
+    ).localCheckpoint()
     ok = counts.filter(F.col("_n") <= cap).select("gh")
     b_ok = b_g.join(ok, "gh", "left_semi")
     h_ok = hist_touch.join(ok, "gh", "left_semi")
@@ -133,9 +149,15 @@ def apply_substrdup_batch(
     )
     pairs_sink(pairs)
 
-    # Append ALL batch grams, capped included: the cumulative count
-    # must keep growing so the cap stays monotone for future batches.
-    b_g.write.mode("append").parquet(grams_path)
+    # Grams crossing the cap THIS batch move to the dead set (anti-
+    # joined so a replayed batch converges instead of duplicating);
+    # only still-live grams append to the store, keeping it ≤ cap
+    # rows per gram.
+    newly_dead = counts.filter(F.col("_n") > cap).select("gh")
+    newly_dead.join(dead, "gh", "left_anti").write.mode("append").parquet(
+        dead_path
+    )
+    b_ok.write.mode("append").parquet(grams_path)
 
 
 def run_incremental_substrdup(
@@ -149,18 +171,14 @@ def run_incremental_substrdup(
     """Drain all document files present, substring-dup-checking each
     batch against the persisted gram store; stop when caught up.
     Re-running with the same checkpoint processes only new files."""
-    docs = stream_docs(spark, landing_dir)
-    q = (
-        docs.writeStream.foreachBatch(
-            lambda b, _id: apply_substrdup_batch(
-                spark, b, state_dir, pairs_sink, **kw
-            )
-        )
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    drain(
+        spark,
+        landing_dir,
+        checkpoint_dir,
+        lambda b: apply_substrdup_batch(
+            spark, b, state_dir, pairs_sink, **kw
+        ),
     )
-    q.awaitTermination()
 
 
 __all__ = [

@@ -14,24 +14,30 @@ from convoy_spark.queries import QUERIES
 
 SF_DIR = "/root/testdata/sf0.01"
 
+# (name, key width): leading identifier columns that uniquely key a
+# row — pca_topk rows are unique on (component, d), the others on
+# their first column (pricing's 2-col group key included via width 2).
 FLOAT_QUERIES = [
-    "pricing_summary",
-    "flagship_conversation_rollup",
+    ("pricing_summary", 2),
+    ("flagship_conversation_rollup", 1),
     # round 5: the PCA family's _xsum joins the profile switch — the
     # fast path runs the same power iteration on plain double sums
-    "pca_top_component",
+    # (both the k=1 and the deflation-chain forms, since bench
+    # publishes fast timings for both)
+    ("pca_top_component", 1),
+    ("pca_topk_components", 2),
 ]
 
 
-@pytest.mark.parametrize("name", FLOAT_QUERIES)
-def test_fast_profile_tracks_exact(spark, name, monkeypatch):
+@pytest.mark.parametrize("name,kw", FLOAT_QUERIES)
+def test_fast_profile_tracks_exact(spark, name, kw, monkeypatch):
     exact_rows = {
-        tuple(str(v) for v in row[:1]): row.asDict()
+        tuple(str(v) for v in row[:kw]): row.asDict()
         for row in QUERIES[name](spark, SF_DIR).collect()
     }
     monkeypatch.setattr(numeric, "EXACT_DEFAULT", False)
     fast_rows = {
-        tuple(str(v) for v in row[:1]): row.asDict()
+        tuple(str(v) for v in row[:kw]): row.asDict()
         for row in QUERIES[name](spark, SF_DIR).collect()
     }
     assert set(exact_rows) == set(fast_rows)

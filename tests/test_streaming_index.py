@@ -93,3 +93,36 @@ def test_checkpoint_resume_adds_nothing(spark, tmp_path):
         )
     n = spark.read.parquet(str(tmp_path / "state_resume" / "doclens")).count()
     assert n == docs.count()
+
+
+def test_partial_append_replay_converges(spark, tmp_path):
+    """Crash-consistency: a batch whose crash appended POSTINGS but
+    not DOCLENS must, on replay, fill only the missing store — both
+    stores end with exactly one copy per doc (per-store fences)."""
+    from convoy_spark.streaming.index import apply_index_batch
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "beta gamma")],
+        "doc_id long, text string",
+    )
+    state = str(tmp_path / "state_partial")
+    # simulate the crashed first attempt: postings written, doclens not
+    from convoy_spark.operators.dedup import doc_tokens
+    from pyspark.sql import functions as F
+
+    tk = doc_tokens(docs)
+    tk.groupBy("token", "doc_id").agg(
+        F.count("*").cast("long").alias("tf")
+    ).write.mode("append").parquet(f"{state}/postings")
+
+    # the replay
+    apply_index_batch(spark, docs, state)
+
+    postings = spark.read.parquet(f"{state}/postings")
+    doclens = spark.read.parquet(f"{state}/doclens")
+    dup = (
+        postings.groupBy("token", "doc_id").count().filter("count > 1").count()
+    )
+    assert dup == 0, "replay duplicated posting rows"
+    assert doclens.count() == 2  # both docs gained their length row
+    assert {r.doc_id for r in doclens.collect()} == {1, 2}

@@ -117,3 +117,30 @@ def test_checkpoint_resume_emits_nothing(spark, tmp_path):
         min_jaccard=MIN_J,
     )
     assert second == []
+
+
+def test_partial_append_replay_converges(spark, tmp_path):
+    """Crash-consistency: a batch whose crash appended SHINGLES but
+    not BANDS must, on replay, reprocess the doc (absent from the
+    bands-store processing fence) without duplicating its shingle
+    rows (shingle-store append fence)."""
+    from convoy_spark.operators.dedup import shingle_hashes
+    from convoy_spark.streaming.neardup import apply_neardup_batch
+
+    docs = spark.createDataFrame(
+        [(1, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string",
+    )
+    state = str(tmp_path / "state_partial")
+    # simulate the crashed first attempt: shingles written, bands not
+    shingle_hashes(docs, 3).write.mode("append").parquet(
+        f"{state}/shingles"
+    )
+
+    apply_neardup_batch(spark, docs, state, lambda df: df.collect())
+
+    sh = spark.read.parquet(f"{state}/shingles")
+    bands = spark.read.parquet(f"{state}/bands")
+    dup = sh.groupBy("doc_id", "h").count().filter("count > 1").count()
+    assert dup == 0, "replay duplicated shingle rows"
+    assert bands.filter("doc_id = 1").count() > 0  # bands healed

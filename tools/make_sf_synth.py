@@ -59,6 +59,15 @@ import pyarrow.parquet as pq
 ID_STRIDE = 10_000_000
 
 
+def _write_table(table: pa.Table, path: str) -> None:
+    """Write, NEVER through a symlink: an out dir from an older synth
+    version symlinked the relational tables to the SOURCE sf dir —
+    following that link would silently clobber the driver's testdata."""
+    if os.path.islink(path):
+        os.unlink(path)
+    pq.write_table(table, path)
+
+
 def _cipher_table(copy_idx: int) -> dict[int, int]:
     """Deterministic per-copy substitution cipher over a-z / A-Z /
     0-9 (case-aligned: 'a'→'q' implies 'A'→'Q', so lowercasing
@@ -91,7 +100,7 @@ def synth_documents(src: str, out: str, copies: int) -> int:
     import pandas as pd
 
     allp = pd.concat(frames, ignore_index=True)
-    pq.write_table(
+    _write_table(
         pa.Table.from_pandas(allp, preserve_index=False),
         os.path.join(out, "documents.parquet"),
     )
@@ -120,7 +129,7 @@ def synth_embeddings(src: str, out: str, copies: int) -> int:
             ("label", pa.int64()),
         ]
     )
-    pq.write_table(
+    _write_table(
         pa.Table.from_pandas(allp[["vec_id", "embedding", "label"]], schema=schema),
         os.path.join(out, "embeddings.parquet"),
     )
@@ -146,11 +155,11 @@ def synth_relational(src: str, out: str, copies: int) -> tuple[int, int]:
         lf.append(lc)
     oall = pd.concat(of, ignore_index=True)
     lall = pd.concat(lf, ignore_index=True)
-    pq.write_table(
+    _write_table(
         pa.Table.from_pandas(oall, preserve_index=False),
         os.path.join(out, "orders.parquet"),
     )
-    pq.write_table(
+    _write_table(
         pa.Table.from_pandas(lall, preserve_index=False),
         os.path.join(out, "lineitem.parquet"),
     )
