@@ -498,6 +498,91 @@ def split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from convoy_spark.operators.textops import STOPWORDS as _STOPWORDS  # noqa: E402
+
+_STOP_LIST_SQL = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
+
+
+@query(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {SHINGLES_SQL},
+    {MINHASH_SQL},
+    {LSH_PAIRS_SQL},
+    sym(src, dst) AS (
+      SELECT doc_a, doc_b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, src FROM (SELECT DISTINCT src FROM sym)
+      UNION
+      SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+    ),
+    comp AS (SELECT src AS doc_id, MIN(dst) AS comp_id FROM reach GROUP BY src),
+    qt AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '{WS_SPLIT}'),
+                         x -> x <> '') AS qtoks
+      FROM documents
+    ),
+    tq AS (
+      SELECT doc_id,
+        least(CAST(len(qtoks) AS DOUBLE) / 100.0, 1.0)
+        + CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+               AS DOUBLE) / length(text)
+        + least(CAST(len(list_filter(qtoks,
+                       x -> list_contains({_STOP_LIST_SQL}, x))) AS DOUBLE)
+                / len(qtoks) * 5.0, 1.0)
+        - CAST(length(regexp_replace(text, '[a-zA-Z0-9 \\t\\n\\x0b\\f\\r]',
+                                     '', 'g')) AS DOUBLE) / length(text)
+          AS quality_score
+      FROM qt
+    ),
+    cl AS (
+      SELECT d.doc_id, COALESCE(c.comp_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    )
+    SELECT cl.doc_id, cl.cluster_id, tq.quality_score,
+           row_number() OVER (
+             PARTITION BY cl.cluster_id
+             ORDER BY tq.quality_score DESC NULLS LAST, cl.doc_id ASC
+           ) = 1 AS is_kept
+    FROM cl JOIN tq ON cl.doc_id = tq.doc_id
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup canonicalization — what curation
+    pipelines actually execute: within each near-dup CLUSTER keep the
+    HIGHEST-QUALITY copy (composite quality_score from text_quality;
+    deterministic (score desc, doc_id) tie-break), not the first-seen
+    one. Composes three proven scale paths — the shared LSH pair
+    graph, min-label-propagation components, and the scan-side
+    quality score — into per-cluster argmax via one rank window
+    keyed on cluster_id. Past-window by design: the cluster machinery
+    is proven by in-window dedup_clusters; this is its keep-policy
+    variant."""
+    from convoy_spark.operators.closure import connected_components
+    from convoy_spark.operators.textops import text_quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    comp = connected_components(shared_lsh_pairs(spark, sf_dir))
+    q = text_quality(docs).select("doc_id", "quality_score")
+    base = (
+        docs.select("doc_id")
+        .join(comp, docs.doc_id == comp.node_id, "left")
+        .select(
+            "doc_id",
+            F.coalesce("component_id", "doc_id").alias("cluster_id"),
+        )
+        .join(q, "doc_id", "left")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc_nulls_last(), F.col("doc_id").asc()
+    )
+    return base.withColumn("is_kept", F.row_number().over(w) == 1)
+
+
 NGRAM_CONTAM_N = 13  # GPT-3-style exact 13-gram overlap check
 NGRAM_CONTAM_CAP = 64  # stop-gram cap: boilerplate n-grams carry no signal
 

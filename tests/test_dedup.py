@@ -230,3 +230,30 @@ def test_ngram_contamination_exact_overlap(spark):
     pairs = {(r.train_doc, r.eval_doc) for r in got}
     assert (t1, e1) in pairs
     assert (t2, e2) not in pairs  # only 12 shared tokens
+
+
+def test_dedup_keep_best_picks_higher_quality(spark):
+    """Within a planted near-dup cluster the kept copy is the higher
+    quality_score one (not the lower doc_id); singletons keep
+    themselves."""
+    import os, tempfile
+
+    from convoy_spark.queries.dedup import dedup_keep_best
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then walks "
+        "back home through the quiet green park before dinner time "
+        "with friends in the warm evening light near the old bridge "
+    ) * 5  # long shared body keeps pairwise Jaccard well above 0.8
+    rows = [
+        (1, base + "!!! ###"),       # noisy copy (punctuation tail)
+        (2, base + "calm night"),    # clean copy → higher quality
+        (3, "completely unrelated text about databases and queries"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        got = {r.doc_id: r for r in dedup_keep_best(spark, d).collect()}
+    assert got[1].cluster_id == got[2].cluster_id, "near-dups not clustered"
+    assert not got[1].is_kept and got[2].is_kept, "kept the noisier copy"
+    assert got[3].is_kept  # singleton
