@@ -205,6 +205,55 @@ def approx_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "approx_percentile_rollup",
+    oracle="""
+    SELECT event_type,
+      CAST(COUNT(*) AS BIGINT) AS n_events,
+      quantile_cont(value, 0.5) AS exact_p50,
+      quantile_cont(value, 0.99) AS exact_p99,
+      (abs(approx_quantile(value, 0.5) - quantile_cont(value, 0.5))
+         <= 0.05 * (quantile_cont(value, 0.99) - quantile_cont(value, 0.01))
+       AND
+       abs(approx_quantile(value, 0.99) - quantile_cont(value, 0.99))
+         <= 0.05 * (quantile_cont(value, 0.99) - quantile_cont(value, 0.01)))
+        AS approx_within_tol
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def approx_percentile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB variant of percentile_stats: mergeable quantile
+    SKETCHES (Spark's ``approx_percentile`` — Greenwald-Khanna/
+    KLL-family; DuckDB's ``approx_quantile`` — t-digest) instead of
+    the exact order statistic, whose group-wide sort/collect is the
+    thing that doesn't scale. Hash-checkable form follows
+    ``approx_distinct_rollup``: the checked columns are the EXACT
+    interpolated percentiles (value parity) plus a tolerance boolean —
+    each engine's OWN sketch must land within 5% of the group's
+    p01–p99 range of its own exact answer, so any sketch regression
+    on either engine flips the boolean into a hash mismatch. Raw
+    sketch values are engine-specific by nature (different sketch
+    families), exactly like HLL registers."""
+    events = load_table(spark, sf_dir, "events")
+    exact = F.percentile(
+        F.col("value"), F.array(F.lit(0.01), F.lit(0.5), F.lit(0.99))
+    )
+    approx = F.expr(
+        "approx_percentile(value, array(0.5D, 0.99D), 10000)"
+    )
+    spread = exact.getItem(2) - exact.getItem(0)
+    return events.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        exact.getItem(1).alias("exact_p50"),
+        exact.getItem(2).alias("exact_p99"),
+        (
+            (F.abs(approx.getItem(0) - exact.getItem(1)) <= 0.05 * spread)
+            & (F.abs(approx.getItem(1) - exact.getItem(2)) <= 0.05 * spread)
+        ).alias("approx_within_tol"),
+    )
+
+
 @query("approx_distinct_raw")  # no oracle by design: this is the
 # production profile whose output IS the engine-specific sketch
 # estimate; the hash-checked tolerance form is approx_distinct_rollup.

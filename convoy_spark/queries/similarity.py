@@ -24,6 +24,7 @@ from convoy_spark.tables import load_table
 
 from convoy_spark.operators.pca import (
     PCA_ITERATIONS,
+    PSCALE,
     pca_top_component,
     sql_xsum,
 )
@@ -560,6 +561,45 @@ def pca_project_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=PCA_TOPK_K,
         n_iterations=PCA_TOPK_ITER,
     )
+
+
+@query(
+    "embedding_moments_profile",
+    oracle=f"""
+    WITH ex AS (
+      SELECT CAST(unnest(embedding) AS DOUBLE) AS x,
+             generate_subscripts(embedding, 1) - 1 AS d
+      FROM embeddings
+    ),
+    agg AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(CAST(FLOOR(x * {PSCALE}) AS BIGINT)
+                      AS DECIMAL(38,0))) AS s,
+             SUM(CAST(CAST(FLOOR(x * x * {PSCALE}) AS BIGINT)
+                      AS DECIMAL(38,0))) AS s2
+      FROM ex GROUP BY d
+    )
+    SELECT d, n,
+           (CAST(s AS DOUBLE) / {PSCALE}) / n AS mean,
+           (CAST(s2 AS DOUBLE) / {PSCALE}) / n
+             - ((CAST(s AS DOUBLE) / {PSCALE}) / n)
+               * ((CAST(s AS DOUBLE) / {PSCALE}) / n) AS variance
+    FROM agg
+    """,
+)
+def embedding_moments_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding moments (n, mean, variance) — the
+    drift-monitoring profile, computed with the PCA family's exact
+    scaled-long sums so the numbers are bit-identical across engines
+    AND across any chunked/streaming accumulation order (the
+    streaming form folds per-batch deltas in streaming/embstats.py,
+    tested stream == batch bitwise). One map-side-combined
+    aggregation keyed on dimension. Past-window by design: a
+    monitoring profile over machinery proven by the in-window PCA
+    entries."""
+    from convoy_spark.streaming.embstats import batch_moments
+
+    return batch_moments(load_table(spark, sf_dir, "embeddings"))
 
 
 @query("pca_project", oracle=_pca_project_oracle())
