@@ -80,14 +80,18 @@ from convoy_spark.queries import (  # noqa: F401,E402
 # Sennrich trainer — one corpus pass + vocab-table rounds, the
 # scalable form) replaces bpe_train_steps in the window; the
 # corpus-stream variant stays emulator-checked (same merge-pick +
-# greedy-apply machinery, different symbol alphabet).
+# greedy-apply machinery, different symbol alphabet). Also
+# approx_percentile_rollup (mergeable quantile sketch, a NEW sketch
+# family) replaces percentile_stats, whose exact interpolated
+# percentiles ride along INSIDE the new query as its value-parity
+# twin columns — the exact surface stays driver-checked.
 _CHECK_WINDOW = [
     # §2.3/§2.8 aggregates + SQL front door (two_pass_mad is past the
     # window: A6/P13 two-pass MAD is proven by tree_metric_mad)
     "pricing_summary",
     "flagship_conversation_rollup",
     "conditional_agg",
-    "percentile_stats",
+    "approx_percentile_rollup",
     "sql_interface",
     "approx_distinct_rollup",
     # §2.9 event-time windows (session/sliding_window_agg are past
