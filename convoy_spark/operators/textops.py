@@ -536,6 +536,11 @@ def winnow_fingerprints(
 # quality probes ("find docs about X").
 BM25_K1 = 1.2
 BM25_B = 0.75
+# bm25_search_multi vocabulary-filter strategy threshold: vocabularies
+# up to this size inline as an isin predicate (scan-stage codegen);
+# larger ones use the broadcast semi join. Module-level so tests can
+# force the fallback path.
+BM25_ISIN_MAX = 256
 
 
 def bm25_search(
@@ -749,9 +754,8 @@ def bm25_search_multi(
     # join, which scales to any vocabulary. The limit(N+1) probe
     # touches N+1 rows of a tiny distinct frame, same scalar-probe
     # pattern as the closure convergence check.
-    ISIN_MAX = 256
-    head = [r.token for r in vocab.limit(ISIN_MAX + 1).collect()]
-    if len(head) <= ISIN_MAX:
+    head = [r.token for r in vocab.limit(BM25_ISIN_MAX + 1).collect()]
+    if len(head) <= BM25_ISIN_MAX:
         filtered = tk.filter(F.col("token").isin(head))
     else:
         filtered = tk.join(F.broadcast(vocab), "token", "left_semi")

@@ -194,3 +194,32 @@ def test_bm25_no_matching_terms_is_empty(spark):
         [(1, "some ordinary text here")], "doc_id long, text string"
     )
     assert bm25_search(docs, ["absent", "terms"]).count() == 0
+
+
+def test_bm25_multi_semi_join_fallback_matches_isin(spark, monkeypatch):
+    """Forcing the large-vocabulary broadcast-semi-join path must
+    give identical results to the default isin path."""
+    from convoy_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark stream spark vector"),
+            (2, "vector vector stream data"),
+            (3, "data spark data model"),
+        ],
+        "doc_id long, text string",
+    )
+    qdf = spark.createDataFrame(
+        [(0, "spark"), (0, "vector"), (1, "data")],
+        "query_id long, term string",
+    )
+    isin = sorted(
+        (r.query_id, r.doc_id, r.score, r.n_hit_terms)
+        for r in textops.bm25_search_multi(docs, qdf, top_k=10).collect()
+    )
+    monkeypatch.setattr(textops, "BM25_ISIN_MAX", 0)  # force fallback
+    semi = sorted(
+        (r.query_id, r.doc_id, r.score, r.n_hit_terms)
+        for r in textops.bm25_search_multi(docs, qdf, top_k=10).collect()
+    )
+    assert semi == isin and isin
