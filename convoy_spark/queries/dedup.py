@@ -388,23 +388,31 @@ def exact_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Connected components of the LSH pair graph as a recursive CTE
+# chain ending in comp(doc_id, comp_id) — shared by dedup_clusters
+# and dedup_keep_best so the reachability computation has ONE copy.
+COMPONENTS_SQL = """
+sym(src, dst) AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM sym)
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+),
+comp AS (SELECT src AS doc_id, MIN(dst) AS comp_id FROM reach GROUP BY src)
+"""
+
+
 @query(
     "dedup_clusters",
     oracle=f"""
     WITH RECURSIVE {SHINGLES_SQL},
     {MINHASH_SQL},
     {LSH_PAIRS_SQL},
-    sym(src, dst) AS (
-      SELECT doc_a, doc_b FROM pairs
-      UNION
-      SELECT doc_b, doc_a FROM pairs
-    ),
-    reach(src, dst) AS (
-      SELECT src, src FROM (SELECT DISTINCT src FROM sym)
-      UNION
-      SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
-    ),
-    comp AS (SELECT src AS doc_id, MIN(dst) AS comp_id FROM reach GROUP BY src)
+    {COMPONENTS_SQL}
     SELECT doc_id, cluster_id,
            CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
              AS cluster_size,

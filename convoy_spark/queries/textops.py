@@ -46,6 +46,26 @@ from convoy_spark.tables import load_table
 
 _STOP_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
 
+
+def quality_score_sql(qtoks: str, text: str) -> str:
+    """DuckDB fragment of text_quality's composite quality_score from
+    a non-empty-token list expression and a text expression — the ONE
+    SQL statement of the score formula (the text_quality oracle
+    states it via its intermediate ratio columns; oracles that need
+    the score inline — queries/dedup.py::dedup_keep_best — take this
+    fragment so the weights and the stop list cannot drift)."""
+    return (
+        f"least(CAST(len({qtoks}) AS DOUBLE) / 100.0, 1.0)"
+        f" + CAST(length(regexp_replace({text}, '[^a-zA-Z]', '', 'g'))"
+        f"        AS DOUBLE) / length({text})"
+        f" + least(CAST(len(list_filter({qtoks},"
+        f"            x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)"
+        f"          / len({qtoks}) * 5.0, 1.0)"
+        f" - CAST(length(regexp_replace({text},"
+        f" '[a-zA-Z0-9 \t\n\x0b\f\r]', '', 'g')) AS DOUBLE)"
+        f" / length({text})"
+    )
+
 # WS_SPLIT (explicit char class, not '\s+') is shared verbatim with
 # the Spark side: Java \s includes \x0b, RE2 \s does not.
 _TOKS_SQL = f"""

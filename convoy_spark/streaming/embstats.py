@@ -71,7 +71,6 @@ def _dim_deltas(vectors: DataFrame, vec_col: str = "embedding") -> DataFrame:
 
 
 def apply_embstats_batch(
-    spark: SparkSession,
     batch: DataFrame,
     state_dir: str,
     batch_tag: str,
@@ -97,6 +96,10 @@ def run_incremental_embstats(
     """Drain all embedding files present into the moments store; stop
     when caught up. Re-running with the same checkpoint processes
     only new files."""
+    # Not streaming/util.py::drain: that helper hardcodes the
+    # (doc_id, text) document source and drops the epoch id, both of
+    # which this store needs differently (embedding schema; epoch-
+    # tagged delta paths).
     stream = (
         spark.readStream.schema(EMB_STREAM_SCHEMA)
         .option("pathGlobFilter", "*.parquet")
@@ -105,12 +108,12 @@ def run_incremental_embstats(
     import hashlib
 
     ck_tag = hashlib.blake2s(
-        os.path.abspath(checkpoint_dir).encode(), digest_size=4
+        os.path.abspath(checkpoint_dir).encode(), digest_size=8
     ).hexdigest()
     q = (
         stream.writeStream.foreachBatch(
             lambda b, eid: apply_embstats_batch(
-                spark, b, state_dir, f"{ck_tag}-{eid}"
+                b, state_dir, f"{ck_tag}-{eid}"
             )
         )
         .option("checkpointLocation", checkpoint_dir)
@@ -133,12 +136,18 @@ def _moments_from_sums(agg: DataFrame) -> DataFrame:
 
 
 def embedding_moments(spark: SparkSession, state_dir: str) -> DataFrame:
-    """(d, n, mean, variance) from the persisted delta store alone."""
-    deltas = (
-        spark.read.option("recursiveFileLookup", "true")
-        .schema(MOMENTS_SCHEMA)
-        .parquet(os.path.join(state_dir, "deltas"))
-    )
+    """(d, n, mean, variance) from the persisted delta store alone;
+    an absent store (fresh deployment, state wipe) yields zero rows,
+    the same guard as streaming/util.py::load_store."""
+    path = os.path.join(state_dir, "deltas")
+    if not os.path.isdir(path):
+        deltas = spark.createDataFrame([], MOMENTS_SCHEMA)
+    else:
+        deltas = (
+            spark.read.option("recursiveFileLookup", "true")
+            .schema(MOMENTS_SCHEMA)
+            .parquet(path)
+        )
     return _moments_from_sums(
         deltas.groupBy("d").agg(
             F.sum("n").alias("n"),

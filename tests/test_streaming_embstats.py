@@ -57,9 +57,9 @@ def test_epoch_replay_is_idempotent(spark, tmp_path):
     overwrites its own delta instead of double-adding."""
     emb = _emb(spark).limit(50)
     state = str(tmp_path / "state")
-    apply_embstats_batch(spark, emb, state, batch_tag="t-0")
+    apply_embstats_batch(emb, state, batch_tag="t-0")
     once = _rows(embedding_moments(spark, state))
-    apply_embstats_batch(spark, emb, state, batch_tag="t-0")  # replay
+    apply_embstats_batch(emb, state, batch_tag="t-0")  # replay
     assert _rows(embedding_moments(spark, state)) == once
 
 
