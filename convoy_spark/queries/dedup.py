@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from convoy_spark.functions.numeric import sql_dsum
 from convoy_spark.functions.hashing import (
     MERSENNE31,
     WS_SPLIT,
@@ -589,6 +590,109 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("quality_score").desc_nulls_last(), F.col("doc_id").asc()
     )
     return base.withColumn("is_kept", F.row_number().over(w) == 1)
+
+
+@query(
+    "split_vocab_shift",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, token FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '{WS_SPLIT}')) AS token
+        FROM documents
+      ) WHERE token <> ''
+    ),
+    b4 AS (
+      SELECT doc_id,
+             {sql_hash60(f"concat('{SPLIT_SALT}:', doc_id)")} % 100 AS bucket
+      FROM documents
+    ),
+    s AS (SELECT doc_id, {_SPLIT_CASE_SQL} AS split FROM b4),
+    tc AS (
+      SELECT token,
+             SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS ct,
+             SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS cv,
+             SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS cx
+      FROM tk JOIN s USING (doc_id) GROUP BY token
+    ),
+    tot AS (
+      SELECT CAST(SUM(ct) AS DOUBLE) AS nt, CAST(SUM(cv) AS DOUBLE) AS nv,
+             CAST(SUM(cx) AS DOUBLE) AS nx
+      FROM tc
+    )
+    SELECT 'train' AS split_a, 'val' AS split_b,
+           0.5 * {sql_dsum('abs(CAST(ct AS DOUBLE) / nt'
+                           ' - CAST(cv AS DOUBLE) / nv)')} AS tv_distance
+    FROM tc, tot
+    UNION ALL
+    SELECT 'train', 'test',
+           0.5 * {sql_dsum('abs(CAST(ct AS DOUBLE) / nt'
+                           ' - CAST(cx AS DOUBLE) / nx)')}
+    FROM tc, tot
+    UNION ALL
+    SELECT 'val', 'test',
+           0.5 * {sql_dsum('abs(CAST(cv AS DOUBLE) / nv'
+                           ' - CAST(cx AS DOUBLE) / nx)')}
+    FROM tc, tot
+    """,
+)
+def split_vocab_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-variation distance between the token DISTRIBUTIONS of
+    each split pair — the distribution-shift sanity check a split job
+    emits: a salted-hash split should produce near-identical unigram
+    distributions (TV ≈ small), and a skewed TV flags a broken split
+    or a topically clustered id space. TV = ½·Σ|p−q| is deliberately
+    chosen over KL: it is log-free (ln differs in final ulps across
+    engines — the same reason BM25 uses the rational idf), so with
+    decimal-exact |p−q| sums the statistic is value-hash-checkable.
+    One (token) count shuffle with map-side combine + broadcast
+    totals; output is 3 rows."""
+    from convoy_spark.functions.numeric import dsum
+    from convoy_spark.operators.dedup import doc_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    splits = docs.select("doc_id", _split_col().alias("split"))
+    tc = (
+        doc_tokens(docs)
+        .join(splits, "doc_id")
+        .groupBy("token")
+        .agg(
+            F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("ct"),
+            F.sum(F.when(F.col("split") == "val", 1).otherwise(0)).alias("cv"),
+            F.sum(F.when(F.col("split") == "test", 1).otherwise(0)).alias("cx"),
+        )
+    )
+    tot = tc.agg(
+        F.sum("ct").cast("double").alias("nt"),
+        F.sum("cv").cast("double").alias("nv"),
+        F.sum("cx").cast("double").alias("nx"),
+    )
+    j = tc.crossJoin(F.broadcast(tot))
+    pairs = [
+        ("train", "val", "ct", "nt", "cv", "nv"),
+        ("train", "test", "ct", "nt", "cx", "nx"),
+        ("val", "test", "cv", "nv", "cx", "nx"),
+    ]
+    outs = [
+        j.agg(
+            (
+                0.5
+                * dsum(
+                    F.abs(
+                        F.col(ca).cast("double") / F.col(na)
+                        - F.col(cb).cast("double") / F.col(nb)
+                    )
+                )
+            ).alias("tv_distance")
+        ).select(
+            F.lit(sa).alias("split_a"), F.lit(sb).alias("split_b"), "tv_distance"
+        )
+        for sa, sb, ca, na, cb, nb in pairs
+    ]
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
 
 
 NGRAM_CONTAM_N = 13  # GPT-3-style exact 13-gram overlap check
