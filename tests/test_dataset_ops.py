@@ -190,3 +190,36 @@ def test_tfidf_ranks_rare_terms_over_stopwords(spark):
     assert got[(1, 1)] == "zebra"
     assert got[(2, 1)] == "apple"
     assert got[(3, 1)] == "quark"  # df=1, unique to doc 3
+
+
+def test_split_vocab_shift_detects_skew(spark):
+    """A corpus whose val-split docs use a disjoint vocabulary must
+    show TV ≈ 1 for the pairs involving val, while a uniform corpus
+    shows small TV everywhere."""
+    import os, tempfile
+
+    from convoy_spark.queries.dedup import _split_col, split_vocab_shift
+
+    ids = spark.createDataFrame(
+        [(i,) for i in range(400)], "doc_id long"
+    ).select("doc_id", _split_col().alias("split"))
+    by_split = {}
+    for r in ids.collect():
+        by_split.setdefault(r.split, []).append(r.doc_id)
+    assert by_split.get("val") and by_split.get("test")
+
+    common = "alpha beta gamma delta epsilon zeta"
+    rows = [(i, common) for i in by_split["train"][:20]]
+    rows += [(i, common) for i in by_split["test"][:3]]
+    # val docs: entirely different vocabulary
+    rows += [(i, "omega psi chi phi upsilon tau") for i in by_split["val"][:3]]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        tv = {
+            (r.split_a, r.split_b): r.tv_distance
+            for r in split_vocab_shift(spark, d).collect()
+        }
+    assert tv[("train", "test")] < 1e-9  # identical distributions
+    assert tv[("train", "val")] > 0.999  # disjoint vocabularies
+    assert tv[("val", "test")] > 0.999
