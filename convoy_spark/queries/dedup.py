@@ -507,9 +507,7 @@ def split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from convoy_spark.operators.textops import STOPWORDS as _STOPWORDS  # noqa: E402
-
-_STOP_LIST_SQL = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
+from convoy_spark.queries.textops import quality_score_sql  # noqa: E402
 
 
 @query(
@@ -537,15 +535,7 @@ _STOP_LIST_SQL = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
     ),
     tq AS (
       SELECT doc_id,
-        least(CAST(len(qtoks) AS DOUBLE) / 100.0, 1.0)
-        + CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
-               AS DOUBLE) / length(text)
-        + least(CAST(len(list_filter(qtoks,
-                       x -> list_contains({_STOP_LIST_SQL}, x))) AS DOUBLE)
-                / len(qtoks) * 5.0, 1.0)
-        - CAST(length(regexp_replace(text, '[a-zA-Z0-9 \\t\\n\\x0b\\f\\r]',
-                                     '', 'g')) AS DOUBLE) / length(text)
-          AS quality_score
+        {quality_score_sql('qtoks', 'text')} AS quality_score
       FROM qt
     ),
     cl AS (

@@ -142,8 +142,17 @@ def apply_neardup_batch(
         .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    hist_sh = load_store(spark, shingles_path, SHINGLES_SCHEMA).join(
-        cand_ids, "doc_id", "left_semi"
+    # Exclude the batch's OWN docs from the history read: after a
+    # crash between the shingles append and the bands append, the
+    # replayed batch passes the bands fence but its shingles are
+    # already persisted — without this anti-join the union below
+    # would double-count those docs' shingles (inflating n_sh and
+    # n_common, so replayed pairs re-emit with WRONG jaccard values
+    # and below-threshold pairs can cross min_jaccard).
+    hist_sh = (
+        load_store(spark, shingles_path, SHINGLES_SCHEMA)
+        .join(b_sh.select("doc_id").distinct(), "doc_id", "left_anti")
+        .join(cand_ids, "doc_id", "left_semi")
     )
     sh = b_sh.unionByName(hist_sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))

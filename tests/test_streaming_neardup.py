@@ -144,3 +144,38 @@ def test_partial_append_replay_converges(spark, tmp_path):
     dup = sh.groupBy("doc_id", "h").count().filter("count > 1").count()
     assert dup == 0, "replay duplicated shingle rows"
     assert bands.filter("doc_id = 1").count() > 0  # bands healed
+
+
+def test_partial_append_replay_pair_jaccard_exact(spark, tmp_path):
+    """Crash-replay of a batch CONTAINING a candidate pair must re-emit
+    the pair with the TRUE jaccard: the replayed docs' shingles are
+    already in the store, and without excluding them from the history
+    read the union double-counts them — inflating n_sh and n_common so
+    the re-emitted jaccard is wrong and sink-side dedup (which keys on
+    the deterministic pair values) breaks."""
+    from convoy_spark.operators.dedup import shingle_hashes
+    from convoy_spark.streaming.neardup import apply_neardup_batch
+
+    text_a = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(1, text_a), (2, text_a)],  # identical pair: true jaccard 1.0
+        "doc_id long, text string",
+    )
+
+    # ground truth from a clean (no pre-crash state) run
+    clean: list = []
+    apply_neardup_batch(
+        spark,
+        docs,
+        str(tmp_path / "state_clean"),
+        lambda df: clean.extend(df.collect()),
+    )
+    want = {(r.doc_a, r.doc_b): round(r.jaccard, 9) for r in clean}
+    assert want == {(1, 2): 1.0}
+
+    # crashed first attempt: shingles persisted, bands not → replay
+    state = str(tmp_path / "state_pair_partial")
+    shingle_hashes(docs, 3).write.mode("append").parquet(f"{state}/shingles")
+    got: list = []
+    apply_neardup_batch(spark, docs, state, lambda df: got.extend(df.collect()))
+    assert {(r.doc_a, r.doc_b): round(r.jaccard, 9) for r in got} == want
