@@ -73,7 +73,7 @@ EXPECTATIONS = {
     ],
     # BM25: top-k must be TakeOrderedAndProject (never a global sort);
     # posting aggregation is a hash agg fed by the pre-filtered stream
-    "bm25_search": ["TakeOrderedAndProject", "HashAggregate"],
+    "bm25_search": ["Window", "HashAggregate"],  # delegates to the multi form: two-phase top-k windows
     # BPE pairs: per-row zip_with behind Generate; distributed top-k
     "bpe_merge_candidates": ["TakeOrderedAndProject", "Generate"],
     # multi-probe BM25: query vocabulary and term->query expansion
