@@ -38,6 +38,12 @@ BENCH_QUERIES = [
     "asof_join",
     "closure_roots",
     "tree_stats",
+    # the OTHER shared-tree-build consumers, so the build's
+    # amortization is visible in the artifact itself (round-5 verdict
+    # #2), not just claimed: the family subtotal below is what the
+    # "build once, aggregate many" accounting is stated against.
+    "tree_metric_mad",
+    "root_stats_fastpath",
     # tree_stats_grouped (the applyInPandas per-tree DFS) is kept as a
     # differential cross-check in tests, NOT here: one viral tree =
     # one Python task is the reference's own scalability cliff, not a
@@ -52,6 +58,9 @@ BENCH_QUERIES = [
     "simhash_neardup",
     "substring_dup_pairs",
     "dedup_clusters",
+    # the remaining shared-LSH-build consumer (same amortization
+    # argument as the tree family)
+    "split_contamination",
     # cosine_topk (brute force) is the recall oracle, not a headline:
     # Q×N by definition. The ANN path is what ships.
     "ann_srp_topk",
@@ -71,8 +80,15 @@ BENCH_QUERIES = [
 ]
 
 
+# 1-minute loadavg above this at bench start ⇒ another workload is
+# (or was just) running on the host and every number will be inflated;
+# the artifact records the flag so contaminated runs are identifiable.
+CONTENTION_LOAD = 4.0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    loadavg_before = round(os.getloadavg()[0], 2)
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
@@ -116,7 +132,12 @@ def main() -> None:
     from convoy_spark.queries.dedup import shared_lsh_pairs
     from convoy_spark.queries.treestats import shared_descendant_pairs
 
-    _TREE_CONSUMERS = {"tree_stats", "tree_engagement", "root_stats_fastpath"}
+    _TREE_CONSUMERS = {
+        "tree_stats",
+        "tree_engagement",
+        "tree_metric_mad",
+        "root_stats_fastpath",
+    }
     _LSH_CONSUMERS = {"minhash_lsh_neardup", "dedup_clusters", "split_contamination"}
     for label, builder, consumers in [
         ("_shared_tree_pairs_build", shared_descendant_pairs, _TREE_CONSUMERS),
@@ -186,6 +207,27 @@ def main() -> None:
         numeric.EXACT_DEFAULT = True
 
     total = round(sum(timings.values()), 4)
+    # Shared-build family subtotals (build + every consumer in this
+    # run): the number the "amortized" claims are stated against —
+    # a reader compares these to the DuckDB family totals directly
+    # instead of reconstructing them from per-query lines.
+    families = {}
+    for fam, build, consumers in [
+        ("tree", "_shared_tree_pairs_build", _TREE_CONSUMERS),
+        ("lsh", "_shared_lsh_pairs_build", _LSH_CONSUMERS),
+    ]:
+        members = [build, *sorted(consumers)]
+        present = [m for m in members if m in timings]
+        if present:
+            families[fam] = {
+                "total": round(sum(timings[m] for m in present), 4),
+                "members": present,
+            }
+    # Hygiene flag (round-5 lesson: numbers collected while other
+    # sessions run on the host are 3–6× inflated): record the host
+    # load so a contended artifact self-documents instead of silently
+    # overstating every ratio.
+    load1 = os.getloadavg()[0]
     print(
         json.dumps(
             {
@@ -195,6 +237,10 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "fast_profile": fast_timings,
+                "families": families,
+                "loadavg_before": loadavg_before,
+                "loadavg_after": round(load1, 2),
+                "host_contended": loadavg_before > CONTENTION_LOAD,
             }
         )
     )
