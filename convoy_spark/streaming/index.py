@@ -45,25 +45,37 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from convoy_spark.operators.dedup import doc_tokens
-from convoy_spark.streaming.util import drain, load_store
+from convoy_spark.streaming.util import append_store, drain, load_store
 
 POSTINGS_SCHEMA = "token string, doc_id long, tf long"
 DOCLENS_SCHEMA = "doc_id long, dl long"
+# layout="bucketed": postings cluster on token (a query's posting
+# lists land in a fixed bucket subset — the distributed seek), doclens
+# on doc_id (the posting-pruned length join co-locates).
+POSTINGS_BUCKET = ("token",)
+DOCLENS_BUCKET = ("doc_id",)
 
 
 def apply_index_batch(
     spark: SparkSession,
     batch: DataFrame,
     state_dir: str,
+    layout: str = "plain",
 ) -> None:
-    """Fold one micro-batch of (doc_id, text) into the index stores."""
+    """Fold one micro-batch of (doc_id, text) into the index stores.
+    ``layout="bucketed"`` — see streaming/util.py; a store's layout is
+    fixed at creation."""
     postings_path = os.path.join(state_dir, "postings")
     doclens_path = os.path.join(state_dir, "doclens")
+    pb = POSTINGS_BUCKET if layout == "bucketed" else None
+    db = DOCLENS_BUCKET if layout == "bucketed" else None
 
-    p_seen = load_store(spark, postings_path, POSTINGS_SCHEMA).select(
-        "doc_id"
-    ).distinct()
-    d_seen = load_store(spark, doclens_path, DOCLENS_SCHEMA).select("doc_id")
+    p_seen = load_store(
+        spark, postings_path, POSTINGS_SCHEMA, bucket=pb
+    ).select("doc_id").distinct()
+    d_seen = load_store(
+        spark, doclens_path, DOCLENS_SCHEMA, bucket=db
+    ).select("doc_id")
 
     tk = doc_tokens(
         batch.join(
@@ -77,11 +89,19 @@ def apply_index_batch(
     dl = tk.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
     # per-store fences (see module docstring): a replayed batch
     # re-appends only to the store the crash left incomplete.
-    tf.join(p_seen, "doc_id", "left_anti").write.mode("append").parquet(
-        postings_path
+    append_store(
+        tf.join(p_seen, "doc_id", "left_anti").select(
+            "token", "doc_id", "tf"
+        ),
+        postings_path,
+        POSTINGS_SCHEMA,
+        bucket=pb,
     )
-    dl.join(d_seen, "doc_id", "left_anti").write.mode("append").parquet(
-        doclens_path
+    append_store(
+        dl.join(d_seen, "doc_id", "left_anti").select("doc_id", "dl"),
+        doclens_path,
+        DOCLENS_SCHEMA,
+        bucket=db,
     )
 
 
@@ -90,6 +110,7 @@ def run_incremental_index(
     landing_dir: str,
     checkpoint_dir: str,
     state_dir: str,
+    layout: str = "plain",
 ) -> None:
     """Drain all document files present into the index stores; stop
     when caught up. Re-running with the same checkpoint processes
@@ -98,7 +119,7 @@ def run_incremental_index(
         spark,
         landing_dir,
         checkpoint_dir,
-        lambda b: apply_index_batch(spark, b, state_dir),
+        lambda b: apply_index_batch(spark, b, state_dir, layout=layout),
     )
 
 
@@ -109,6 +130,7 @@ def bm25_over_index(
     top_k: int = 20,
     k1: float | None = None,
     b: float | None = None,
+    layout: str = "plain",
 ) -> DataFrame:
     """(query_id, doc_id, score, n_hit_terms) — BM25 top-k per query
     computed from the persisted index ALONE, via the shared
@@ -120,11 +142,13 @@ def bm25_over_index(
         bm25_score_postings,
     )
 
+    pb = POSTINGS_BUCKET if layout == "bucketed" else None
     postings = load_store(
-        spark, os.path.join(state_dir, "postings"), POSTINGS_SCHEMA
+        spark, os.path.join(state_dir, "postings"), POSTINGS_SCHEMA, bucket=pb
     )
+    db = DOCLENS_BUCKET if layout == "bucketed" else None
     doclens = load_store(
-        spark, os.path.join(state_dir, "doclens"), DOCLENS_SCHEMA
+        spark, os.path.join(state_dir, "doclens"), DOCLENS_SCHEMA, bucket=db
     )
     q = queries.select(
         "query_id", F.lower(F.col("term")).alias("token")

@@ -63,10 +63,15 @@ from convoy_spark.operators.dedup import (
     shingle_hashes,
 )
 from convoy_spark.streaming.dedup import DOC_STREAM_SCHEMA  # noqa: F401 (re-export)
-from convoy_spark.streaming.util import drain, load_store
+from convoy_spark.streaming.util import append_store, drain, load_store
 
 BANDS_SCHEMA = "doc_id long, band int, key string"
 SHINGLES_SCHEMA = "doc_id long, h long"
+# Bucket keys for layout="bucketed": bands cluster on the full band
+# join key so the per-batch candidate join reads history WITHOUT an
+# exchange; shingles cluster on doc_id for the verification reads.
+BANDS_BUCKET = ("band", "key")
+SHINGLES_BUCKET = ("doc_id",)
 
 
 
@@ -79,14 +84,24 @@ def apply_neardup_batch(
     num_hashes: int = NUM_HASHES,
     rows_per_band: int = LSH_ROWS,
     n: int = 3,
+    layout: str = "plain",
 ) -> None:
     """Fold one micro-batch of (doc_id, text): emit near-dup pairs
     against history + within the batch to ``pairs_sink(df)``, then
-    append the batch's sketch rows to the state stores."""
+    append the batch's sketch rows to the state stores.
+
+    ``layout="bucketed"`` stores bands/shingles as catalog-registered
+    bucketed tables (streaming/util.py) — the per-batch band join then
+    reads history co-located on (band, key) with NO store-side
+    exchange (plan-asserted in tests), which is the cluster layout the
+    module docstring promises. A store's layout is fixed at creation;
+    resume with the layout it was created with."""
     bands_path = os.path.join(state_dir, "bands")
     shingles_path = os.path.join(state_dir, "shingles")
+    bands_bkt = BANDS_BUCKET if layout == "bucketed" else None
+    sh_bkt = SHINGLES_BUCKET if layout == "bucketed" else None
 
-    hist_bands = load_store(spark, bands_path, BANDS_SCHEMA)
+    hist_bands = load_store(spark, bands_path, BANDS_SCHEMA, bucket=bands_bkt)
     hist_ids = hist_bands.select("doc_id").distinct()
     # First-crawl-wins: a doc_id re-delivered in a LATER file (the
     # checkpoint only fences re-processing of the SAME file) is
@@ -150,7 +165,7 @@ def apply_neardup_batch(
     # n_common, so replayed pairs re-emit with WRONG jaccard values
     # and below-threshold pairs can cross min_jaccard).
     hist_sh = (
-        load_store(spark, shingles_path, SHINGLES_SCHEMA)
+        load_store(spark, shingles_path, SHINGLES_SCHEMA, bucket=sh_bkt)
         .join(b_sh.select("doc_id").distinct(), "doc_id", "left_anti")
         .join(cand_ids, "doc_id", "left_semi")
     )
@@ -190,13 +205,16 @@ def apply_neardup_batch(
     # plus the shingle store's own fence means a replay re-processes
     # the doc (it is absent from bands) without duplicating its
     # shingle rows, and both stores converge to one row-set per doc.
-    sh_seen = load_store(spark, shingles_path, SHINGLES_SCHEMA).select(
+    sh_seen = load_store(spark, shingles_path, SHINGLES_SCHEMA, bucket=sh_bkt).select(
         "doc_id"
     ).distinct()
-    b_sh.join(sh_seen, "doc_id", "left_anti").write.mode("append").parquet(
-        shingles_path
+    append_store(
+        b_sh.join(sh_seen, "doc_id", "left_anti"),
+        shingles_path,
+        SHINGLES_SCHEMA,
+        bucket=sh_bkt,
     )
-    b_bands.write.mode("append").parquet(bands_path)
+    append_store(b_bands, bands_path, BANDS_SCHEMA, bucket=bands_bkt)
 
 
 def run_incremental_neardup(
@@ -206,6 +224,7 @@ def run_incremental_neardup(
     state_dir: str,
     pairs_sink,
     min_jaccard: float = 0.8,
+    layout: str = "plain",
 ) -> None:
     """Drain all document files present, near-dup-checking each batch
     against the persisted sketch stores; stop when caught up.
@@ -215,7 +234,7 @@ def run_incremental_neardup(
         landing_dir,
         checkpoint_dir,
         lambda b: apply_neardup_batch(
-            spark, b, state_dir, pairs_sink, min_jaccard
+            spark, b, state_dir, pairs_sink, min_jaccard, layout=layout
         ),
     )
 

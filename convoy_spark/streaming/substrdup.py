@@ -63,10 +63,14 @@ from convoy_spark.operators.dedup import (
     SUBSTR_MOD,
     sampled_gram_hashes,
 )
-from convoy_spark.streaming.util import drain, load_store
+from convoy_spark.streaming.util import append_store, drain, load_store
 
 GRAMS_SCHEMA = "doc_id long, gh long"
 DEAD_SCHEMA = "gh long"
+# layout="bucketed": gram postings cluster on gh so the per-batch
+# posting join / count co-locates against history; the dead set too.
+GRAMS_BUCKET = ("gh",)
+DEAD_BUCKET = ("gh",)
 
 
 
@@ -79,14 +83,19 @@ def apply_substrdup_batch(
     sample_mod: int = SUBSTR_MOD,
     cap: int = SUBSTR_CAP,
     min_shared: int = SUBSTR_MIN_SHARED,
+    layout: str = "plain",
 ) -> None:
     """Fold one micro-batch of (doc_id, text): emit substring-overlap
     pairs against history + within the batch to ``pairs_sink(df)``,
-    then append the batch's gram rows to the store."""
+    then append the batch's gram rows to the store.
+    ``layout="bucketed"`` — see streaming/util.py; a store's layout is
+    fixed at creation."""
     grams_path = os.path.join(state_dir, "grams")
     dead_path = os.path.join(state_dir, "dead_grams")
-    hist = load_store(spark, grams_path, GRAMS_SCHEMA)
-    dead = load_store(spark, dead_path, DEAD_SCHEMA)
+    gb = GRAMS_BUCKET if layout == "bucketed" else None
+    db = DEAD_BUCKET if layout == "bucketed" else None
+    hist = load_store(spark, grams_path, GRAMS_SCHEMA, bucket=gb)
+    dead = load_store(spark, dead_path, DEAD_SCHEMA, bucket=db)
 
     # first-crawl-wins: drop re-delivered doc_ids before sketching
     batch = batch.join(hist.select("doc_id"), "doc_id", "left_anti")
@@ -154,10 +163,15 @@ def apply_substrdup_batch(
     # only still-live grams append to the store, keeping it ≤ cap
     # rows per gram.
     newly_dead = counts.filter(F.col("_n") > cap).select("gh")
-    newly_dead.join(dead, "gh", "left_anti").write.mode("append").parquet(
-        dead_path
+    append_store(
+        newly_dead.join(dead, "gh", "left_anti"),
+        dead_path,
+        DEAD_SCHEMA,
+        bucket=db,
     )
-    b_ok.write.mode("append").parquet(grams_path)
+    append_store(
+        b_ok.select("doc_id", "gh"), grams_path, GRAMS_SCHEMA, bucket=gb
+    )
 
 
 def run_incremental_substrdup(
@@ -170,7 +184,9 @@ def run_incremental_substrdup(
 ) -> None:
     """Drain all document files present, substring-dup-checking each
     batch against the persisted gram store; stop when caught up.
-    Re-running with the same checkpoint processes only new files."""
+    Re-running with the same checkpoint processes only new files.
+    Pass ``layout="bucketed"`` through ``kw`` for the bucketed store
+    layout."""
     drain(
         spark,
         landing_dir,

@@ -33,7 +33,7 @@ def _want(spark):
     )
 
 
-def _build_index(spark, tmp_path, chunks, tag):
+def _build_index(spark, tmp_path, chunks, tag, layout="plain"):
     landing = tmp_path / f"landing_{tag}"
     landing.mkdir()
     docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
@@ -49,6 +49,7 @@ def _build_index(spark, tmp_path, chunks, tag):
             str(landing / f"chunk{i}"),
             str(tmp_path / f"ckpt_{tag}_{i}"),
             str(tmp_path / f"state_{tag}"),
+            layout=layout,
         )
     return str(tmp_path / f"state_{tag}")
 
@@ -126,3 +127,34 @@ def test_partial_append_replay_converges(spark, tmp_path):
     assert dup == 0, "replay duplicated posting rows"
     assert doclens.count() == 2  # both docs gained their length row
     assert {r.doc_id for r in doclens.collect()} == {1, 2}
+
+
+def test_bucketed_layout_index_equals_corpus(spark, tmp_path):
+    """layout="bucketed" index must answer BM25 identically to the
+    corpus pass, and the query path must read the postings store as a
+    bucketed scan (no store-side exchange into the tf aggregation)."""
+    from convoy_spark.streaming.index import (
+        POSTINGS_BUCKET,
+        POSTINGS_SCHEMA,
+    )
+    from convoy_spark.streaming.util import load_store
+
+    state = _build_index(
+        spark, tmp_path, [(0, 30), (30, 10_000)], "bkt", layout="bucketed"
+    )
+    got = sorted(
+        (r.query_id, r.doc_id, r.score, r.n_hit_terms)
+        for r in bm25_over_index(
+            spark, state, _qdf(spark), top_k=20, layout="bucketed"
+        ).collect()
+    )
+    assert got == _want(spark)
+
+    # the store read carries the bucket layout into the plan
+    postings = load_store(
+        spark, f"{state}/postings", POSTINGS_SCHEMA, bucket=POSTINGS_BUCKET
+    )
+    agg = postings.groupBy("token").count()
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan, plan
+    assert "Exchange" not in plan, plan  # agg keyed on the bucket key

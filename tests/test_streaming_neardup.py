@@ -23,7 +23,7 @@ def _expected_pairs(spark):
     }
 
 
-def _run_chunks(spark, tmp_path, chunks, tag):
+def _run_chunks(spark, tmp_path, chunks, tag, layout="plain"):
     landing = tmp_path / f"landing_{tag}"
     landing.mkdir()
     docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
@@ -49,6 +49,7 @@ def _run_chunks(spark, tmp_path, chunks, tag):
             str(tmp_path / f"state_{tag}"),
             sink,
             min_jaccard=MIN_J,
+            layout=layout,
         )
     return got
 
@@ -179,3 +180,53 @@ def test_partial_append_replay_pair_jaccard_exact(spark, tmp_path):
     got: list = []
     apply_neardup_batch(spark, docs, state, lambda df: got.extend(df.collect()))
     assert {(r.doc_a, r.doc_b): round(r.jaccard, 9) for r in got} == want
+
+
+def test_bucketed_layout_stream_equals_batch(spark, tmp_path):
+    """layout="bucketed" must produce the exact same pair set as the
+    plain layout / batch operator — the store layout is a physical
+    choice, never a semantic one."""
+    want = _expected_pairs(spark)
+    got = _run_chunks(
+        spark, tmp_path, [(0, 25), (25, 10_000)], "bkt", layout="bucketed"
+    )
+    assert got == want
+
+
+def test_bucketed_band_store_join_no_history_exchange(spark, tmp_path):
+    """The point of the bucketed layout: the per-batch candidate join
+    must read the band store WITHOUT re-shuffling it (exactly the join
+    apply_neardup_batch performs — batch bands vs history on
+    (band, key)). Broadcast is disabled so the small test store can't
+    cheat its way past the assertion with a BHJ."""
+    from convoy_spark.streaming.neardup import (
+        BANDS_BUCKET,
+        BANDS_SCHEMA,
+        apply_neardup_batch,
+    )
+    from convoy_spark.streaming.util import load_store
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    state = str(tmp_path / "state_plan")
+    apply_neardup_batch(
+        spark, docs, state, lambda df: df.count(), layout="bucketed"
+    )
+
+    hist = load_store(
+        spark, f"{state}/bands", BANDS_SCHEMA, bucket=BANDS_BUCKET
+    )
+    batch = spark.createDataFrame(
+        [(999_999, 0, "x")], BANDS_SCHEMA
+    ).withColumnsRenamed({"doc_id": "batch_id"})
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        j = batch.join(hist, ["band", "key"])
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+    assert plan.count("Exchange") == 1, plan  # batch side only
+    assert "Bucketed: true" in plan, plan

@@ -140,3 +140,13 @@ def test_checkpoint_resume_emits_nothing(spark, tmp_path):
         lambda df: second.extend(df.collect()),
     )
     assert second == []
+
+
+def test_bucketed_layout_stream_equals_batch(spark, tmp_path):
+    """layout="bucketed" must emit exactly the plain-layout / batch
+    pair set — the store layout is physical, never semantic."""
+    want = _expected_pairs(spark)
+    got = _run_chunks(
+        spark, tmp_path, [(0, 40), (40, 10_000)], "bkt", layout="bucketed"
+    )
+    assert got == want
