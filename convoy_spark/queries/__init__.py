@@ -85,6 +85,27 @@ from convoy_spark.queries import (  # noqa: F401,E402
 # family) replaces percentile_stats, whose exact interpolated
 # percentiles ride along INSIDE the new query as its value-parity
 # twin columns — the exact surface stays driver-checked.
+# Round-6 rotation (the round-5 late components enter per the rule):
+#   IN : pca_project_topk   (subspace whitening over the deflation
+#                            basis — the PCA family's projection form),
+#        dedup_keep_best    (quality-aware cluster canonicalization),
+#        ngram_contamination (GPT-3-style exact 13-gram train/eval
+#                            overlap),
+#        split_vocab_shift  (TV distance between split token
+#                            distributions)
+#   OUT: ann_ivf_topk       (ANN surface proven by in-window
+#                            ann_srp_topk; IVF recall ≥0.9 pytest
+#                            vs the brute-force oracle stays),
+#        stratified_sample  (its salted-hash machinery is exercised
+#                            verbatim by in-window split_contamination
+#                            — the dataset_split precedent),
+#        tree_engagement    (A5 fold proven by in-window tree_stats —
+#                            same pairs build + keyed aggregation,
+#                            different metric columns; the plain/ur
+#                            duality pytest stays),
+#        top_k_ordered      (T1 sort/top-k proven by the in-window
+#                            ordered-limit tails of bm25_multi_query /
+#                            ann_srp_topk / tfidf_topterms)
 _CHECK_WINDOW = [
     # §2.3/§2.8 aggregates + SQL front door (two_pass_mad is past the
     # window: A6/P13 two-pass MAD is proven by tree_metric_mad)
@@ -104,10 +125,9 @@ _CHECK_WINDOW = [
     "closure_roots",
     "ur_enrichment",
     # §2.3 A5–A8 tree statistics (the reference's crown jewel;
-    # ur_tree_duality is past the window — A5 plain/ur duality is a
-    # differential variant of tree_stats + tree_engagement)
+    # tree_engagement / ur_tree_duality are past the window — the A5
+    # fold is proven by tree_stats, the plain/ur duality by pytest)
     "tree_stats",
-    "tree_engagement",
     "tree_metric_mad",
     "root_stats_fastpath",
     # §2.4 joins
@@ -144,19 +164,20 @@ _CHECK_WINDOW = [
     "substring_dup_pairs",
     "dedup_clusters",
     "split_contamination",
-    "stratified_sample",
+    "dedup_keep_best",
+    "ngram_contamination",
+    "split_vocab_shift",
     # similarity / embedding components (cosine_topk is past the
-    # window: it is the brute-force recall ORACLE for the two ANN
-    # entries, which prove the similarity surface; pca_top_component
-    # is the embedding-decomposition capability — a fully
-    # value-hash-checked iterative float algorithm, like the IVF)
+    # window: it is the brute-force recall ORACLE for the ANN entries;
+    # ann_ivf_topk rotated out round 6 — the ANN surface is proven by
+    # ann_srp_topk and the IVF recall pytest; the PCA family is the
+    # embedding-decomposition capability, deflation + projection)
     "ann_srp_topk",
-    "ann_ivf_topk",
     "pca_topk_components",
+    "pca_project_topk",
     # multimodal plumbing
     "media_decode_meta",
-    # §2.6 sort/limit + set ops + S8 idempotent append
-    "top_k_ordered",
+    # §2.6 set ops + S8 idempotent append
     "union_dedup",
     "dedup_first_wins",
     # tokenizer-training loop (classic word-frequency BPE trainer)
