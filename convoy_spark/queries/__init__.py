@@ -106,6 +106,12 @@ from convoy_spark.queries import (  # noqa: F401,E402
 #        top_k_ordered      (T1 sort/top-k proven by the in-window
 #                            ordered-limit tails of bm25_multi_query /
 #                            ann_srp_topk / tfidf_topterms)
+# Round-6 late addition: index_drift_profile (index-freshness drift —
+# the batch twin of streaming/indexdrift.py) enters the round it
+# lands; OUT multi_tweet_conversations (A3's HAVING count > 1 is the
+# complement predicate of in-window singleton_groups' HAVING count = 1
+# — same groupBy+filter plan, inverted comparison; stays
+# emulator-checked).
 _CHECK_WINDOW = [
     # §2.3/§2.8 aggregates + SQL front door (two_pass_mad is past the
     # window: A6/P13 two-pass MAD is proven by tree_metric_mad)
@@ -136,7 +142,6 @@ _CHECK_WINDOW = [
     "semi_join_filter",
     # §2.3 grouping/filter relational
     "singleton_groups",
-    "multi_tweet_conversations",
     "calendar_projection",
     # §2.2 projections
     "json_extraction",
@@ -147,6 +152,7 @@ _CHECK_WINDOW = [
     # §2.7 unnest + §2.8 text search (ranked retrieval)
     "explode_tokens",
     "bm25_multi_query",
+    "index_drift_profile",
     # text analysis components
     "token_stats",
     "text_quality",

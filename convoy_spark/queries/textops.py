@@ -795,3 +795,87 @@ def bpe_merge_candidates_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenizer/vocab family's adjacency variant (vocab_top_terms
     profiles single tokens in-window via tfidf's machinery)."""
     return bpe_merge_candidates(load_table(spark, sf_dir, "documents"))
+
+
+DRIFT_PROBE_TERMS = ["data", "spark", "stream", "query", "zzznevertoken"]
+DRIFT_EPOCHS = 4
+
+_DRIFT_PROBE_VALUES = ", ".join(f"('{t}')" for t in DRIFT_PROBE_TERMS)
+
+
+@query(
+    "index_drift_profile",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id % {DRIFT_EPOCHS} AS epoch, doc_id,
+             unnest(string_split_regex(lower(text), '{WS_SPLIT}')) AS token
+      FROM documents
+    ),
+    tk2 AS (SELECT epoch, doc_id, token FROM tk WHERE token <> ''),
+    tokd AS (
+      SELECT epoch, token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tk2
+      WHERE token IN ({", ".join(f"'{t}'" for t in DRIFT_PROBE_TERMS)})
+      GROUP BY epoch, token
+    ),
+    cor AS (
+      SELECT epoch, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS len_sum
+      FROM (
+        SELECT epoch, doc_id, COUNT(*) AS dl FROM tk2
+        GROUP BY epoch, doc_id
+      )
+      GROUP BY epoch
+    ),
+    grid AS (
+      SELECT e.epoch, p.token
+      FROM (SELECT DISTINCT epoch FROM cor) e
+      CROSS JOIN (VALUES {_DRIFT_PROBE_VALUES}) p(token)
+    ),
+    tokc AS (
+      SELECT g.epoch, g.token,
+             CAST(SUM(COALESCE(t.df, 0)) OVER (
+               PARTITION BY g.token ORDER BY g.epoch) AS BIGINT) AS df
+      FROM grid g LEFT JOIN tokd t
+        ON g.epoch = t.epoch AND g.token = t.token
+    ),
+    corc AS (
+      SELECT epoch,
+             CAST(SUM(n_docs) OVER (ORDER BY epoch) AS BIGINT) AS n_docs,
+             CAST(SUM(len_sum) OVER (ORDER BY epoch) AS BIGINT) AS len
+      FROM cor
+    ),
+    snap AS (
+      SELECT tokc.epoch, token, df,
+             (n_docs - df + 0.5) / (df + 0.5) AS idf,
+             n_docs,
+             CAST(len AS DOUBLE) / n_docs AS avgdl
+      FROM tokc JOIN corc ON tokc.epoch = corc.epoch
+    )
+    SELECT CAST(epoch AS BIGINT) AS epoch, token, df, idf, n_docs, avgdl,
+           idf - LAG(idf) OVER (PARTITION BY token ORDER BY epoch)
+             AS idf_delta
+    FROM snap
+    """,
+)
+def index_drift_profile_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-freshness drift profile — per epoch × probe term, the
+    CUMULATIVE document frequency, log-free rational idf, corpus size
+    and average doc length, plus the per-epoch idf delta: how much a
+    growing corpus moves each probe's retrieval weighting. The batch
+    twin of ``streaming/indexdrift.py``'s per-batch snapshot store
+    (SAME ``_drift_from_deltas`` derivation — stream == batch is
+    tested as whole-table equality); epochs here are the
+    deterministic ``doc_id % {n}`` stand-in for arrival order. All
+    stored quantities are integer counts (cumulative sums exact in
+    any order); idf/avgdl are single double expressions over equal
+    integers. One keyed epoch/token aggregation + broadcast grid —
+    probe-vocab-proportional, never corpus-proportional, at any
+    scale.""".format(n=DRIFT_EPOCHS)
+    from convoy_spark.streaming.indexdrift import index_drift_profile
+
+    return index_drift_profile(
+        load_table(spark, sf_dir, "documents"),
+        DRIFT_PROBE_TERMS,
+        n_epochs=DRIFT_EPOCHS,
+    )
