@@ -1,0 +1,217 @@
+"""Training-data loader preparation — the last mile between a curated
+corpus and a pretraining run: concatenate-and-chunk sequence packing,
+deterministic epoch shuffling, and target-mixture sampling. These are
+the operators a 100 TB pipeline runs AFTER dedup/quality/contamination
+(the rest of this package) to emit what the training job actually
+reads.
+
+The common scale problem here is the GLOBAL running total: packing
+needs the cumulative token count in corpus order, shuffling needs a
+global rank in hash order — and a Spark window with ``orderBy`` but no
+``partitionBy`` computes either in ONE task. Every operator here uses
+the textbook two-phase distributed scan instead
+(:func:`block_prefix_sum`): a per-block window (parallel, keyed
+shuffle) plus an exclusive prefix over the per-block totals (a frame
+of n_blocks rows — bounded and broadcast). Same numbers, no
+single-task stage.
+
+Determinism contracts (the functions/hashing rules): ordering keys
+are exact integers or the cross-engine hash60, so every output
+reproduces bit-for-bit on DuckDB — all three operators carry full
+value-hash oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from convoy_spark.functions.hashing import WS_SPLIT, hash60
+
+# Block width for the distributed prefix scan, in units of the order
+# column. Local testing value; on a cluster size it so blocks ≈ task
+# count × small constant (the offsets frame is n_blocks rows and must
+# broadcast — 1e10 docs / 1e6-wide blocks = 1e4 offset rows).
+SCAN_BLOCK = 4096
+
+
+def block_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    block_size: int = SCAN_BLOCK,
+    out_col: str = "cum",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """``df`` + ``out_col`` = INCLUSIVE cumulative sum of ``value_col``
+    in ``order_col`` order. A non-unique order column needs
+    ``tiebreak_col`` (a unique key) or the within-block ordering — and
+    therefore the result — is nondeterministic. Two-phase scan:
+
+    1. within-block running sum — a window PARTITIONED by
+       ``floor(order/block_size)``, parallel across blocks;
+    2. exclusive prefix of per-block totals — a window over the block
+       TOTALS frame only (n_blocks rows; the one ordered-unpartitioned
+       window in this module, bounded by construction), broadcast back.
+
+    Equivalent to a global ordered window, never single-task over the
+    data."""
+    blk = F.floor(F.col(order_col) / F.lit(block_size)).alias("_blk")
+    b = df.withColumn("_blk", blk)
+    order = (
+        [order_col] if tiebreak_col is None else [order_col, tiebreak_col]
+    )
+    w_in = (
+        Window.partitionBy("_blk")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = b.withColumn("_cum_in", F.sum(value_col).over(w_in))
+    totals = b.groupBy("_blk").agg(F.sum(value_col).alias("_tot"))
+    w_blk = Window.orderBy("_blk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "_blk", F.coalesce(F.sum("_tot").over(w_blk), F.lit(0)).alias("_off")
+    )
+    return (
+        within.join(F.broadcast(offsets), "_blk")
+        .withColumn(out_col, (F.col("_cum_in") + F.col("_off")).cast("long"))
+        .drop("_blk", "_cum_in", "_off")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame, seq_len: int = 1024, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_tokens, start_offset, pack_id, crosses_boundary) —
+    GPT-style concatenate-and-chunk packing: documents are laid out in
+    doc_id order as one token stream and cut into fixed ``seq_len``
+    training sequences. ``start_offset`` is the doc's first-token
+    position in the stream, ``pack_id`` the sequence containing that
+    first token, ``crosses_boundary`` whether the doc spans a cut
+    (i.e. contributes to more than one training sequence — the
+    packing-quality statistic loaders track).
+
+    Token counts are exact whitespace-token integers; the stream
+    offset is the block prefix sum, so the whole table is
+    deterministic and oracle-checkable. One keyed shuffle (the
+    per-block window) + one broadcast — no single-task scan."""
+    n_tok = F.size(
+        F.filter(
+            F.split(F.lower(F.col(text_col)), WS_SPLIT),
+            lambda t: t != F.lit(""),
+        )
+    ).cast("long")
+    counted = docs.select("doc_id", n_tok.alias("n_tokens"))
+    cum = block_prefix_sum(counted, "doc_id", "n_tokens", out_col="_cum")
+    # integer DIV, not floor(double division): offsets are exact longs
+    # and must stay exact past 2^53 tokens
+    return cum.selectExpr(
+        "doc_id",
+        "n_tokens",
+        "CAST(_cum - n_tokens AS BIGINT) AS start_offset",
+        f"CAST((_cum - n_tokens) DIV {int(seq_len)} AS BIGINT) AS pack_id",
+        "CASE WHEN n_tokens > 0 THEN"
+        f" ((_cum - 1) DIV {int(seq_len)})"
+        f" > ((_cum - n_tokens) DIV {int(seq_len)})"
+        " ELSE FALSE END AS crosses_boundary",
+    )
+
+
+def epoch_shuffle(
+    docs: DataFrame, epoch: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, shuffle_key, shuffle_pos) — the deterministic global
+    shuffle a training loader applies per epoch: order by
+    ``hash60(epoch || ':' || doc_id)`` (a new pseudorandom permutation
+    each epoch, reproducible across engines and runs), with
+    ``shuffle_pos`` the 0-based global rank in that order.
+
+    The rank is the block prefix COUNT over the hash order — the same
+    two-phase scan as packing, never a single-task global
+    row_number."""
+    keyed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        hash60(F.concat(F.lit(f"ep{epoch}:"), F.col(id_col).cast("string")))
+        .alias("shuffle_key"),
+    )
+    # hash60 is uniform over [0, 2^60); scale blocks accordingly.
+    # doc_id tiebreak: 60-bit keys collide at corpus scale, and an
+    # untied rank would be partition-order-dependent.
+    ranked = block_prefix_sum(
+        keyed.withColumn("_one", F.lit(1)),
+        "shuffle_key",
+        "_one",
+        block_size=1 << 50,
+        out_col="_rk",
+        tiebreak_col="doc_id",
+    )
+    return ranked.select(
+        "doc_id",
+        "shuffle_key",
+        (F.col("_rk") - 1).cast("long").alias("shuffle_pos"),
+    )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    targets: dict[str, float],
+    domain_col: str = "source",
+    salt: str = "mix0",
+) -> DataFrame:
+    """(doc_id, domain, accept_rate, sampled) — sample the corpus to a
+    TARGET domain mixture (the data-mixture step of every pretraining
+    recipe): given target weights w_d, the largest achievable sample
+    keeping every domain at its exact weight takes
+    ``C = min_d(n_d / w_d)`` total rows, i.e. per-domain acceptance
+    rate ``r_d = w_d * C / n_d`` (the binding domain samples at rate
+    1.0). Acceptance is the deterministic salted-hash threshold
+    ``hash60(salt:doc_id) % 10^6 < r_d * 10^6`` — reproducible,
+    engine-independent, and exactly the split/sample machinery the
+    dedup family already proves. Domains absent from ``targets`` get
+    rate 0. Counts ride one keyed aggregation; rates broadcast."""
+    spark = docs.sparkSession
+    tgt = spark.createDataFrame(
+        [(d, float(w)) for d, w in targets.items()],
+        "domain string, w double",
+    )
+    base = docs.select(
+        "doc_id", F.col(domain_col).alias("domain")
+    )
+    counts = base.groupBy("domain").agg(F.count("*").alias("n_d"))
+    rated = counts.join(tgt, "domain", "left").withColumn(
+        "w", F.coalesce("w", F.lit(0.0))
+    )
+    cap = rated.filter(F.col("w") > 0).agg(
+        F.min(F.col("n_d") / F.col("w")).alias("c")
+    )
+    rates = rated.crossJoin(F.broadcast(cap)).select(
+        "domain",
+        F.when(F.col("w") > 0, F.col("w") * F.col("c") / F.col("n_d"))
+        .otherwise(F.lit(0.0))
+        .alias("accept_rate"),
+    )
+    thresh = F.floor(F.col("accept_rate") * F.lit(1_000_000.0)).cast("long")
+    bucket = F.pmod(
+        hash60(F.concat(F.lit(salt + ":"), F.col("doc_id").cast("string"))),
+        F.lit(1_000_000),
+    )
+    return (
+        base.join(F.broadcast(rates), "domain")
+        .select(
+            "doc_id",
+            "domain",
+            "accept_rate",
+            (bucket < thresh).alias("sampled"),
+        )
+    )
+
+
+__all__ = [
+    "SCAN_BLOCK",
+    "block_prefix_sum",
+    "epoch_shuffle",
+    "mixture_sample",
+    "pack_sequences",
+]

@@ -31,6 +31,7 @@ from convoy_spark.queries import (  # noqa: F401,E402
     funnel,
     graph,
     joins,
+    loader,
     multimodal,
     projections,
     relational,
@@ -112,6 +113,18 @@ from convoy_spark.queries import (  # noqa: F401,E402
 # complement predicate of in-window singleton_groups' HAVING count = 1
 # — same groupBy+filter plan, inverted comparison; stays
 # emulator-checked).
+# Round-6 loader-prep family (operators/loader.py): pack_sequences and
+# mixture_sample enter (epoch_shuffle stays past-window — it is the
+# same block-prefix-scan machinery as in-window pack_sequences plus
+# the salted-hash threshold split_contamination already proves).
+#   OUT: union_dedup    (T2 union+distinct is exercised inside the
+#                        in-window dedup pipelines — minhash's
+#                        candidate union-distinct, exact_dedup's hash
+#                        distinct; stays emulator-checked),
+#        explode_tokens (U1 array unnest is the same Generate operator
+#                        the in-window token pipelines run on every
+#                        query — tfidf_topterms, token_stats,
+#                        corpus_funnel; stays emulator-checked).
 _CHECK_WINDOW = [
     # §2.3/§2.8 aggregates + SQL front door (two_pass_mad is past the
     # window: A6/P13 two-pass MAD is proven by tree_metric_mad)
@@ -149,8 +162,7 @@ _CHECK_WINDOW = [
     "coalesce_preference",
     "scalar_surface",
     "filter_suite",
-    # §2.7 unnest + §2.8 text search (ranked retrieval)
-    "explode_tokens",
+    # §2.8 text search (ranked retrieval) + index freshness
     "bm25_multi_query",
     "index_drift_profile",
     # text analysis components
@@ -183,11 +195,13 @@ _CHECK_WINDOW = [
     "pca_project_topk",
     # multimodal plumbing
     "media_decode_meta",
-    # §2.6 set ops + S8 idempotent append
-    "union_dedup",
+    # S8 idempotent append
     "dedup_first_wins",
     # tokenizer-training loop (classic word-frequency BPE trainer)
     "bpe_train_vocab",
+    # loader-prep family: packing + target-mixture sampling
+    "pack_sequences",
+    "mixture_sample",
 ]
 
 

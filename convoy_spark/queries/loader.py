@@ -1,0 +1,133 @@
+"""Loader-prep catalog queries over ``documents`` (the data-mixture /
+packing / shuffling last mile of a pretraining pipeline —
+operators/loader.py), each with a full DuckDB value-hash oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from convoy_spark.functions.hashing import WS_SPLIT, sql_hash60
+from convoy_spark.operators.loader import (
+    epoch_shuffle,
+    mixture_sample,
+    pack_sequences,
+)
+from convoy_spark.queries.catalog import query
+from convoy_spark.tables import load_table
+
+PACK_SEQ_LEN = 512
+SHUFFLE_EPOCH = 1
+# target mixture over the synthetic corpus's source domains; sources
+# absent from the corpus at an SF simply bind nothing, sources absent
+# from the TARGETS sample at rate 0 — both paths oracle-checked.
+MIXTURE_TARGETS = {"src1": 0.5, "src3": 0.3, "src7": 0.2}
+
+_TGT_VALUES = ", ".join(f"('{d}', {w})" for d, w in MIXTURE_TARGETS.items())
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+        CAST(len(list_filter(
+          string_split_regex(lower(text), '{WS_SPLIT}'),
+          x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id) AS cum
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+      CAST(cum - n_tokens AS BIGINT) AS start_offset,
+      CAST((cum - n_tokens) // {PACK_SEQ_LEN} AS BIGINT) AS pack_id,
+      CASE WHEN n_tokens > 0
+           THEN ((cum - 1) // {PACK_SEQ_LEN})
+                > ((cum - n_tokens) // {PACK_SEQ_LEN})
+           ELSE FALSE END AS crosses_boundary
+    FROM c
+    """,
+)
+def pack_sequences_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-chunk sequence packing (GPT-style): documents
+    laid out in id order as one token stream, cut into fixed
+    {n}-token training sequences; per doc its stream offset, owning
+    pack, and whether it spans a cut. The global running total is the
+    TWO-PHASE block prefix scan (operators/loader.py) — the oracle's
+    single ordered window states the same numbers, the Spark plan
+    never runs a single-task scan.""".format(n=PACK_SEQ_LEN)
+    return pack_sequences(
+        load_table(spark, sf_dir, "documents"), seq_len=PACK_SEQ_LEN
+    )
+
+
+@query(
+    "epoch_shuffle",
+    oracle=f"""
+    WITH k AS (
+      SELECT doc_id,
+        {sql_hash60(f"concat('ep{SHUFFLE_EPOCH}:', CAST(doc_id AS VARCHAR))")}
+          AS shuffle_key
+      FROM documents
+    )
+    SELECT doc_id, shuffle_key,
+      CAST(ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) - 1
+           AS BIGINT) AS shuffle_pos
+    FROM k
+    """,
+)
+def epoch_shuffle_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch global shuffle: rank every doc by the
+    cross-engine hash of (epoch, doc_id) — a fresh reproducible
+    permutation per epoch, doc_id tiebreak for 60-bit collisions. The
+    rank is the block prefix COUNT (two-phase scan), not a
+    single-task row_number."""
+    return epoch_shuffle(
+        load_table(spark, sf_dir, "documents"), epoch=SHUFFLE_EPOCH
+    )
+
+
+@query(
+    "mixture_sample",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, source AS domain FROM documents),
+    counts AS (
+      SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_d
+      FROM base GROUP BY domain
+    ),
+    tgt(domain, w) AS (VALUES {_TGT_VALUES}),
+    rated AS (
+      SELECT c.domain, c.n_d, COALESCE(t.w, 0.0) AS w
+      FROM counts c LEFT JOIN tgt t ON c.domain = t.domain
+    ),
+    cap AS (SELECT MIN(n_d / w) AS c FROM rated WHERE w > 0),
+    rates AS (
+      SELECT domain,
+             CASE WHEN w > 0 THEN w * c / n_d ELSE 0.0 END AS accept_rate
+      FROM rated CROSS JOIN cap
+    )
+    SELECT b.doc_id, b.domain, r.accept_rate,
+      {sql_hash60("concat('mix0:', CAST(b.doc_id AS VARCHAR))")} % 1000000
+        < CAST(FLOOR(r.accept_rate * 1000000.0) AS BIGINT) AS sampled
+    FROM base b JOIN rates r ON b.domain = r.domain
+    """,
+)
+def mixture_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-mixture sampling: per-domain acceptance rates solve for
+    the largest sample hitting the target weights exactly (the binding
+    domain samples at rate 1.0); acceptance is the deterministic
+    salted-hash threshold, so the sampled set is reproducible on any
+    engine and any partitioning. One keyed count + broadcast rates —
+    map-side at any scale."""
+    return mixture_sample(
+        load_table(spark, sf_dir, "documents"), MIXTURE_TARGETS
+    )
+
+
+__all__ = [
+    "MIXTURE_TARGETS",
+    "PACK_SEQ_LEN",
+    "SHUFFLE_EPOCH",
+]

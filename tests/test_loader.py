@@ -1,0 +1,99 @@
+"""Loader-prep operators: packing conserves the token stream and is
+partition-invariant; the two-phase prefix scan equals a driver-side
+cumsum; epoch shuffle is a permutation that changes with the epoch;
+mixture sampling hits the target proportions with the binding domain
+at rate 1.0."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from convoy_spark.operators.loader import (
+    block_prefix_sum,
+    epoch_shuffle,
+    mixture_sample,
+    pack_sequences,
+)
+from convoy_spark.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_block_prefix_sum_equals_cumsum_any_partitioning(spark):
+    rows = [(i * 7 % 997, (i % 13) + 1) for i in range(400)]  # sparse keys
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {
+        r.k: r.cum
+        for r in block_prefix_sum(
+            df.repartition(16), "k", "v", block_size=32
+        ).collect()
+    }
+    run = 0
+    for k, v in sorted(rows):
+        run += v
+        assert got[k] == run
+
+
+def test_pack_sequences_invariants(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    out = pack_sequences(docs, seq_len=256).collect()
+    total = sum(r.n_tokens for r in out)
+    by_id = sorted(out, key=lambda r: r.doc_id)
+    # offsets tile the stream exactly: each doc starts where the
+    # previous ended, first at 0, total conserved
+    run = 0
+    for r in by_id:
+        assert r.start_offset == run
+        assert r.pack_id == r.start_offset // 256
+        end = r.start_offset + r.n_tokens - 1
+        assert r.crosses_boundary == (
+            r.n_tokens > 0 and end // 256 > r.pack_id
+        )
+        run += r.n_tokens
+    assert run == total
+
+
+def test_epoch_shuffle_is_permutation_and_epoch_sensitive(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    n = docs.count()
+    e1 = {r.doc_id: r.shuffle_pos for r in epoch_shuffle(docs, 1).collect()}
+    assert sorted(e1.values()) == list(range(n))
+    e2 = {r.doc_id: r.shuffle_pos for r in epoch_shuffle(docs, 2).collect()}
+    assert sorted(e2.values()) == list(range(n))
+    assert e1 != e2  # a fresh permutation per epoch
+    # determinism across partitionings
+    e1b = {
+        r.doc_id: r.shuffle_pos
+        for r in epoch_shuffle(docs.repartition(16), 1).collect()
+    }
+    assert e1b == e1
+
+
+def test_mixture_sample_rates_and_proportions(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    targets = {"src1": 0.5, "src3": 0.3, "src7": 0.2}
+    out = mixture_sample(docs, targets)
+    rates = {
+        r.domain: r.accept_rate
+        for r in out.select("domain", "accept_rate").distinct().collect()
+    }
+    assert all(0.0 <= v <= 1.0 + 1e-12 for v in rates.values())
+    # the binding domain samples at rate 1.0
+    assert any(abs(v - 1.0) < 1e-9 for d, v in rates.items() if d in targets)
+    # domains absent from the targets never sample
+    assert all(
+        v == 0.0 for d, v in rates.items() if d not in targets
+    )
+    sampled = (
+        out.filter("sampled")
+        .groupBy("domain")
+        .count()
+        .collect()
+    )
+    got = {r.domain: r["count"] for r in sampled}
+    tot = sum(got.values())
+    assert set(got) <= set(targets)
+    # proportions near target (hash threshold on ~100-300 rows/domain:
+    # generous tolerance, determinism is what the oracle checks)
+    for d, w in targets.items():
+        assert abs(got.get(d, 0) / tot - w) < 0.15, (d, got, tot)
