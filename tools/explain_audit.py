@@ -84,6 +84,21 @@ EXPECTATIONS = {
     # but the final assembly must still broadcast the scalar
     # eigenvalue/trace frames into the component projection
     "pca_topk_components": ["BroadcastNestedLoopJoin", "Union"],
+    # sequence packing: the global running total must be the two-phase
+    # block scan — a window over the KEYED _blk exchange (parallel
+    # across blocks) with the per-block offsets broadcast back; the
+    # corpus-side rows must never cross a SinglePartition exchange
+    "pack_sequences": [
+        "hashpartitioning(_blk",
+        "BroadcastHashJoin",
+        "ReadSchema: struct<doc_id:bigint,text:string>",
+    ],
+    # mixture sampling: per-domain rates broadcast into a scan that
+    # reads only (doc_id, source) — acceptance is map-side everywhere
+    "mixture_sample": [
+        "BroadcastHashJoin",
+        "ReadSchema: struct<doc_id:bigint,source:string>",
+    ],
 }
 
 
