@@ -565,3 +565,95 @@ def substring_dup_pairs(
         .agg(F.count("*").cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+# --- Span-level dedup (duplicated-passage REMOVAL, C4-style) --------
+#
+# The pair detectors above answer "which documents overlap"; curation
+# recipes also REWRITE documents by cutting the duplicated span and
+# keeping the rest (C4 drops repeated three-sentence spans; RefinedWeb
+# and Lee et al.'s ExactSubstr cut the duplicated bytes). The
+# distributed-friendly restatement: chunk each doc's token stream into
+# fixed SPAN_K-token spans, keep the globally FIRST occurrence of each
+# distinct full span, drop the rest, and reassemble the survivors in
+# document order.
+SPAN_K = 8  # span unit, in whitespace tokens
+
+
+def span_dedup(
+    docs: DataFrame,
+    k: int = SPAN_K,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, clean_text, spans_kept, spans_dropped) — corpus-wide
+    duplicated-span removal: the token stream of each document is cut
+    into consecutive ``k``-token spans; every span that textually
+    equals an EARLIER span anywhere in the corpus (order: (doc_id,
+    position), deterministic first-wins) is dropped, and
+    ``clean_text`` is the surviving spans rejoined in order with
+    single spaces (token-level reconstruction — original inter-token
+    whitespace is normalized, the standard contract for token-stream
+    rewrites). A trailing short span (< ``k`` tokens) is never
+    dedup-eligible: cutting a partial span would split tokens'
+    context arbitrarily, and C4-style recipes only drop full units.
+
+    Scale shape: one Generate (span explode), then ONE keyed shuffle
+    on the span's md5 — a fixed-16-byte dedup key regardless of span
+    text length, so shuffle rows stay narrow at any k — for the
+    first-occurrence rank window, then the per-document reassembly
+    aggregation (keyed on doc_id). Both shuffles are inherent: global
+    span identity needs a content-keyed exchange, reassembly a
+    doc-keyed one. Skew: a span repeated across a large fraction of
+    the corpus lands in one rank-window task; those are exactly the
+    boilerplate spans the rank window handles by keeping one copy, and
+    the window buffers only (doc_id, pos, chunk) rows of that single
+    span value. Eligibility is a function of span CONTENT (its token
+    count), so every row of a window partition shares it — the
+    CASE-wrapped rank stays consistent within a partition."""
+    toks = F.filter(
+        F.split(F.col(text_col), TOKEN_SPLIT), lambda t: t != F.lit("")
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("_toks"),
+    ).select(
+        "doc_id",
+        "_toks",
+        F.size("_toks").alias("_n"),
+        F.greatest(
+            F.lit(1), F.expr(f"(size(_toks) + {k - 1}) div {k}")
+        ).alias("_nch"),
+    )
+    spans = base.select(
+        "doc_id",
+        "_n",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, _nch - 1),"
+                f" i -> array_join(slice(_toks, i * {k} + 1, {k}), ' '))"
+            )
+        ).alias("pos", "chunk"),
+    ).withColumn("_full", (F.col("pos") + 1) * k <= F.col("_n"))
+    w = Window.partitionBy(F.md5(F.col("chunk"))).orderBy("doc_id", "pos")
+    ranked = spans.withColumn(
+        "_kept",
+        F.when(F.col("_full"), F.row_number().over(w) == 1).otherwise(
+            F.lit(True)
+        ),
+    )
+    return ranked.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_kept"), F.struct("pos", "chunk"))
+                    )
+                ),
+                lambda x: x["chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.sum(F.col("_kept").cast("long")).alias("spans_kept"),
+        F.sum((~F.col("_kept")).cast("long")).alias("spans_dropped"),
+    )

@@ -908,3 +908,58 @@ def domain_dedup_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("near_dup_rate"),
         )
     )
+
+
+from convoy_spark.operators.dedup import SPAN_K, span_dedup  # noqa: E402
+
+
+@query(
+    "span_dedup",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '{WS_SPLIT}'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    sized AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             greatest(1, (len(toks) + {SPAN_K - 1}) // {SPAN_K}) AS nch
+      FROM t
+    ),
+    spans AS (
+      SELECT doc_id, n,
+        unnest(range(0, nch)) AS pos,
+        unnest(list_transform(range(0, nch),
+          i -> array_to_string(
+                 toks[CAST(i * {SPAN_K} + 1 AS INT)
+                      :CAST(i * {SPAN_K} + {SPAN_K} AS INT)], ' ')))
+          AS chunk
+      FROM sized
+    ),
+    ranked AS (
+      SELECT doc_id, pos, chunk,
+        CASE WHEN (pos + 1) * {SPAN_K} <= n
+             THEN ROW_NUMBER() OVER (PARTITION BY md5(chunk)
+                                     ORDER BY doc_id, pos)
+             ELSE 1 END AS rk
+      FROM spans
+    )
+    SELECT doc_id,
+      COALESCE(string_agg(chunk, ' ' ORDER BY pos)
+                 FILTER (WHERE rk = 1), '') AS clean_text,
+      CAST(COUNT(*) FILTER (WHERE rk = 1) AS BIGINT) AS spans_kept,
+      CAST(COUNT(*) FILTER (WHERE rk > 1) AS BIGINT) AS spans_dropped
+    FROM ranked GROUP BY doc_id
+    """,
+)
+def span_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span REMOVAL (C4/RefinedWeb-style rewrite, vs the
+    pair DETECTORS elsewhere in this module): cut each doc into
+    {k}-token spans, drop every span equal to an earlier one anywhere
+    in the corpus (deterministic (doc_id, pos) first-wins), reassemble
+    the survivors. The dedup key is the span's md5 — fixed 16-byte
+    shuffle rows at any span length, identical on both engines. One
+    Generate + one content-keyed rank window + one doc-keyed
+    reassembly agg.""".format(k=SPAN_K)
+    return span_dedup(load_table(spark, sf_dir, "documents"))

@@ -257,3 +257,65 @@ def test_dedup_keep_best_picks_higher_quality(spark):
     assert got[1].cluster_id == got[2].cluster_id, "near-dups not clustered"
     assert not got[1].is_kept and got[2].is_kept, "kept the noisier copy"
     assert got[3].is_kept  # singleton
+
+
+# ---- span-level dedup (duplicated-span removal) --------------------
+
+
+def test_span_dedup_drops_shared_span_first_wins(spark):
+    shared = "a b c d e f g h"  # exactly SPAN_K=8 tokens
+    rows = [
+        (1, shared + " tail1 x"),          # first occurrence: kept
+        (2, shared + " other tokens y"),   # later occurrence: dropped
+        (3, "completely different words here with no overlap at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from convoy_spark.operators.dedup import span_dedup
+
+    out = {r.doc_id: r for r in span_dedup(df).collect()}
+    assert out[1].spans_dropped == 0
+    assert out[1].clean_text.startswith(shared)
+    assert out[2].spans_dropped == 1
+    assert not out[2].clean_text.startswith("a b")
+    assert out[2].clean_text == "other tokens y"
+    assert out[3].spans_dropped == 0
+
+
+def test_span_dedup_conserves_spans_and_short_tail_kept(spark):
+    from convoy_spark.operators.dedup import SPAN_K, span_dedup
+    from convoy_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = span_dedup(docs).collect()
+    toks = {
+        r.doc_id: [t for t in r.text.split() if t]
+        for r in docs.select("doc_id", "text").collect()
+    }
+    for r in out:
+        n = len(toks[r.doc_id])
+        nch = max(1, -(-n // SPAN_K))
+        # every span is either kept or dropped
+        assert r.spans_kept + r.spans_dropped == nch
+        # a short trailing span is never dropped: if n % K != 0 the
+        # tail is ineligible, so at least that span survives
+        assert r.spans_kept >= 1
+        # clean_text tokens are a subsequence of the original tokens
+        ct = r.clean_text.split()
+        it = iter(toks[r.doc_id])
+        assert all(t in it for t in ct), r.doc_id
+
+
+def test_span_dedup_partition_invariant(spark):
+    from convoy_spark.operators.dedup import span_dedup
+    from convoy_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    a = {r.doc_id: r for r in span_dedup(docs).collect()}
+    b = {r.doc_id: r for r in span_dedup(docs.repartition(16)).collect()}
+    assert a.keys() == b.keys()
+    for k in a:
+        assert (a[k].clean_text, a[k].spans_kept, a[k].spans_dropped) == (
+            b[k].clean_text,
+            b[k].spans_kept,
+            b[k].spans_dropped,
+        )
