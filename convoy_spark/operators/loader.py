@@ -154,6 +154,48 @@ def epoch_shuffle(
     )
 
 
+def shard_assignment(
+    docs: DataFrame,
+    epoch: int = 0,
+    shard_tokens: int = 1 << 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, shuffle_pos, n_tokens, shard_id) — the write plan for
+    training shards: documents in deterministic per-epoch shuffle
+    order, greedily packed into shards of ~``shard_tokens`` tokens (a
+    doc belongs to the shard containing its first token; shards are
+    contiguous runs of the shuffled stream, so a shard file is written
+    by one range partition). This is the manifest a 100 TB pipeline
+    computes before `write.partitionBy(shard_id)` — the actual write
+    rides the warehouse sinks.
+
+    Composition of the two proven scans: the epoch-shuffle rank, then
+    the block prefix sum of token counts in RANK order. Both are
+    two-phase keyed scans; the only new shuffle is re-keying by rank
+    block. Deterministic, so the full assignment is oracle-checkable.
+    """
+    shuffled = epoch_shuffle(docs, epoch, id_col=id_col)
+    n_tok = F.size(
+        F.filter(
+            F.split(F.lower(F.col(text_col)), WS_SPLIT),
+            lambda t: t != F.lit(""),
+        )
+    ).cast("long")
+    counted = docs.select(
+        F.col(id_col).alias("doc_id"), n_tok.alias("n_tokens")
+    )
+    ordered = shuffled.join(counted, "doc_id")
+    cum = block_prefix_sum(ordered, "shuffle_pos", "n_tokens", out_col="_cum")
+    return cum.selectExpr(
+        "doc_id",
+        "shuffle_pos",
+        "n_tokens",
+        f"CAST((_cum - n_tokens) DIV {int(shard_tokens)} AS BIGINT)"
+        " AS shard_id",
+    )
+
+
 def mixture_sample(
     docs: DataFrame,
     targets: dict[str, float],
@@ -214,4 +256,5 @@ __all__ = [
     "epoch_shuffle",
     "mixture_sample",
     "pack_sequences",
+    "shard_assignment",
 ]

@@ -11,6 +11,7 @@ from convoy_spark.operators.loader import (
     epoch_shuffle,
     mixture_sample,
     pack_sequences,
+    shard_assignment,
 )
 from convoy_spark.queries.catalog import query
 from convoy_spark.tables import load_table
@@ -126,8 +127,65 @@ def mixture_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# small shard budget so the sf0.01 corpus (~28k tokens) spans many
+# shards; a real pipeline uses ~100M–1B tokens per shard file
+SHARD_TOKENS = 2048
+
+
+@query(
+    "shard_assignment",
+    oracle=f"""
+    WITH k AS (
+      SELECT doc_id,
+        {sql_hash60(f"concat('ep{SHUFFLE_EPOCH}:', CAST(doc_id AS VARCHAR))")}
+          AS shuffle_key
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, shuffle_key,
+        CAST(ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) - 1
+             AS BIGINT) AS shuffle_pos
+      FROM k
+    ),
+    t AS (
+      SELECT doc_id,
+        CAST(len(list_filter(
+          string_split_regex(lower(text), '{WS_SPLIT}'),
+          x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT r.doc_id, r.shuffle_pos, t.n_tokens,
+             SUM(t.n_tokens) OVER (ORDER BY r.shuffle_pos) AS cum
+      FROM r JOIN t USING (doc_id)
+    )
+    SELECT doc_id, shuffle_pos, n_tokens,
+      CAST((cum - n_tokens) // {SHARD_TOKENS} AS BIGINT) AS shard_id
+    FROM c
+    """,
+)
+def shard_assignment_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-shard write plan: docs in per-epoch shuffle order,
+    greedily packed into ~{n}-token shards (a doc belongs to the shard
+    holding its first token; shards are contiguous runs of the
+    shuffled stream → one range partition writes one shard file).
+    Composes the two proven scans — shuffle rank, then the block
+    prefix sum of token counts in rank order; the oracle's ordered
+    windows state the same numbers. Past-window by design this round:
+    a composition of pack_sequences' scan and epoch_shuffle's rank,
+    both machinery in-window via pack_sequences.""".format(
+        n=SHARD_TOKENS
+    )
+    return shard_assignment(
+        load_table(spark, sf_dir, "documents"),
+        epoch=SHUFFLE_EPOCH,
+        shard_tokens=SHARD_TOKENS,
+    )
+
+
 __all__ = [
     "MIXTURE_TARGETS",
     "PACK_SEQ_LEN",
+    "SHARD_TOKENS",
     "SHUFFLE_EPOCH",
 ]

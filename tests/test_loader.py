@@ -97,3 +97,39 @@ def test_mixture_sample_rates_and_proportions(spark):
     # generous tolerance, determinism is what the oracle checks)
     for d, w in targets.items():
         assert abs(got.get(d, 0) / tot - w) < 0.15, (d, got, tot)
+
+
+def test_shard_assignment_contiguous_and_balanced(spark):
+    from convoy_spark.operators.loader import shard_assignment
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = sorted(
+        shard_assignment(docs, epoch=1, shard_tokens=1024).collect(),
+        key=lambda r: r.shuffle_pos,
+    )
+    # shards are contiguous, non-decreasing runs of the shuffled stream
+    assert out[0].shard_id == 0
+    for a, b in zip(out, out[1:]):
+        assert b.shard_id - a.shard_id in (0, 1)
+    # every shard holds <= budget tokens of doc STARTS plus one
+    # overhanging doc (the doc whose first token lands near the end)
+    from collections import defaultdict
+
+    tok = defaultdict(int)
+    for r in out:
+        tok[r.shard_id] += r.n_tokens
+    full_shards = sorted(tok)[:-1]  # last shard is a remainder
+    assert all(tok[s] >= 1 for s in tok)
+    # a shard's token count can't exceed budget + the longest doc
+    longest = max(r.n_tokens for r in out)
+    assert all(tok[s] <= 1024 + longest for s in full_shards)
+    # partition invariance
+    again = sorted(
+        shard_assignment(
+            docs.repartition(16), epoch=1, shard_tokens=1024
+        ).collect(),
+        key=lambda r: r.shuffle_pos,
+    )
+    assert [(r.doc_id, r.shard_id) for r in out] == [
+        (r.doc_id, r.shard_id) for r in again
+    ]
