@@ -990,3 +990,74 @@ def bpe_merge_candidates(docs: DataFrame, top_k: int = 100) -> DataFrame:
     return counted.select(
         F.row_number().over(w).alias("rank"), "left", "right", "n_occurrences"
     )
+
+
+# --- Model-based quality filter (CCNet / fastText-style) ------------
+#
+# Heuristic filters (text_quality above) catch structural junk; the
+# second stage of CCNet/GPT-style curation is a MODEL score — a linear
+# classifier over hashed n-gram features (fastText's architecture).
+# The Spark-side shape is what matters at 100 TB: feature hashing to a
+# fixed dimension, a sparse dot product folded per-row inside
+# whole-stage codegen, zero shuffles. Trained weights would arrive as
+# a broadcast dim-row table; this container has no training corpus, so
+# weights derive deterministically from the bucket id (same Knuth
+# multiplicative scheme as the MinHash parameter table) — the
+# PLUMBING is the component, the weights are a stand-in, and the
+# determinism makes the whole scorer value-hash-checkable.
+MODEL_DIM = 4096
+_MW_A = 2654435761  # Knuth multiplicative constant
+_MW_B = 12345
+# integer weight numerators in [-1000, 1000]; score sign is exact
+_MW_SQL = "((({h}) % {dim}) * 2654435761 + 12345) % 2001 - 1000"
+
+
+def model_quality_score(docs: DataFrame, dim: int = MODEL_DIM) -> DataFrame:
+    """(doc_id, n_features, score_num, logit, prob, model_keep) —
+    fastText-style linear quality scorer: word unigram + bigram
+    features hashed into ``dim`` buckets, per-doc score = mean bucket
+    weight, squashed to a probability; keep iff the logit is
+    non-negative.
+
+    Exactness: bucket weights are integer NUMERATORS, so ``score_num``
+    is an exact order-free integer sum (no float-accumulation-order
+    hazard between engines or cluster sizes) and the keep decision
+    ``score_num >= 0`` is exact; only the reported logit/prob divide
+    into doubles. Plan: one Generate barrier binding the token array
+    (the token_stats trick), then a per-row JVM aggregate fold — a
+    pure scan with zero shuffles at any corpus size."""
+    h = "cast(conv(substring(md5(f), 1, 15), 16, 10) as bigint)"
+    w = _MW_SQL.format(h=h, dim=dim)
+    base = docs.select(
+        "doc_id",
+        F.explode(F.array(F.filter(_tokens(), lambda t: t != ""))).alias(
+            "_toks"
+        ),
+    )
+    feats = (
+        "concat(_toks, CASE WHEN size(_toks) >= 2 THEN"
+        " transform(sequence(1, size(_toks) - 1),"
+        "   i -> concat(element_at(_toks, i), ' ', element_at(_toks, i + 1)))"
+        " ELSE slice(_toks, 1, 0) END)"
+    )
+    scored = base.select(
+        "doc_id",
+        F.expr(f"cast(size({feats}) as bigint)").alias("n_features"),
+        F.expr(
+            f"aggregate({feats}, cast(0 as bigint),"
+            f" (acc, f) -> acc + ({w}))"
+        ).alias("score_num"),
+    )
+    logit = F.when(
+        F.col("n_features") > 0,
+        F.col("score_num").cast("double")
+        / (F.lit(1000.0) * F.col("n_features").cast("double")),
+    ).otherwise(F.lit(0.0))
+    return scored.select(
+        "doc_id",
+        "n_features",
+        "score_num",
+        logit.alias("logit"),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))).alias("prob"),
+        (F.col("score_num") >= 0).alias("model_keep"),
+    )

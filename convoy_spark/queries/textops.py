@@ -879,3 +879,59 @@ def index_drift_profile_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         DRIFT_PROBE_TERMS,
         n_epochs=DRIFT_EPOCHS,
     )
+
+
+from convoy_spark.functions.hashing import sql_hash60  # noqa: E402
+from convoy_spark.operators.textops import (  # noqa: E402
+    MODEL_DIM,
+    model_quality_score,
+)
+
+
+@query(
+    "model_quality_filter",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '{WS_SPLIT}'),
+                         x -> x <> '') AS tk
+      FROM documents
+    ),
+    fe AS (
+      SELECT doc_id,
+        list_concat(tk,
+          CASE WHEN len(tk) >= 2
+               THEN list_transform(generate_series(1, len(tk) - 1),
+                      i -> tk[i] || ' ' || tk[i + 1])
+               ELSE [] END) AS feats
+      FROM t
+    ),
+    s AS (
+      SELECT doc_id,
+        CAST(len(feats) AS BIGINT) AS n_features,
+        CAST(COALESCE(list_sum(list_transform(feats,
+          f -> ((({sql_hash60('f')}) % {MODEL_DIM}) * 2654435761 + 12345)
+               % 2001 - 1000)), 0) AS BIGINT) AS score_num
+      FROM fe
+    )
+    SELECT doc_id, n_features, score_num,
+      CASE WHEN n_features > 0
+           THEN CAST(score_num AS DOUBLE) / (1000.0 * n_features)
+           ELSE 0.0 END AS logit,
+      1.0 / (1.0 + exp(-(CASE WHEN n_features > 0
+           THEN CAST(score_num AS DOUBLE) / (1000.0 * n_features)
+           ELSE 0.0 END))) AS prob,
+      score_num >= 0 AS model_keep
+    FROM s
+    """,
+)
+def model_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (CCNet/fastText-style stage 2,
+    after the heuristic text_quality stage 1): a linear classifier
+    over hashed unigram+bigram features, folded per row inside
+    whole-stage codegen — zero shuffles at any corpus size. Weights
+    are integer numerators derived deterministically from the bucket
+    id (trained weights would broadcast as a dim-row table), so the
+    score sum is exact and order-free and the keep decision is an
+    exact integer sign test; see operators/textops.py."""
+    return model_quality_score(load_table(spark, sf_dir, "documents"))

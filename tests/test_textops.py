@@ -223,3 +223,59 @@ def test_bm25_multi_semi_join_fallback_matches_isin(spark, monkeypatch):
         for r in textops.bm25_search_multi(docs, qdf, top_k=10).collect()
     )
     assert semi == isin and isin
+
+
+# ---- model-based quality filter ------------------------------------
+
+
+def test_model_quality_score_matches_python(spark):
+    import hashlib
+    import math
+
+    from convoy_spark.operators.textops import MODEL_DIM, model_quality_score
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "one"),
+        (3, ""),
+        (4, "a b a b a b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in model_quality_score(df).collect()}
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def w(f):
+        return ((h60(f) % MODEL_DIM) * 2654435761 + 12345) % 2001 - 1000
+
+    for doc_id, text in rows:
+        toks = [t for t in text.lower().split() if t]
+        feats = toks + [
+            f"{a} {b}" for a, b in zip(toks, toks[1:])
+        ]
+        n = len(feats)
+        sn = sum(w(f) for f in feats)
+        r = got[doc_id]
+        assert r.n_features == n
+        assert r.score_num == sn
+        logit = sn / (1000.0 * n) if n else 0.0
+        assert abs(r.logit - logit) < 1e-12
+        assert abs(r.prob - 1.0 / (1.0 + math.exp(-logit))) < 1e-12
+        assert r.model_keep == (sn >= 0)
+
+
+def test_model_quality_score_zero_shuffle_plan(spark):
+    import contextlib
+    import io
+
+    from convoy_spark.operators.textops import model_quality_score
+    from convoy_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        model_quality_score(docs).explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan  # a pure scan: no shuffle anywhere
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
