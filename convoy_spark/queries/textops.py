@@ -918,9 +918,6 @@ from convoy_spark.operators.textops import (  # noqa: E402
       CASE WHEN n_features > 0
            THEN CAST(score_num AS DOUBLE) / (1000.0 * n_features)
            ELSE 0.0 END AS logit,
-      1.0 / (1.0 + exp(-(CASE WHEN n_features > 0
-           THEN CAST(score_num AS DOUBLE) / (1000.0 * n_features)
-           ELSE 0.0 END))) AS prob,
       score_num >= 0 AS model_keep
     FROM s
     """,

@@ -230,7 +230,6 @@ def test_bm25_multi_semi_join_fallback_matches_isin(spark, monkeypatch):
 
 def test_model_quality_score_matches_python(spark):
     import hashlib
-    import math
 
     from convoy_spark.operators.textops import MODEL_DIM, model_quality_score
 
@@ -260,8 +259,7 @@ def test_model_quality_score_matches_python(spark):
         assert r.n_features == n
         assert r.score_num == sn
         logit = sn / (1000.0 * n) if n else 0.0
-        assert abs(r.logit - logit) < 1e-12
-        assert abs(r.prob - 1.0 / (1.0 + math.exp(-logit))) < 1e-12
+        assert r.logit == logit  # pure division: bit-identical
         assert r.model_keep == (sn >= 0)
 
 
