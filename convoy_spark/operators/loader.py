@@ -196,6 +196,55 @@ def shard_assignment(
     )
 
 
+def mixture_rates(
+    counts: DataFrame, targets: dict[str, float]
+) -> DataFrame:
+    """(domain, accept_rate) from a ``(domain, n_d)`` counts frame:
+    the largest sample keeping every target domain at its exact
+    weight takes ``C = min_d(n_d / w_d)`` rows, so domain d accepts
+    at ``r_d = w_d · C / n_d`` (the binding domain at 1.0; domains
+    absent from ``targets`` at 0). Shared by the batch operator and
+    the streaming quota sampler (streaming/mixture.py), which feeds
+    CUMULATIVE counts — one definition, no drift."""
+    spark = counts.sparkSession
+    tgt = spark.createDataFrame(
+        [(d, float(w)) for d, w in targets.items()],
+        "domain string, w double",
+    )
+    rated = counts.join(tgt, "domain", "left").withColumn(
+        "w", F.coalesce("w", F.lit(0.0))
+    )
+    cap = rated.filter(F.col("w") > 0).agg(
+        F.min(F.col("n_d") / F.col("w")).alias("c")
+    )
+    return rated.crossJoin(F.broadcast(cap)).select(
+        "domain",
+        F.when(F.col("w") > 0, F.col("w") * F.col("c") / F.col("n_d"))
+        .otherwise(F.lit(0.0))
+        .alias("accept_rate"),
+    )
+
+
+def mixture_decide(
+    docs: DataFrame, rates: DataFrame, salt: str = "mix0"
+) -> DataFrame:
+    """(doc_id, domain, accept_rate, sampled) — apply per-domain
+    acceptance rates to ``(doc_id, domain)`` rows via the
+    deterministic salted-hash threshold (map-side: rates broadcast,
+    nothing about the corpus shuffles)."""
+    thresh = F.floor(F.col("accept_rate") * F.lit(1_000_000.0)).cast("long")
+    bucket = F.pmod(
+        hash60(F.concat(F.lit(salt + ":"), F.col("doc_id").cast("string"))),
+        F.lit(1_000_000),
+    )
+    return docs.join(F.broadcast(rates), "domain").select(
+        "doc_id",
+        "domain",
+        "accept_rate",
+        (bucket < thresh).alias("sampled"),
+    )
+
+
 def mixture_sample(
     docs: DataFrame,
     targets: dict[str, float],
@@ -213,47 +262,18 @@ def mixture_sample(
     engine-independent, and exactly the split/sample machinery the
     dedup family already proves. Domains absent from ``targets`` get
     rate 0. Counts ride one keyed aggregation; rates broadcast."""
-    spark = docs.sparkSession
-    tgt = spark.createDataFrame(
-        [(d, float(w)) for d, w in targets.items()],
-        "domain string, w double",
-    )
     base = docs.select(
         "doc_id", F.col(domain_col).alias("domain")
     )
     counts = base.groupBy("domain").agg(F.count("*").alias("n_d"))
-    rated = counts.join(tgt, "domain", "left").withColumn(
-        "w", F.coalesce("w", F.lit(0.0))
-    )
-    cap = rated.filter(F.col("w") > 0).agg(
-        F.min(F.col("n_d") / F.col("w")).alias("c")
-    )
-    rates = rated.crossJoin(F.broadcast(cap)).select(
-        "domain",
-        F.when(F.col("w") > 0, F.col("w") * F.col("c") / F.col("n_d"))
-        .otherwise(F.lit(0.0))
-        .alias("accept_rate"),
-    )
-    thresh = F.floor(F.col("accept_rate") * F.lit(1_000_000.0)).cast("long")
-    bucket = F.pmod(
-        hash60(F.concat(F.lit(salt + ":"), F.col("doc_id").cast("string"))),
-        F.lit(1_000_000),
-    )
-    return (
-        base.join(F.broadcast(rates), "domain")
-        .select(
-            "doc_id",
-            "domain",
-            "accept_rate",
-            (bucket < thresh).alias("sampled"),
-        )
-    )
-
+    return mixture_decide(base, mixture_rates(counts, targets), salt)
 
 __all__ = [
     "SCAN_BLOCK",
     "block_prefix_sum",
     "epoch_shuffle",
+    "mixture_decide",
+    "mixture_rates",
     "mixture_sample",
     "pack_sequences",
     "shard_assignment",
