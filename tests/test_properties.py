@@ -238,3 +238,92 @@ def test_bpe_greedy_fold_matches_python_reference(spark, syms, pair):
         ).alias("out")
     ).first()
     assert folded.out == _py_greedy_merge(syms, left, right), (syms, pair)
+
+
+# --- round-6: block prefix scan and span dedup vs Python references -
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),  # dup-heavy keys
+            st.integers(min_value=-5, max_value=9),
+        ),
+        min_size=1,
+        max_size=80,
+    )
+)
+@settings(max_examples=6, deadline=None)
+def test_block_prefix_sum_matches_cumsum(spark, kvs):
+    """Duplicate order keys + a unique tiebreak: the two-phase scan
+    equals the driver-side cumulative sum in (key, uid) order for any
+    block size and any partitioning."""
+    from convoy_spark.operators.loader import block_prefix_sum
+
+    rows = [(k, i, v) for i, (k, v) in enumerate(kvs)]
+    df = spark.createDataFrame(rows, "k long, uid long, v long").repartition(7)
+    got = {
+        (r.k, r.uid): r.cum
+        for r in block_prefix_sum(
+            df, "k", "v", block_size=8, tiebreak_col="uid"
+        ).collect()
+    }
+    run = 0
+    for k, uid, v in sorted(rows):
+        run += v
+        assert got[(k, uid)] == run
+
+
+def _py_span_dedup(texts, k):
+    """Pure-Python reference for span_dedup (same contract)."""
+    seen = {}
+    spans_all = []
+    for doc_id, text in sorted(texts):
+        toks = text.split()
+        nch = max(1, -(-len(toks) // k))
+        for pos in range(nch):
+            chunk = " ".join(toks[pos * k : (pos + 1) * k])
+            full = (pos + 1) * k <= len(toks)
+            key = chunk
+            if full and key in seen:
+                kept = False
+            else:
+                if full:
+                    seen[key] = (doc_id, pos)
+                kept = True
+            spans_all.append((doc_id, pos, chunk, kept))
+    out = {}
+    for doc_id, _ in texts:
+        mine = [s for s in spans_all if s[0] == doc_id]
+        kept = [c for _, _, c, kp in sorted(mine, key=lambda s: s[1]) if kp]
+        out[doc_id] = (
+            " ".join(kept),
+            sum(1 for s in mine if s[3]),
+            sum(1 for s in mine if not s[3]),
+        )
+    return out
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from("aa bb cc dd".split()), min_size=0, max_size=12
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(max_examples=6, deadline=None)
+def test_span_dedup_matches_python(spark, token_lists):
+    """Tiny alphabet → dense span collisions; the Spark rewrite
+    matches the pure-Python first-wins reference exactly, including
+    reassembled text."""
+    from convoy_spark.operators.dedup import span_dedup
+
+    texts = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.spans_kept, r.spans_dropped)
+        for r in span_dedup(df, k=3).collect()
+    }
+    assert got == _py_span_dedup(texts, 3)
