@@ -99,6 +99,21 @@ EXPECTATIONS = {
         "BroadcastHashJoin",
         "ReadSchema: struct<doc_id:bigint,source:string>",
     ],
+    # span rewrite dedup: span explode behind Generate; first-wins is
+    # a rank window keyed on the span's md5 (content-keyed exchange);
+    # reassembly a doc-keyed hash aggregate; only (doc_id, text) read
+    "span_dedup": [
+        "Generate",
+        "Window",
+        "ObjectHashAggregate",
+        "ReadSchema: struct<doc_id:bigint,text:string>",
+    ],
+    # model-based filter: a pure scan — the hashed-feature dot product
+    # folds per row in codegen; no exchange, no Python stage
+    "model_quality_filter": [
+        "[codegen id :",
+        "ReadSchema: struct<doc_id:bigint,text:string>",
+    ],
 }
 
 
