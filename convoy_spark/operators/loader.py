@@ -196,6 +196,42 @@ def shard_assignment(
     )
 
 
+
+def write_training_shards(
+    docs: DataFrame,
+    out_dir: str,
+    epoch: int = 0,
+    shard_tokens: int = 1 << 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize the :func:`shard_assignment` manifest as the actual
+    training-shard layout: one ``shard_id=<k>`` parquet directory per
+    shard, rows within each shard stored in shuffle order (the order
+    the loader reads). The write clusters by shard_id and sorts within
+    partitions by (shard_id, shuffle_pos) — at cluster scale each
+    shard's rows land contiguously in one task's output, so a shard
+    directory is one file of ~``shard_tokens`` tokens, exactly the
+    unit a data-loader worker maps. Returns the manifest (the write is
+    the side effect); overwrite mode keeps re-runs idempotent (the S8
+    contract)."""
+    manifest = shard_assignment(
+        docs, epoch=epoch, shard_tokens=shard_tokens,
+        text_col=text_col, id_col=id_col,
+    )
+    rows = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).join(manifest, "doc_id")
+    (
+        rows.repartition(F.col("shard_id"))
+        .sortWithinPartitions("shard_id", "shuffle_pos")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(out_dir)
+    )
+    return manifest
+
+
 def mixture_rates(
     counts: DataFrame, targets: dict[str, float]
 ) -> DataFrame:
@@ -277,4 +313,5 @@ __all__ = [
     "mixture_sample",
     "pack_sequences",
     "shard_assignment",
+    "write_training_shards",
 ]

@@ -133,3 +133,37 @@ def test_shard_assignment_contiguous_and_balanced(spark):
     assert [(r.doc_id, r.shard_id) for r in out] == [
         (r.doc_id, r.shard_id) for r in again
     ]
+
+
+def test_write_training_shards_layout(spark, tmp_path):
+    import os
+
+    from convoy_spark.operators.loader import write_training_shards
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = str(tmp_path / "shards")
+    manifest = write_training_shards(
+        docs, out, epoch=1, shard_tokens=1024
+    ).collect()
+    want = {}
+    for r in manifest:
+        want.setdefault(r.shard_id, set()).add(r.doc_id)
+    # one shard_id=<k> directory per shard, holding exactly its docs
+    dirs = sorted(
+        d for d in os.listdir(out) if d.startswith("shard_id=")
+    )
+    assert len(dirs) == len(want)
+    for d in dirs:
+        k = int(d.split("=")[1])
+        got = spark.read.parquet(os.path.join(out, d))
+        assert {r.doc_id for r in got.select("doc_id").collect()} == want[k]
+    # rows inside a shard are stored in shuffle order (what a loader
+    # worker streams)
+    k0 = os.path.join(out, dirs[0])
+    pos = [r.shuffle_pos for r in spark.read.parquet(k0).collect()]
+    assert pos == sorted(pos)
+    # idempotent re-run (overwrite)
+    write_training_shards(docs, out, epoch=1, shard_tokens=1024)
+    assert sorted(
+        d for d in os.listdir(out) if d.startswith("shard_id=")
+    ) == dirs
