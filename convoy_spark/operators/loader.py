@@ -17,8 +17,10 @@ single-task stage.
 
 Determinism contracts (the functions/hashing rules): ordering keys
 are exact integers or the cross-engine hash60, so every output
-reproduces bit-for-bit on DuckDB — all three operators carry full
-value-hash oracles.
+reproduces bit-for-bit on DuckDB — every operator here carries a full
+value-hash oracle (packing, shuffle, mixture, shards), and the write
+path (:func:`write_training_shards`) materializes the shard manifest
+as the actual partitioned layout.
 """
 
 from __future__ import annotations
@@ -194,7 +196,6 @@ def shard_assignment(
         f"CAST((_cum - n_tokens) DIV {int(shard_tokens)} AS BIGINT)"
         " AS shard_id",
     )
-
 
 
 def write_training_shards(
