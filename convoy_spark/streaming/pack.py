@@ -162,10 +162,31 @@ def packed_manifest(spark: SparkSession, state_dir: str) -> DataFrame:
     ).select("doc_id", "n_tokens", "start_offset", "pack_id", "crosses_boundary")
 
 
+def shard_manifest(
+    spark: SparkSession, state_dir: str, shard_tokens: int = 1 << 20
+) -> DataFrame:
+    """(doc_id, n_tokens, start_offset, shard_id) — training shards
+    cut from the STREAMED token stream (arrival order): a pure
+    projection over the packed manifest, so shards can be emitted
+    continuously as the stream grows — a shard is complete once a
+    later batch pushes the stream total past its upper boundary,
+    and completed shards never change (offsets are immutable). The
+    arrival-order counterpart of the batch
+    ``operators/loader.py::shard_assignment`` (which shards the
+    epoch-shuffled order)."""
+    return packed_manifest(spark, state_dir).selectExpr(
+        "doc_id",
+        "n_tokens",
+        "start_offset",
+        f"CAST(start_offset DIV {int(shard_tokens)} AS BIGINT) AS shard_id",
+    )
+
+
 __all__ = [
     "OFFSETS_SCHEMA",
     "PACKED_SCHEMA",
     "apply_pack_batch",
     "packed_manifest",
     "run_incremental_pack",
+    "shard_manifest",
 ]

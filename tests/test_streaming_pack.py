@@ -103,3 +103,30 @@ def test_replay_and_partial_write_converge(spark, tmp_path):
     shutil.rmtree(str(tmp_path / "state/offsets/batch-t-1"))
     apply_pack_batch(b1, state, "t-1", seq_len=SEQ)
     assert _rows(packed_manifest(spark, state)) == want
+
+
+def test_shard_manifest_completed_shards_immutable(spark, tmp_path):
+    from convoy_spark.streaming.pack import shard_manifest
+
+    docs = _docs(spark)
+    state = str(tmp_path / "state")
+    apply_pack_batch(docs.filter("doc_id < 250"), state, "t-0", seq_len=SEQ)
+    first = {
+        r.doc_id: r.shard_id
+        for r in shard_manifest(spark, state, shard_tokens=1024).collect()
+    }
+    # stream grows: earlier docs' shard assignments never change
+    apply_pack_batch(docs.filter("doc_id >= 250"), state, "t-1", seq_len=SEQ)
+    both = {
+        r.doc_id: r.shard_id
+        for r in shard_manifest(spark, state, shard_tokens=1024).collect()
+    }
+    assert all(both[d] == s for d, s in first.items())
+    # shards are contiguous non-decreasing runs of the stream
+    rows = sorted(
+        shard_manifest(spark, state, shard_tokens=1024).collect(),
+        key=lambda r: r.start_offset,
+    )
+    assert rows[0].shard_id == 0
+    for a, b in zip(rows, rows[1:]):
+        assert b.shard_id - a.shard_id in (0, 1)
