@@ -1077,3 +1077,79 @@ def model_quality_score(
         logit.alias("logit"),
         (F.col("score_num") >= 0).alias("model_keep"),
     )
+
+
+# --- Corpus-trained trigram LM quality score (CCNet-style) ----------
+#
+# CCNet's third filter (after heuristics and the hashed-feature
+# classifier above) scores text with a language model trained on a
+# trusted corpus and keeps the low-perplexity tail. The distributed
+# restatement: train the trigram MLE on the corpus itself (the same
+# corpus-trained trick as lang_id's char-trigram profiles), score each
+# doc by its mean trigram probability — count ratios, so the whole
+# statistic is rational and (under the decimal-exact sum) value-hash
+# oracle-able; log-free by the repo's discipline (a monotone transform
+# adds no information to a filter threshold).
+
+
+def trigram_lm_score(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_trigrams, lm_score) — mean MLE trigram probability
+    P(w3 | w1 w2) = c(w1 w2 w3)/c(w1 w2) over the doc's word
+    trigrams, with counts trained on the WHOLE corpus (self-trained:
+    every doc trigram has count ≥ 1, so no smoothing is needed and
+    the score is always positive; docs with < 3 tokens score 0 with
+    0 trigrams). Typical text scores high; out-of-distribution /
+    machine-garbled text scores low — the LM-filtering signal.
+
+    Scale shape: one corpus aggregation keyed on the trigram (c3),
+    a tiny aggregation of c3 down to contexts (c2), then two
+    posting-style equi-joins back to the doc trigram stream and one
+    doc-keyed mean — corpus-linear, no all-pairs, hot boilerplate
+    trigrams handled by AQE skew splitting like every posting join
+    here."""
+    from convoy_spark.functions.numeric import davg
+
+    base = docs.select(
+        "doc_id",
+        F.explode(F.array(F.filter(_tokens(), lambda t: t != ""))).alias(
+            "_toks"
+        ),
+    )
+    tri = (
+        base.filter(F.size("_toks") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(_toks) - 2),"
+                    " i -> struct("
+                    "   concat(element_at(_toks, i), ' ',"
+                    "          element_at(_toks, i + 1)) AS ctx,"
+                    "   element_at(_toks, i + 2) AS nxt))"
+                )
+            ).alias("t"),
+        )
+        .select("doc_id", "t.ctx", "t.nxt")
+    )
+    c3 = tri.groupBy("ctx", "nxt").agg(F.count("*").cast("long").alias("n3"))
+    c2 = c3.groupBy("ctx").agg(F.sum("n3").cast("long").alias("n2"))
+    scored = (
+        tri.join(c3, ["ctx", "nxt"])
+        .join(c2, "ctx")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_trigrams"),
+            davg(F.col("n3").cast("double") / F.col("n2")).alias("lm_score"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_trigrams", F.lit(0).cast("long")).alias(
+                "n_trigrams"
+            ),
+            F.coalesce("lm_score", F.lit(0.0)).alias("lm_score"),
+        )
+    )

@@ -932,3 +932,55 @@ def model_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     score sum is exact and order-free and the keep decision is an
     exact integer sign test; see operators/textops.py."""
     return model_quality_score(load_table(spark, sf_dir, "documents"))
+
+
+from convoy_spark.functions.numeric import sql_davg  # noqa: E402
+from convoy_spark.operators.textops import trigram_lm_score  # noqa: E402
+
+
+@query(
+    "trigram_lm_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '{WS_SPLIT}'),
+                         x -> x <> '') AS tk
+      FROM documents
+    ),
+    tri AS (
+      SELECT doc_id,
+        unnest(list_transform(generate_series(1, len(tk) - 2),
+          i -> tk[i] || ' ' || tk[i + 1])) AS ctx,
+        unnest(list_transform(generate_series(1, len(tk) - 2),
+          i -> tk[i + 2])) AS nxt
+      FROM t WHERE len(tk) >= 3
+    ),
+    c3 AS (
+      SELECT ctx, nxt, CAST(COUNT(*) AS BIGINT) AS n3
+      FROM tri GROUP BY ctx, nxt
+    ),
+    c2 AS (SELECT ctx, CAST(SUM(n3) AS BIGINT) AS n2 FROM c3 GROUP BY ctx),
+    sc AS (
+      SELECT tri.doc_id,
+        CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+        {sql_davg('CAST(n3 AS DOUBLE) / n2')} AS lm_score
+      FROM tri JOIN c3 USING (ctx, nxt) JOIN c2 USING (ctx)
+      GROUP BY tri.doc_id
+    )
+    SELECT d.doc_id,
+      CAST(COALESCE(sc.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+      COALESCE(sc.lm_score, 0.0) AS lm_score
+    FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+    """,
+)
+def trigram_lm_score_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained trigram LM quality score (CCNet's LM-filtering
+    stage, log-free): mean MLE trigram probability per doc, counts
+    trained on the whole corpus — one trigram-keyed corpus
+    aggregation, a context rollup, two posting-style equi-joins back
+    to the doc stream, one doc-keyed decimal-exact mean. Rational
+    count ratios + dsum discipline make the float column
+    hash-checkable. Complements the heuristic (text_quality) and
+    hashed-feature (model_quality_filter) stages as the third filter
+    of the CCNet recipe."""
+    return trigram_lm_score(load_table(spark, sf_dir, "documents"))

@@ -277,3 +277,40 @@ def test_model_quality_score_zero_shuffle_plan(spark):
     plan = buf.getvalue()
     assert "Exchange" not in plan  # a pure scan: no shuffle anywhere
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_trigram_lm_score_matches_python(spark):
+    from collections import Counter
+
+    from convoy_spark.operators.textops import trigram_lm_score
+
+    rows = [
+        (1, "a b c a b c a b"),      # repeated pattern: high prob
+        (2, "a b x q z c a"),        # rare continuations: low prob
+        (3, "one two"),              # < 3 tokens: 0 trigrams
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in trigram_lm_score(df).collect()}
+
+    tris = {}
+    c3, c2 = Counter(), Counter()
+    for doc_id, text in rows:
+        tk = text.lower().split()
+        t = [(f"{a} {b}", c) for a, b, c in zip(tk, tk[1:], tk[2:])]
+        tris[doc_id] = t
+        for ctx, nxt in t:
+            c3[(ctx, nxt)] += 1
+            c2[ctx] += 1
+    for doc_id, _ in rows:
+        t = tris[doc_id]
+        r = got[doc_id]
+        assert r.n_trigrams == len(t)
+        if not t:
+            assert r.lm_score == 0.0
+            continue
+        want = sum(c3[(c, n)] / c2[c] for c, n in t) / len(t)
+        # decimal(18,6) sum: agreement to ~1e-6 of the raw mean
+        assert abs(r.lm_score - want) < 2e-6, (doc_id, r.lm_score, want)
+    # the repetitive doc scores higher than the erratic one
+    assert got[1].lm_score > got[2].lm_score
