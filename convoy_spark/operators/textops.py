@@ -1107,8 +1107,6 @@ def trigram_lm_score(docs: DataFrame) -> DataFrame:
     doc-keyed mean — corpus-linear, no all-pairs, hot boilerplate
     trigrams handled by AQE skew splitting like every posting join
     here."""
-    from convoy_spark.functions.numeric import davg
-
     base = docs.select(
         "doc_id",
         F.explode(F.array(F.filter(_tokens(), lambda t: t != ""))).alias(
@@ -1131,15 +1129,33 @@ def trigram_lm_score(docs: DataFrame) -> DataFrame:
         )
         .select("doc_id", "t.ctx", "t.nxt")
     )
-    c3 = tri.groupBy("ctx", "nxt").agg(F.count("*").cast("long").alias("n3"))
+    # Derive everything from the DISTINCT (doc, trigram) counts, not
+    # the raw occurrence stream: the corpus-count branch then re-
+    # derives an aggregated frame instead of a second full explode,
+    # and the per-occurrence mean folds as the k-weighted mean over
+    # distinct rows — sum(k · dec(p)) == summing k copies of dec(p),
+    # so the decimal-exact statistic and the oracle are unchanged.
+    # Measured at sf3.0: 55.0 → 29.5 s (localCheckpoint was tried and
+    # is WORSE at scale — materializing the 10^8-row frame costs more
+    # than recomputing its map-side-combined aggregation; BENCH_NOTES
+    # round 6).
+    from convoy_spark.functions.numeric import DEC
+
+    dtri = tri.groupBy("doc_id", "ctx", "nxt").agg(
+        F.count("*").cast("long").alias("k")
+    )
+    c3 = dtri.groupBy("ctx", "nxt").agg(F.sum("k").cast("long").alias("n3"))
     c2 = c3.groupBy("ctx").agg(F.sum("n3").cast("long").alias("n2"))
+    p_dec = (F.col("n3").cast("double") / F.col("n2")).cast(DEC)
     scored = (
-        tri.join(c3, ["ctx", "nxt"])
+        dtri.join(c3, ["ctx", "nxt"])
         .join(c2, "ctx")
         .groupBy("doc_id")
         .agg(
-            F.count("*").cast("long").alias("n_trigrams"),
-            davg(F.col("n3").cast("double") / F.col("n2")).alias("lm_score"),
+            F.sum("k").cast("long").alias("n_trigrams"),
+            (
+                F.sum(p_dec * F.col("k")).cast("double") / F.sum("k")
+            ).alias("lm_score"),
         )
     )
     return (
