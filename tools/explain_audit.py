@@ -114,6 +114,14 @@ EXPECTATIONS = {
         "[codegen id :",
         "ReadSchema: struct<doc_id:bigint,text:string>",
     ],
+    # trigram LM: trigram explode behind Generate; corpus counts are
+    # map-side-combined hash aggs; scoring joins are shuffle equi-joins
+    # on the trigram key; only (doc_id, text) read
+    "trigram_lm_score": [
+        "Generate",
+        "HashAggregate",
+        "ReadSchema: struct<doc_id:bigint,text:string>",
+    ],
 }
 
 
