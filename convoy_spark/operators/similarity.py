@@ -529,3 +529,104 @@ def ann_lsh_topk(
         .select("query_id", "corpus_id", "sim")
     )
     return topk(scores, k)
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    eps: float = 0.3,
+    n_cells: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate REMOVAL over an embedding corpus — cluster with the
+    deterministic k-means coarse quantizer (:func:`ivf_index`), then
+    within each cluster drop every vector whose cosine similarity to a
+    higher-priority cluster member is ≥ ``eps``. Priority follows the
+    paper's keep-the-outlier rule: members rank by distance to their
+    own centroid DESCENDING (farthest kept first, vec_id tiebreak), so
+    of a duplicate group the most centroid-atypical copy survives.
+
+    Returns (vec_id, cell, cdist, is_kept) for every corpus vector.
+
+    Scale shape — the published algorithm's cost, expressed as joins:
+    the index build is O(N·n_cells) broadcast work (ivf_index); the
+    pairwise stage is confined WITHIN cells — candidate pairs =
+    Σ_c |cell_c|², the SemDeDup contract (n_cells scales ~N/m for a
+    target cell size m, keeping per-cell work bounded; the paper runs
+    50k clusters for 600M docs). Pair dots run in the exploded
+    scaled-long codegen shape (ann_lsh_topk's SCORE_SCALE trick — no
+    interpreted per-row lambdas on the quadratic stage), keyed by
+    (cell, d) and collapsed by map-side combine. Nothing is collected;
+    centroids are the only broadcast (n_cells·dim doubles).
+
+    Exactness: floor-scaled long sums for cdist, pair dots, and norms
+    (deterministic and order-free), so cluster assignment, priority
+    rank, and the keep decision are bit-identical across engines and
+    partitionings — full value-hash oracle in queries/similarity.py.
+    """
+    centroids, assignment = ivf_index(corpus, n_cells, iters, vec_col, id_col)
+    ex = exploded_vectors(corpus, vec_col, id_col).localCheckpoint(eager=False)
+    cent_ex = centroids.select(
+        "cell", F.posexplode("centroid").alias("d", "m")
+    )
+    scaled = lambda c: (  # noqa: E731
+        F.sum(F.floor(c * F.lit(SCORE_SCALE))).cast("double")
+        / F.lit(SCORE_SCALE)
+    )
+    cd = (
+        assignment.join(ex, "vec_id")
+        .join(F.broadcast(cent_ex), ["cell", "d"])
+        .groupBy("vec_id", "cell")
+        .agg(
+            scaled(
+                (F.col("x") - F.col("m")) * (F.col("x") - F.col("m"))
+            ).alias("cdist")
+        )
+    )
+    rk_w = Window.partitionBy("cell").orderBy(
+        F.col("cdist").desc(), F.col("vec_id").asc()
+    )
+    ranked = cd.withColumn("rk", F.row_number().over(rk_w)).localCheckpoint(
+        eager=False
+    )
+    pairs = (
+        ranked.select("cell", F.col("vec_id").alias("a_id"), F.col("rk").alias("a_rk"))
+        .join(
+            ranked.select(
+                "cell", F.col("vec_id").alias("b_id"), F.col("rk").alias("b_rk")
+            ),
+            "cell",
+        )
+        .filter(F.col("a_rk") < F.col("b_rk"))
+        .select("a_id", "b_id")
+    )
+    norms = ex.groupBy("vec_id").agg(
+        F.sqrt(scaled(F.col("x") * F.col("x"))).alias("nrm")
+    )
+    ea = ex.select(F.col("vec_id").alias("a_id"), "d", F.col("x").alias("xa"))
+    eb = ex.select(F.col("vec_id").alias("b_id"), "d", F.col("x").alias("xb"))
+    dots = (
+        pairs.join(ea, "a_id")
+        .join(eb, ["b_id", "d"])
+        .groupBy("a_id", "b_id")
+        .agg(scaled(F.col("xa") * F.col("xb")).alias("dp"))
+    )
+    dropped = (
+        dots.join(norms.select(F.col("vec_id").alias("a_id"), F.col("nrm").alias("_an")), "a_id")
+        .join(norms.select(F.col("vec_id").alias("b_id"), F.col("nrm").alias("_bn")), "b_id")
+        .filter(F.col("dp") / (F.col("_an") * F.col("_bn")) >= F.lit(eps))
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return (
+        ranked.join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            "cdist",
+            F.coalesce(~F.col("_dropped"), F.lit(True)).alias("is_kept"),
+        )
+    )

@@ -1169,3 +1169,145 @@ def trigram_lm_score(docs: DataFrame) -> DataFrame:
             F.coalesce("lm_score", F.lit(0.0)).alias("lm_score"),
         )
     )
+
+
+# --- DSIR importance weights (hashed n-gram target-vs-raw) ----------
+#
+# Data Selection via Importance Resampling (Xie et al., NeurIPS 2023):
+# fit bag-of-hashed-n-grams models on a small TARGET corpus and the
+# large RAW corpus, weight every raw document by how target-like its
+# feature distribution is, and select the top-weighted documents.
+# The distributed restatement below keeps the paper's feature space
+# (word unigrams + bigrams hashed into a fixed bucket table, add-1
+# smoothing) and swaps the log-likelihood-ratio SUM for the k-weighted
+# MEAN of per-feature likelihood ratios — the same geometric→arithmetic
+# log-free trade trigram_lm_score documents (ln differs in final ulps
+# across engines; count ratios + decimal-exact sums are value-hash
+# checkable). Selection is top-n by weight (the paper's non-stochastic
+# variant; Gumbel resampling would add a salted-hash noise column).
+
+DSIR_DIM = 4096
+
+
+def dsir_importance(
+    docs: DataFrame, target_ids: DataFrame, dim: int = DSIR_DIM
+) -> DataFrame:
+    """(doc_id, n_features, importance) for every RAW (non-target)
+    document: importance = Σ_f k_f·r_b(f) / Σ_f k_f where
+    r_b = p̂_target(b) / p̂_raw(b) over hashed unigram+bigram buckets
+    with add-1 smoothing (p̂(b) = (n_b + 1)/(N + dim)).
+
+    Scale shape: ONE corpus tokenization feeds both models and the
+    scoring pass — per-(doc, bucket) counts aggregate with map-side
+    combine, bucket tables are ≤ ``dim`` rows (broadcast back), and
+    the totals are 1-row broadcast scalars. No all-pairs, no
+    collect; the target membership probe is a broadcast-able semi
+    join. The bucket hash is the md5-parity hash60 (cross-engine
+    checkable); production deployments would swap xxhash64 exactly as
+    model_quality_score's ``production_hash`` documents."""
+    h_b = f"(cast(conv(substring(md5(f), 1, 15), 16, 10) as bigint)) % {dim}"
+    base = docs.select(
+        "doc_id",
+        F.explode(F.array(F.filter(_tokens(), lambda t: t != ""))).alias(
+            "_toks"
+        ),
+    )
+    feats = (
+        "concat(_toks, CASE WHEN size(_toks) >= 2 THEN"
+        " transform(sequence(1, size(_toks) - 1),"
+        "   i -> concat(element_at(_toks, i), ' ', element_at(_toks, i + 1)))"
+        " ELSE slice(_toks, 1, 0) END)"
+    )
+    fb = base.select(
+        "doc_id",
+        F.explode(F.expr(f"transform({feats}, f -> {h_b})")).alias("b"),
+    )
+    tgt = target_ids.select("doc_id").distinct()
+    dfeat = (
+        fb.groupBy("doc_id", "b")
+        .agg(F.count("*").cast("long").alias("k"))
+        .join(
+            F.broadcast(tgt.withColumn("_is_tgt", F.lit(True))),
+            "doc_id",
+            "left",
+        )
+        .withColumn("_is_tgt", F.coalesce("_is_tgt", F.lit(False)))
+        .localCheckpoint(eager=False)
+    )
+    counts = dfeat.groupBy("b").agg(
+        F.sum(F.when(F.col("_is_tgt"), F.col("k")).otherwise(0))
+        .cast("long")
+        .alias("nt"),
+        F.sum(F.when(~F.col("_is_tgt"), F.col("k")).otherwise(0))
+        .cast("long")
+        .alias("nr"),
+    )
+    totals = counts.agg(
+        F.sum("nt").cast("long").alias("tot_t"),
+        F.sum("nr").cast("long").alias("tot_r"),
+    )
+    # r = p̂_t(b)/p̂_r(b), evaluated as two smoothed-probability
+    # divisions then one division — three deterministic double ops
+    # the oracle mirrors token-for-token.
+    ratios = counts.crossJoin(F.broadcast(totals)).select(
+        "b",
+        (
+            (
+                (F.col("nt") + 1).cast("double")
+                / (F.col("tot_t") + F.lit(dim)).cast("double")
+            )
+            / (
+                (F.col("nr") + 1).cast("double")
+                / (F.col("tot_r") + F.lit(dim)).cast("double")
+            )
+        ).alias("r"),
+    )
+    from convoy_spark.functions.numeric import DEC
+
+    scored = (
+        dfeat.filter(~F.col("_is_tgt"))
+        .join(F.broadcast(ratios), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("long").alias("n_features"),
+            (
+                F.sum(F.col("r").cast(DEC) * F.col("k")).cast("double")
+                / F.sum("k")
+            ).alias("importance"),
+        )
+    )
+    raw_docs = docs.select("doc_id").join(tgt, "doc_id", "left_anti")
+    return raw_docs.join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_features", F.lit(0).cast("long")).alias("n_features"),
+        F.coalesce("importance", F.lit(0.0)).alias("importance"),
+    )
+
+
+def dsir_select(
+    docs: DataFrame,
+    target_ids: DataFrame,
+    n_select: int,
+    dim: int = DSIR_DIM,
+) -> DataFrame:
+    """DSIR's selection step: rank raw documents by importance and
+    mark the top ``n_select`` (deterministic (importance desc,
+    doc_id) order). The top-n id set is computed with TakeOrdered
+    (per-partition partial top-n, no global sort shuffle — the
+    bm25_multi_query lesson) and broadcast back as a membership
+    flag, so the full scored table keeps its partitioning."""
+    scored = dsir_importance(docs, target_ids, dim).localCheckpoint(
+        eager=False
+    )
+    top = (
+        scored.orderBy(F.col("importance").desc(), F.col("doc_id").asc())
+        .limit(n_select)
+        .select("doc_id")
+        .withColumn("_sel", F.lit(True))
+    )
+    return scored.join(F.broadcast(top), "doc_id", "left").select(
+        "doc_id",
+        "n_features",
+        "importance",
+        F.coalesce("_sel", F.lit(False)).alias("selected"),
+    )

@@ -125,6 +125,47 @@ from convoy_spark.queries import (  # noqa: F401,E402
 #                        the in-window token pipelines run on every
 #                        query — tfidf_topterms, token_stats,
 #                        corpus_funnel; stays emulator-checked).
+# Round-6 late rotation (the remaining round-6 first-class components
+# enter the round they land, per the standing rule):
+#   IN : span_dedup           (C4-style duplicated-span removal with
+#                              per-doc reassembly),
+#        model_quality_filter (fastText-architecture hashed-n-gram
+#                              linear scorer),
+#        trigram_lm_score     (corpus-trained trigram LM quality
+#                              score, CCNet's LM filter),
+#        shard_assignment     (token-balanced training-shard plan)
+#   OUT: dedup_clusters    (its connected_components +
+#                           shared_lsh_pairs machinery runs verbatim
+#                           inside in-window dedup_keep_best,
+#                           queries/dedup.py — the cluster ids ARE
+#                           that query's partition keys),
+#        semi_join_filter   (J7 left-semi plan exercised in-window by
+#                           minhash_lsh_neardup's candidate pruning,
+#                           operators/dedup.py:128,303, and
+#                           bm25_multi_query's posting-pruned doclens,
+#                           operators/textops.py:660),
+#        left_join_wide     (J5 LeftOuter + broadcast dims proven by
+#                           in-window ur_enrichment (J4 LeftOuter +
+#                           COALESCE) and dedup_keep_best's left
+#                           joins; stays emulator-checked),
+#        case_analysis      (P2's CaseWhen projection machinery is
+#                           evaluated in-window by conditional_agg's
+#                           CASE-branch aggregates (A1/P11) over the
+#                           same scan shape json_extraction proves;
+#                           stays emulator-checked).
+# Round-6 late addition: semantic_dedup (SemDeDup — embedding-space
+# near-dup removal, the semantic leg of the dedup suite) enters the
+# round it lands; OUT approx_distinct_rollup (A4's multi-agg rollup
+# frame is proven in-window by flagship_conversation_rollup AND
+# approx_percentile_rollup over the same grouping; the HLL sketch
+# stays pinned by its exact-twin tolerance-boolean construction,
+# emulator + pytest — the percentile_stats displacement precedent).
+# Round-6 late addition: dsir_select (DSIR importance resampling —
+# target-vs-raw hashed-n-gram selection, the distribution-matching
+# member of the quality-filter family) enters the round it lands;
+# OUT tfidf_topterms (its postings → df → idf → per-doc score chain
+# is the same scoring machinery in-window bm25_multi_query runs,
+# operators/textops.py shared chain; stays emulator-checked).
 _CHECK_WINDOW = [
     # §2.3/§2.8 aggregates + SQL front door (two_pass_mad is past the
     # window: A6/P13 two-pass MAD is proven by tree_metric_mad)
@@ -133,7 +174,6 @@ _CHECK_WINDOW = [
     "conditional_agg",
     "approx_percentile_rollup",
     "sql_interface",
-    "approx_distinct_rollup",
     # §2.9 event-time windows (session/sliding_window_agg are past
     # the window: tumbling proves the event-time surface)
     "tumbling_window_agg",
@@ -151,14 +191,11 @@ _CHECK_WINDOW = [
     "root_stats_fastpath",
     # §2.4 joins
     "self_join_parent_child",
-    "left_join_wide",
-    "semi_join_filter",
     # §2.3 grouping/filter relational
     "singleton_groups",
     "calendar_projection",
     # §2.2 projections
     "json_extraction",
-    "case_analysis",
     "coalesce_preference",
     "scalar_surface",
     "filter_suite",
@@ -172,15 +209,18 @@ _CHECK_WINDOW = [
     "winnow_fingerprints",
     # round-3 text/quality flagships (rotated in r4 per standing rule)
     "repetition_filter",
-    "tfidf_topterms",
     "pii_scrub",
     "corpus_funnel",
+    "model_quality_filter",
+    "trigram_lm_score",
+    "dsir_select",
     # dedup + dataset-management components
     "exact_dedup",
     "minhash_lsh_neardup",
     "simhash_neardup",
     "substring_dup_pairs",
-    "dedup_clusters",
+    "span_dedup",
+    "semantic_dedup",
     "split_contamination",
     "dedup_keep_best",
     "ngram_contamination",
@@ -199,9 +239,10 @@ _CHECK_WINDOW = [
     "dedup_first_wins",
     # tokenizer-training loop (classic word-frequency BPE trainer)
     "bpe_train_vocab",
-    # loader-prep family: packing + target-mixture sampling
+    # loader-prep family: packing + target-mixture sampling + shards
     "pack_sequences",
     "mixture_sample",
+    "shard_assignment",
 ]
 
 

@@ -963,3 +963,99 @@ def span_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     Generate + one content-keyed rank window + one doc-keyed
     reassembly agg.""".format(k=SPAN_K)
     return span_dedup(load_table(spark, sf_dir, "documents"))
+
+
+DSIR_SELECT_N = 100
+
+
+@query(
+    "dsir_select",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '{WS_SPLIT}'),
+                         x -> x <> '') AS tk
+      FROM documents
+    ),
+    fe AS (
+      SELECT doc_id,
+        list_concat(tk,
+          CASE WHEN len(tk) >= 2
+               THEN list_transform(generate_series(1, len(tk) - 1),
+                      i -> tk[i] || ' ' || tk[i + 1])
+               ELSE [] END) AS feats
+      FROM t
+    ),
+    fb AS (
+      SELECT doc_id,
+             unnest(list_transform(feats,
+                      f -> ({sql_hash60('f')}) % 4096)) AS b
+      FROM fe
+    ),
+    dfeat AS (
+      SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS k
+      FROM fb GROUP BY doc_id, b
+    ),
+    spl AS (
+      SELECT doc_id,
+             {sql_hash60(f"concat('{SPLIT_SALT}:', doc_id)")} % 100 AS bucket
+      FROM documents
+    ),
+    tflag AS (
+      SELECT doc_id, ({_SPLIT_CASE_SQL}) = 'val' AS is_tgt FROM spl
+    ),
+    counts AS (
+      SELECT b,
+             CAST(SUM(CASE WHEN is_tgt THEN k ELSE 0 END) AS BIGINT) AS nt,
+             CAST(SUM(CASE WHEN NOT is_tgt THEN k ELSE 0 END) AS BIGINT) AS nr
+      FROM dfeat JOIN tflag USING (doc_id) GROUP BY b
+    ),
+    tot AS (
+      SELECT CAST(SUM(nt) AS BIGINT) AS tot_t, CAST(SUM(nr) AS BIGINT) AS tot_r
+      FROM counts
+    ),
+    ratios AS (
+      SELECT b,
+             (CAST(nt + 1 AS DOUBLE) / CAST(tot_t + 4096 AS DOUBLE))
+             / (CAST(nr + 1 AS DOUBLE) / CAST(tot_r + 4096 AS DOUBLE)) AS r
+      FROM counts, tot
+    ),
+    sc AS (
+      SELECT d.doc_id, CAST(SUM(d.k) AS BIGINT) AS n_features,
+             CAST(SUM(CAST(r AS DECIMAL(18,6)) * d.k) AS DOUBLE)
+               / SUM(d.k) AS importance
+      FROM dfeat d JOIN tflag USING (doc_id) JOIN ratios USING (b)
+      WHERE NOT is_tgt GROUP BY d.doc_id
+    ),
+    fullsc AS (
+      SELECT tf.doc_id,
+             COALESCE(sc.n_features, 0) AS n_features,
+             COALESCE(sc.importance, 0.0) AS importance
+      FROM tflag tf LEFT JOIN sc ON tf.doc_id = sc.doc_id
+      WHERE NOT tf.is_tgt
+    )
+    SELECT doc_id, n_features, importance,
+           row_number() OVER (ORDER BY importance DESC, doc_id)
+             <= {DSIR_SELECT_N} AS selected
+    FROM fullsc
+    """,
+)
+def dsir_select_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.,
+    NeurIPS 2023): weight every raw document by how target-like its
+    hashed unigram+bigram distribution is (target = the 'val' salted-
+    hash split here; any trusted corpus in production) and select the
+    top {DSIR_SELECT_N}. The quality-filter complement: text_quality
+    (heuristics) and model_quality_filter (discriminative scorer)
+    judge documents in isolation; DSIR matches the RAW distribution
+    to a TARGET distribution — the domain-adaptation selection a
+    pretraining mixture actually runs. Log-free by the repo's
+    discipline (k-weighted mean likelihood ratio, decimal-exact; see
+    operators/textops.py::dsir_importance). One corpus tokenization,
+    bucket tables broadcast, top-n via TakeOrdered — no global-sort
+    shuffle, no collect."""
+    from convoy_spark.operators.textops import dsir_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.select("doc_id").filter(_split_col() == "val")
+    return dsir_select(docs, target, n_select=DSIR_SELECT_N)

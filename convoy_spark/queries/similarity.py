@@ -195,16 +195,12 @@ IVF_PROBE = 4
 IVF_PASSES = 3  # ivf_index iters=2 → range(iters+1) assign/update passes
 
 
-def _ivf_oracle() -> str:
-    """Unroll the deterministic k-means index into SQL CTEs.
-
-    Every piece of the Spark IVF pipeline is order-insensitive by
-    construction — decimal-summed squared distances, (dist, cell)
-    argmin tiebreaks, decimal-exact centroid means — so the
-    'iterative' index is really a fixed-depth dataflow: 3 unrolled
-    assign/update passes, probe ranking, candidate scoring. This is
-    what upgrades ann_ivf_topk from the driver's weak rows-only check
-    to a full value-hash oracle."""
+def _ivf_kmeans_ctes() -> list[str]:
+    """The unrolled deterministic k-means CTEs shared by every
+    IVF-indexed oracle (ann_ivf_topk, semantic_dedup): seeds →
+    cent0, then {IVF_PASSES} assign/update passes producing
+    a{IVF_PASSES} (the assignment ivf_index returns) and
+    cent{IVF_PASSES} (the final centroids)."""
     parts = [
         f"""
     seeds AS (
@@ -238,6 +234,20 @@ def _ivf_oracle() -> str:
       GROUP BY a.cell, e.d
     )
     """)
+    return parts
+
+
+def _ivf_oracle() -> str:
+    """Unroll the deterministic k-means index into SQL CTEs.
+
+    Every piece of the Spark IVF pipeline is order-insensitive by
+    construction — decimal-summed squared distances, (dist, cell)
+    argmin tiebreaks, decimal-exact centroid means — so the
+    'iterative' index is really a fixed-depth dataflow: 3 unrolled
+    assign/update passes, probe ranking, candidate scoring. This is
+    what upgrades ann_ivf_topk from the driver's weak rows-only check
+    to a full value-hash oracle."""
+    parts = _ivf_kmeans_ctes()
     parts.append(f"""
     qd AS (
       SELECT e.vec_id AS query_id, c.cell,
@@ -614,3 +624,85 @@ def pca_project_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from convoy_spark.operators.pca import pca_project
 
     return pca_project(load_table(spark, sf_dir, "embeddings"))
+
+
+SEMDEDUP_EPS = 0.3
+_SS = 1099511627776  # SCORE_SCALE = 2**40, the ann_srp_topk literal
+
+
+def _semantic_dedup_oracle() -> str:
+    """The shared k-means unroll plus the SemDeDup tail: priority =
+    distance to own final centroid (floor-scaled long sums, desc,
+    vec_id tiebreak), within-cell upper-triangle pair dots in the
+    same scaled-long arithmetic, drop = any higher-priority member
+    with cosine ≥ eps."""
+    parts = _ivf_kmeans_ctes()
+    parts.append(f"""
+    cdist AS (
+      SELECT a.vec_id, a.cell,
+             CAST(SUM(CAST(FLOOR((e.x - c.m) * (e.x - c.m) * {_SS})
+                           AS BIGINT)) AS DOUBLE) / {_SS} AS cdist
+      FROM a{IVF_PASSES} a
+      JOIN ev e USING (vec_id)
+      JOIN cent{IVF_PASSES} c ON c.cell = a.cell AND c.d = e.d
+      GROUP BY a.vec_id, a.cell
+    ),
+    rkd AS (
+      SELECT vec_id, cell, cdist,
+             row_number() OVER (
+               PARTITION BY cell ORDER BY cdist DESC, vec_id
+             ) AS rk
+      FROM cdist
+    ),
+    snr AS (
+      SELECT vec_id,
+             sqrt(CAST(SUM(CAST(FLOOR((x * x) * {_SS}) AS BIGINT))
+                       AS DOUBLE) / {_SS}) AS nrm
+      FROM ev GROUP BY vec_id
+    ),
+    pd AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             CAST(SUM(CAST(FLOOR((ea.x * eb.x) * {_SS}) AS BIGINT))
+                  AS DOUBLE) / {_SS} AS dp
+      FROM rkd a
+      JOIN rkd b ON a.cell = b.cell AND a.rk < b.rk
+      JOIN ev ea ON ea.vec_id = a.vec_id
+      JOIN ev eb ON eb.vec_id = b.vec_id AND eb.d = ea.d
+      GROUP BY a.vec_id, b.vec_id
+    ),
+    dropped AS (
+      SELECT DISTINCT pd.b_id AS vec_id
+      FROM pd
+      JOIN snr na ON na.vec_id = pd.a_id
+      JOIN snr nb ON nb.vec_id = pd.b_id
+      WHERE pd.dp / (na.nrm * nb.nrm) >= {SEMDEDUP_EPS}
+    )
+    SELECT r.vec_id, r.cell, r.cdist,
+           dr.vec_id IS NULL AS is_kept
+    FROM rkd r LEFT JOIN dropped dr ON r.vec_id = dr.vec_id
+    """)
+    return f"WITH {VEC_SQL}, {','.join(parts)}"
+
+
+@query("semantic_dedup", oracle=_semantic_dedup_oracle())
+def semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): embedding-space near-duplicate
+    removal — the semantic leg of the dedup suite, complementing the
+    lexical exact/minhash/simhash/substring/span members. Clusters
+    with the deterministic IVF k-means quantizer, confines the
+    pairwise cosine stage WITHIN cells (the paper's cost contract —
+    n_cells scales with corpus size so per-cell work stays bounded),
+    and drops any vector with cosine ≥ {SEMDEDUP_EPS} to a
+    higher-priority cluster member, priority = farthest-from-centroid
+    first (the paper's keep-the-outlier rule, matching the released
+    implementation: j drops iff ANY earlier-ranked i has
+    sim(i,j) ≥ eps, whether or not i itself dropped). All |V| rows
+    value-hash-checked against the k-means unroll shared with
+    ann_ivf_topk plus a scaled-long pair tail."""
+    from convoy_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(
+        load_table(spark, sf_dir, "embeddings"),
+        eps=SEMDEDUP_EPS,
+        n_cells=IVF_CELLS,
+    )

@@ -94,3 +94,76 @@ def test_ivf_recall_vs_brute_force(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, f"IVF recall collapsed: {recall:.2f}"  # 0.94 measured
+
+
+def test_semantic_dedup_hand_case(spark):
+    """Two near-identical vectors in the same cell → exactly one
+    survives, and the survivor is the one FARTHER from its centroid
+    (the keep-the-outlier rule); an unrelated vector is untouched."""
+    from convoy_spark.operators.similarity import semantic_dedup
+
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.99, 0.141, 0.0]),   # cos(0,1) ≈ 0.99
+            (2, [0.0, 0.0, 1.0]),      # orthogonal to both
+            (3, [0.0, 0.05, 0.999]),   # near-dup of 2
+        ],
+        VEC_SCHEMA,
+    )
+    out = {
+        r.vec_id: r
+        for r in semantic_dedup(vecs, eps=0.9, n_cells=2, iters=2).collect()
+    }
+    assert len(out) == 4
+    # each near-dup group keeps exactly one member
+    assert out[0].is_kept + out[1].is_kept == 1
+    assert out[2].is_kept + out[3].is_kept == 1
+    # keep-the-outlier: within a group the survivor has the LARGER
+    # distance to its centroid (ties impossible here)
+    for a, b in [(0, 1), (2, 3)]:
+        kept = a if out[a].is_kept else b
+        drop = b if out[a].is_kept else a
+        assert out[kept].cell == out[drop].cell
+        assert out[kept].cdist >= out[drop].cdist
+
+
+def test_semantic_dedup_vs_python_reference(spark):
+    """Property check on real testdata: recompute the keep decision
+    in pure Python from the operator's own (cell, cdist) output plus
+    exact pairwise cosines, and demand identical is_kept flags."""
+    import itertools
+    import math
+
+    from convoy_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    eps = 0.3
+    rows = semantic_dedup(emb, eps=eps, n_cells=16).collect()
+    vec = {
+        r.vec_id: r.embedding
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    by_cell: dict[int, list] = {}
+    for r in rows:
+        by_cell.setdefault(r.cell, []).append(r)
+    expect = {}
+    for members in by_cell.values():
+        members.sort(key=lambda r: (-r.cdist, r.vec_id))
+        for i, b in enumerate(members):
+            expect[b.vec_id] = not any(
+                cos(vec[a.vec_id], vec[b.vec_id]) >= eps
+                for a in itertools.islice(members, i)
+            )
+    got = {r.vec_id: r.is_kept for r in rows}
+    # float cosine in Python vs scaled-long in the operator can only
+    # disagree within ~2^-40 of the threshold; assert none is close
+    assert got == expect
+    assert 0 < sum(got.values()) < len(got)  # both branches exercised

@@ -314,3 +314,64 @@ def test_trigram_lm_score_matches_python(spark):
         assert abs(r.lm_score - want) < 2e-6, (doc_id, r.lm_score, want)
     # the repetitive doc scores higher than the erratic one
     assert got[1].lm_score > got[2].lm_score
+
+
+def test_dsir_importance_matches_python(spark):
+    """DSIR importance weights vs a pure-Python reference on a corpus
+    where two raw docs share the target's vocabulary and two don't —
+    the target-like docs must score strictly higher and be selected."""
+    import hashlib
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from convoy_spark.operators.textops import dsir_select
+
+    rows = [
+        (1, "solar panels power the solar grid"),       # target
+        (2, "wind and solar energy power plants"),      # target
+        (10, "solar power grid energy panels"),         # raw, target-like
+        (11, "solar panels and wind energy"),           # raw, target-like
+        (12, "cats chase mice around the house"),       # raw, unrelated
+        (13, "recipe for chocolate cake and butter"),   # raw, unrelated
+        (14, ""),                                       # raw, empty
+    ]
+    dim = 4096
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = docs.filter(F.col("doc_id") < 10).select("doc_id")
+    got = {
+        r.doc_id: r
+        for r in dsir_select(docs, target, n_select=2, dim=dim).collect()
+    }
+    assert sorted(got) == [10, 11, 12, 13, 14]  # raw docs only
+
+    def bucket(f):
+        return int(hashlib.md5(f.encode()).hexdigest()[:15], 16) % dim
+
+    def feats(text):
+        tk = text.lower().split()
+        return [bucket(f) for f in tk + [f"{a} {b}" for a, b in zip(tk, tk[1:])]]
+
+    nt, nr = Counter(), Counter()
+    for doc_id, text in rows:
+        (nt if doc_id < 10 else nr).update(feats(text))
+    Nt, Nr = sum(nt.values()), sum(nr.values())
+    for doc_id, text in rows:
+        if doc_id < 10:
+            continue
+        fs = feats(text)
+        r = got[doc_id]
+        assert r.n_features == len(fs)
+        if not fs:
+            assert r.importance == 0.0
+            continue
+        want = sum(
+            ((nt[b] + 1) / (Nt + dim)) / ((nr[b] + 1) / (Nr + dim))
+            for b in fs
+        ) / len(fs)
+        assert abs(r.importance - want) < 2e-6, (doc_id, r.importance, want)
+    # target-like raw docs outrank the unrelated ones and win selection
+    assert min(got[10].importance, got[11].importance) > max(
+        got[12].importance, got[13].importance
+    )
+    assert {d for d, r in got.items() if r.selected} == {10, 11}
