@@ -77,6 +77,17 @@ BENCH_QUERIES = [
     "bm25_multi_query",
     "bpe_train_steps",
     "bpe_train_vocab",
+    # round-6: the model-based quality filters, the rewrite-dedup and
+    # semantic-dedup legs, the DSIR selector, and the loader-prep
+    # family — the full curation-pipeline surface in one artifact
+    "model_quality_filter",
+    "trigram_lm_score",
+    "span_dedup",
+    "semantic_dedup",
+    "dsir_select",
+    "pack_sequences",
+    "mixture_sample",
+    "shard_assignment",
 ]
 
 

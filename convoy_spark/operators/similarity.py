@@ -297,55 +297,94 @@ def ivf_index(
     pairwise corpus work anywhere, which is the point of IVF: the
     index build is O(N · n_cells), the search probes a few cells.
     """
-    vecs = corpus.select(
-        F.col(id_col).alias("vec_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ex = exploded_vectors(corpus, vec_col, id_col).localCheckpoint(
+        eager=False
     )
-    centroids = (
-        vecs.orderBy("vec_id")
-        .limit(n_cells)
-        .select(
-            F.row_number()
-            .over(Window.orderBy("vec_id"))
-            .alias("cell"),
-            F.col("v").alias("centroid"),
+    cent, assignment = _ivf_loop(
+        ex, corpus.select(F.col(id_col).alias("vec_id")), n_cells, iters
+    )
+    centroids = cent.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "m"))),
+            lambda s: s["m"],
+        ).alias("centroid")
+    )
+    return centroids, assignment
+
+
+def _cell_mean(assignment: DataFrame, ex: DataFrame) -> DataFrame:
+    """(cell, d, m) — decimal-exact elementwise centroid means."""
+    return (
+        assignment.join(ex, "vec_id")
+        .groupBy("cell", "d")
+        .agg(
+            (F.sum(F.col("x").cast(DEC)).cast("double") / F.count("*"))
+            .alias("m")
         )
-        .withColumn("cell", F.col("cell") - 1)
     )
 
-    assignment = None
-    for _ in range(iters + 1):  # final pass re-assigns to final centroids
-        scored = vecs.join(F.broadcast(centroids)).select(
+
+def _ivf_loop(
+    ex: DataFrame, ids: DataFrame, n_cells: int, iters: int
+) -> tuple[DataFrame, DataFrame]:
+    """The k-means loop over the EXPLODED (vec_id, d, x) frame — which
+    is also the unrolled oracle's shape (queries/similarity.py
+    _ivf_kmeans_ctes), so it is value-identical to the original
+    per-row array fold by construction: per-element (x−m)² terms cast
+    to DECIMAL and summed by groupBy are the same exact associative
+    decimal sums, while running in whole-stage codegen with no array
+    group keys shuffling vectors and no per-iteration array
+    re-assembly.
+
+    Returns (cent (cell, d, m) exploded, assignment (vec_id, cell)).
+
+    Checkpoint discipline (measured at sf0.01): the loop is a LINEAR
+    fixed-depth plan — each iteration's frames are consumed exactly
+    once by the next — so per-iteration localCheckpoints bought no
+    re-execution safety but charged a full physical-planning pass
+    each (3.5 + 1.3 + 0.7 s of driver time at 3 passes). One lazy
+    checkpoint on the FINAL assignment is the only one needed: every
+    downstream consumer (final centroids, priority distances, probe
+    scoring) reads the materialized assignment instead of re-running
+    the loop."""
+    seeds = (
+        ids.orderBy("vec_id")
+        .limit(n_cells)
+        .select(
             "vec_id",
-            "v",
-            F.struct(
-                _sq_dist(F.col("v"), F.col("centroid")).alias("d"),
-                F.col("cell").alias("cell"),
-            ).alias("dc"),
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias(
+                "cell"
+            ),
         )
-        assignment = scored.groupBy("vec_id", "v").agg(
-            F.min("dc").getField("cell").alias("cell")
-        )
-        # Elementwise decimal-exact mean per cell.
-        ex = assignment.select(
-            "cell", F.posexplode("v").alias("d", "x")
-        )
-        means = ex.groupBy("cell", "d").agg(
-            (F.sum(F.col("x").cast(DEC)).cast("double") / F.count("*")).alias(
-                "m"
-            )
-        )
-        centroids = (
-            means.groupBy("cell")
+    )
+    cent = seeds.join(ex, "vec_id").select(
+        "cell", "d", F.col("x").alias("m")
+    )
+    assignment = None
+    for it in range(iters + 1):  # final pass re-assigns to final centroids
+        dist = (
+            ex.join(F.broadcast(cent), "d")
+            .groupBy("vec_id", "cell")
             .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("d", "m"))),
-                    lambda s: s["m"],
-                ).alias("centroid")
+                F.sum(
+                    (
+                        (F.col("x") - F.col("m"))
+                        * (F.col("x") - F.col("m"))
+                    ).cast(DEC)
+                )
+                .cast("double")
+                .alias("dd")
             )
-            .localCheckpoint()
         )
-    return centroids, assignment.select("vec_id", "cell")
+        assignment = dist.groupBy("vec_id").agg(
+            F.min(F.struct(F.col("dd"), F.col("cell")))
+            .getField("cell")
+            .alias("cell")
+        )
+        if it < iters:
+            cent = _cell_mean(assignment, ex)
+    assignment = assignment.localCheckpoint(eager=False)
+    return _cell_mean(assignment, ex), assignment
 
 
 def ann_ivf_topk(
@@ -566,10 +605,15 @@ def semantic_dedup(
     rank, and the keep decision are bit-identical across engines and
     partitionings — full value-hash oracle in queries/similarity.py.
     """
-    centroids, assignment = ivf_index(corpus, n_cells, iters, vec_col, id_col)
-    ex = exploded_vectors(corpus, vec_col, id_col).localCheckpoint(eager=False)
-    cent_ex = centroids.select(
-        "cell", F.posexplode("centroid").alias("d", "m")
+    # ONE exploded frame feeds the k-means loop, the priority
+    # distances, the norms and the pair dots (the _ivf_loop docstring
+    # explains the single-checkpoint discipline); centroids come back
+    # exploded, skipping the array assembly + re-explode round-trip.
+    ex = exploded_vectors(corpus, vec_col, id_col).localCheckpoint(
+        eager=False
+    )
+    cent_ex, assignment = _ivf_loop(
+        ex, corpus.select(F.col(id_col).alias("vec_id")), n_cells, iters
     )
     scaled = lambda c: (  # noqa: E731
         F.sum(F.floor(c * F.lit(SCORE_SCALE))).cast("double")

@@ -122,6 +122,18 @@ EXPECTATIONS = {
         "HashAggregate",
         "ReadSchema: struct<doc_id:bigint,text:string>",
     ],
+    # SemDeDup: exploded centroids broadcast into every k-means
+    # distance pass and the priority-distance stage; pair dots are
+    # map-side-combined hash aggs keyed within cells. The rank window
+    # and the exploded-vector Generate sit behind the operator's lazy
+    # checkpoints (the visible plan reads their materialized scans) —
+    # asserted here is that NOTHING visible is a cartesian product or
+    # single-partition exchange (probed at add time: 0 of each).
+    "semantic_dedup": ["BroadcastHashJoin", "HashAggregate"],
+    # DSIR: the ≤dim-row bucket-ratio table and the top-n id set ride
+    # broadcasts; selection is TakeOrderedAndProject (per-partition
+    # partial top-n merged on the driver), never a global sort
+    "dsir_select": ["TakeOrderedAndProject", "BroadcastHashJoin"],
 }
 
 
