@@ -305,12 +305,77 @@ def mixture_sample(
     counts = base.groupBy("domain").agg(F.count("*").alias("n_d"))
     return mixture_decide(base, mixture_rates(counts, targets), salt)
 
+
+def mixture_rates_feedback(
+    counts: DataFrame,
+    batch_counts: DataFrame,
+    accepted: DataFrame,
+    targets: dict[str, float],
+) -> DataFrame:
+    """(domain, accept_rate) — the ERROR-FEEDBACK form of
+    :func:`mixture_rates` for the streaming sampler: given cumulative
+    counts ``(domain, n_d)`` INCLUDING the current batch, the batch's
+    own counts ``(domain, n_b)``, and prior accepted counts
+    ``(domain, n_acc)`` from already-committed batches, the batch
+    rate is
+
+        r_d = clamp((w_d·C − n_acc_d) / n_b_d, 0, 1),  C = min_d n_d/w_d
+
+    i.e. accept exactly enough of THIS batch to bring domain d's
+    running total back to its target share of the current achievable
+    sample — past under/over-acceptance self-corrects instead of
+    persisting (rate-targeting's drift decays only as 1/n). For a
+    FIRST batch (no prior acceptances, n_d = n_b_d) the clamp is
+    inactive and the expression reduces to w_d·C/n_d — identical to
+    :func:`mixture_rates` — so the single-batch-drain == batch-twin
+    contract survives the variant (tested). One broadcast-scalar cap
+    + two tiny domain-keyed joins; nothing corpus-proportional."""
+    spark = counts.sparkSession
+    tgt = spark.createDataFrame(
+        [(d, float(w)) for d, w in targets.items()],
+        "domain string, w double",
+    )
+    rated = counts.join(tgt, "domain", "left").withColumn(
+        "w", F.coalesce("w", F.lit(0.0))
+    )
+    cap = rated.filter(F.col("w") > 0).agg(
+        F.min(F.col("n_d") / F.col("w")).alias("c")
+    )
+    raw = (
+        rated.crossJoin(F.broadcast(cap))
+        .join(
+            F.broadcast(
+                accepted.groupBy("domain").agg(
+                    F.sum("n_acc").cast("long").alias("a_d")
+                )
+            ),
+            "domain",
+            "left",
+        )
+        .join(F.broadcast(batch_counts), "domain", "left")
+        .withColumn("a_d", F.coalesce("a_d", F.lit(0)))
+    )
+    want = F.col("w") * F.col("c") - F.col("a_d")
+    return raw.select(
+        "domain",
+        F.when(
+            (F.col("w") > 0) & (F.col("n_b") > 0),
+            F.least(
+                F.lit(1.0), F.greatest(F.lit(0.0), want / F.col("n_b"))
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("accept_rate"),
+    )
+
+
 __all__ = [
     "SCAN_BLOCK",
     "block_prefix_sum",
     "epoch_shuffle",
     "mixture_decide",
     "mixture_rates",
+    "mixture_rates_feedback",
     "mixture_sample",
     "pack_sequences",
     "shard_assignment",

@@ -10,14 +10,20 @@ shared definition the batch operator uses, so a single-batch drain is
 bit-identical to ``mixture_sample`` (tested), and a multi-batch stream
 adapts its rates as the observed domain proportions move (a domain
 arriving slower than its target weight binds the cap and samples at
-1.0; an over-represented domain's rate falls). Decisions are
-rate-targeting, not error-feedback: past acceptances are never revoked
-(a decision is a training-manifest row), and by construction the
-accepted mixture converges to the target as cumulative counts grow.
-An error-feedback variant (rate = (w_d·C − already_accepted_d)/batch_d,
-clamped) self-corrects drift faster but clamps the rate column and so
-loses the exact single-batch == batch contract; documented here as the
-swap-in if drift correction matters more than the twin test.
+1.0; an over-represented domain's rate falls). The default is
+rate-targeting: past acceptances are never revoked (a decision is a
+training-manifest row), and by construction the accepted mixture
+converges to the target as cumulative counts grow — but realized
+drift decays only as 1/n. ``feedback=True`` switches to the
+ERROR-FEEDBACK rule (``operators/loader.py::mixture_rates_feedback``:
+rate = clamp((w_d·C − already_accepted_d)/batch_d)), which accepts
+exactly enough of each batch to pull the running accepted totals back
+onto target — drift self-corrects within a batch rather than decaying
+(tested: under adversarially skewed arrival order the feedback
+manifest lands nearer the target mixture than rate-targeting). On a
+first batch the clamp is inactive and the rule reduces to the shared
+rate-targeting expression, so the single-batch drain == batch-operator
+twin holds for BOTH variants (tested).
 
 State layout (the ``streaming/embstats.py`` pattern): per-batch DELTA
 partitions for both stores — ``counts/batch-<tag>`` (domain, n) and
@@ -42,7 +48,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
-from convoy_spark.operators.loader import mixture_decide, mixture_rates
+from convoy_spark.operators.loader import (
+    mixture_decide,
+    mixture_rates,
+    mixture_rates_feedback,
+)
 
 DOC_STREAM_SCHEMA = StructType(
     [
@@ -56,6 +66,7 @@ DECISIONS_SCHEMA = (
     "batch_tag string, doc_id long, domain string,"
     " accept_rate double, sampled boolean"
 )
+ACC_SCHEMA = "batch_tag string, domain string, n_acc long"
 
 
 def _read_deltas(spark: SparkSession, path: str, schema: str) -> DataFrame:
@@ -74,25 +85,56 @@ def apply_mixture_batch(
     batch_tag: str,
     targets: dict[str, float],
     salt: str = "mix0",
+    feedback: bool = False,
 ) -> None:
     """Fold one micro-batch of (doc_id, source): persist its domain
     counts, compute rates from the cumulative counts (including this
-    batch), decide and persist this batch's manifest rows. Both writes
-    overwrite the batch's own partition — replay-idempotent."""
+    batch), decide and persist this batch's manifest rows. Every write
+    overwrites the batch's own partition — replay-idempotent.
+
+    ``feedback=True`` switches the rate rule to
+    :func:`mixture_rates_feedback` — accept exactly enough of this
+    batch to pull each domain's running ACCEPTED total back to its
+    target share (drift self-corrects instead of decaying as 1/n).
+    It needs one extra tiny store: per-batch accepted-count deltas
+    (``acc/batch-<tag>``, domains × batches rows). The prior-accepted
+    read EXCLUDES this batch's own tag, so a crash after the acc
+    write replays with the same inputs and rewrites identical
+    decisions — the same fence discipline as every delta store
+    here."""
     spark = batch.sparkSession
     b = batch.select("doc_id", F.col("source").alias("domain"))
-    b.groupBy("domain").agg(F.count("*").cast("long").alias("n")).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(state_dir, "counts", f"batch-{batch_tag}"))
+    bcounts = b.groupBy("domain").agg(F.count("*").cast("long").alias("n"))
+    bcounts.write.mode("overwrite").parquet(
+        os.path.join(state_dir, "counts", f"batch-{batch_tag}")
+    )
     counts = (
         _read_deltas(spark, os.path.join(state_dir, "counts"), COUNTS_SCHEMA)
         .groupBy("domain")
         .agg(F.sum("n").alias("n_d"))
     )
-    dec = mixture_decide(b, mixture_rates(counts, targets), salt)
+    if feedback:
+        prior_acc = _read_deltas(
+            spark, os.path.join(state_dir, "acc"), ACC_SCHEMA
+        ).filter(F.col("batch_tag") != batch_tag)
+        rates = mixture_rates_feedback(
+            counts,
+            bcounts.withColumnRenamed("n", "n_b"),
+            prior_acc,
+            targets,
+        )
+    else:
+        rates = mixture_rates(counts, targets)
+    dec = mixture_decide(b, rates, salt)
     dec.select(F.lit(batch_tag).alias("batch_tag"), "*").write.mode(
         "overwrite"
     ).parquet(os.path.join(state_dir, "decisions", f"batch-{batch_tag}"))
+    if feedback:
+        dec.filter("sampled").groupBy("domain").agg(
+            F.count("*").cast("long").alias("n_acc")
+        ).select(F.lit(batch_tag).alias("batch_tag"), "domain", "n_acc").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(state_dir, "acc", f"batch-{batch_tag}"))
 
 
 def run_incremental_mixture(
@@ -102,6 +144,7 @@ def run_incremental_mixture(
     state_dir: str,
     targets: dict[str, float],
     salt: str = "mix0",
+    feedback: bool = False,
 ) -> None:
     """Drain all document files present through the quota sampler;
     stop when caught up. Re-running with the same checkpoint processes
@@ -121,7 +164,7 @@ def run_incremental_mixture(
     q = (
         stream.writeStream.foreachBatch(
             lambda b, eid: apply_mixture_batch(
-                b, state_dir, f"{ck_tag}-{eid}", targets, salt
+                b, state_dir, f"{ck_tag}-{eid}", targets, salt, feedback
             )
         )
         .option("checkpointLocation", checkpoint_dir)
@@ -155,6 +198,7 @@ def cumulative_mixture(spark: SparkSession, state_dir: str) -> DataFrame:
 
 
 __all__ = [
+    "ACC_SCHEMA",
     "COUNTS_SCHEMA",
     "DECISIONS_SCHEMA",
     "DOC_STREAM_SCHEMA",

@@ -124,3 +124,75 @@ def test_batch_replay_is_idempotent(spark, tmp_path):
     apply_mixture_batch(first, state2, "t-0", TARGETS)
     apply_mixture_batch(second, state2, "t-1", TARGETS)
     assert _dec_rows(mixture_decisions(spark, state2)) == two
+
+
+def test_feedback_single_batch_equals_batch_operator(spark, tmp_path):
+    """On a first batch the feedback clamp is inactive and the rule
+    reduces to the shared rate-targeting expression — the twin
+    contract holds for the variant too."""
+    docs = _docs(spark)
+    want = sorted(
+        (r.doc_id, r.domain, r.accept_rate, r.sampled)
+        for r in mixture_sample(
+            load_table(spark, SF_DIR, "documents"), TARGETS
+        ).collect()
+    )
+    state = str(tmp_path / "state")
+    apply_mixture_batch(docs, state, "t-0", TARGETS, feedback=True)
+    got = _dec_rows(mixture_decisions(spark, state).drop("batch_tag"))
+    assert got == want
+
+
+def test_feedback_corrects_skewed_arrival(spark, tmp_path):
+    """Adversarial arrival order — one domain's docs front-loaded —
+    drifts the rate-targeting manifest; the feedback variant pulls
+    the accepted totals back toward target and must land at least as
+    close on every target domain's share."""
+    docs = _docs(spark)
+    # front-load src1, then everything else
+    chunks = [
+        docs.filter(F.col("source") == "src1"),
+        docs.filter(F.col("source") != "src1"),
+    ]
+    shares = {}
+    for mode in (False, True):
+        state = str(tmp_path / f"state-{mode}")
+        for i, c in enumerate(chunks):
+            apply_mixture_batch(
+                c, state, f"t-{i}", TARGETS, feedback=mode
+            )
+        got = {
+            r.domain: r.n_sampled
+            for r in cumulative_mixture(spark, state).collect()
+            if r.domain in TARGETS
+        }
+        tot = sum(got.values())
+        shares[mode] = {d: got.get(d, 0) / tot for d in TARGETS}
+    err = {
+        mode: sum(abs(shares[mode][d] - w) for d, w in TARGETS.items())
+        for mode in (False, True)
+    }
+    assert err[True] <= err[False] + 1e-9, (shares, err)
+    assert err[True] < 0.12, shares  # close to target in absolute terms
+
+
+def test_feedback_replay_idempotent_with_acc_store(spark, tmp_path):
+    """Crash AFTER the acc-delta write: the replayed batch reads
+    prior-accepted counts EXCLUDING its own tag, so it recomputes the
+    same rates and rewrites identical decisions; a follow-up batch
+    matches a crash-free run."""
+    docs = _docs(spark)
+    first = docs.filter("doc_id < 200")
+    second = docs.filter("doc_id >= 200")
+    state = str(tmp_path / "state")
+    apply_mixture_batch(first, state, "t-0", TARGETS, feedback=True)
+    once = _dec_rows(mixture_decisions(spark, state))
+    # full replay (counts, decisions AND acc partitions all present)
+    apply_mixture_batch(first, state, "t-0", TARGETS, feedback=True)
+    assert _dec_rows(mixture_decisions(spark, state)) == once
+    apply_mixture_batch(second, state, "t-1", TARGETS, feedback=True)
+    two = _dec_rows(mixture_decisions(spark, state))
+    state2 = str(tmp_path / "state2")
+    apply_mixture_batch(first, state2, "t-0", TARGETS, feedback=True)
+    apply_mixture_batch(second, state2, "t-1", TARGETS, feedback=True)
+    assert _dec_rows(mixture_decisions(spark, state2)) == two
