@@ -1,0 +1,210 @@
+"""General graph algorithms over derived edge sets: PageRank and
+degree-oriented triangle counting.
+
+The reference's graph layer stops at transitive closure
+(`2_enrich_ur_conversation_ids.py:39-47`) and tree statistics
+(`3_create_tweet_stats_i.py`); a corpus-curation engine additionally
+wants *global* graph signals — link-authority scores (PageRank over a
+hyperlink/citation graph is a standard web-corpus quality feature) and
+local clustering (triangle participation) for community/spam signals.
+Both are implemented Pregel-style on DataFrames: the graph never
+leaves the cluster, every iteration is keyed joins + aggregations.
+
+Scale posture (100 TB):
+
+- **PageRank**: per iteration ONE shuffle join (ranks ⋈ edges on
+  ``src``) + ONE aggregation (sum contributions by ``dst``). The edge
+  frame (with out-degrees attached) is localCheckpoint'ed once and
+  reused by every iteration, so its scan/partitioning cost is paid
+  once; the rank frame is |V| rows — orders of magnitude smaller than
+  |E|. On a real cluster the edge table would be bucketed by ``src``
+  so the per-iteration join is exchange-free on the big side; hub
+  skew (a node with 10^8 in-edges) is an AQE-skew-join / salting case
+  on the ``dst`` aggregation, which is a partial-aggregate (map-side
+  combine) shape already.
+- **Triangles**: edges are ORIENTED from the (degree, id)-smaller
+  endpoint to the larger before the wedge join — the node-iterator++
+  orientation that bounds per-node wedge fan-out by out-degree
+  ≤ O(sqrt(|E|)) even under power-law skew (a 10^6-degree hub
+  generates wedges only from its — provably small — out-neighborhood,
+  not its full neighborhood). Wedge join + existence join are both
+  equi-joins Catalyst can shuffle-hash; nothing is quadratic in a
+  hub's degree.
+
+Ranks iterate in FIXED-POINT MICRO-UNITS (longs; floor division):
+float rounding has engine-dependent tie behavior at decimal-cast
+boundaries (measured: a 3-iteration double/decimal PageRank diverged
+at the 7th digit between Spark and DuckDB), while integer arithmetic
+has no rounding at all — the fixpoint is bit-identical across
+engines and partitionings by construction, which is what lets an
+iterated graph algorithm carry a full value-hash DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# fixed-point: rank 1.0 == 1_000_000 micro-units; damping 0.85
+PR_SCALE = 1_000_000
+PR_DAMP_NUM = 850_000  # damping * PR_SCALE
+PR_BASE = 150_000  # (1 - damping) * PR_SCALE
+PAGERANK_ITERS = 3
+
+
+def pagerank(edges: DataFrame, iters: int = PAGERANK_ITERS) -> DataFrame:
+    """(id, rank_micro) after ``iters`` synchronous iterations of the
+    fixed-point PageRank recurrence
+
+        m'(v) = 150000 + (850000 · Σ_{u→v} (m(u) div outdeg(u)))
+                         div 1000000,   m0 = 1000000,
+
+    i.e. r'(v) = 0.15 + 0.85·Σ r(u)/deg(u) in micro-units with floor
+    division — the un-normalized (original-paper) form, no
+    dangling-mass term; per-step quantization error < 1 micro-unit.
+    ``edges`` is directed (src, dst); pass both directions for an
+    undirected graph. Every node (src or dst of any edge) keeps a rank
+    row each iteration — nodes with an empty in-neighborhood hold the
+    base mass 0.15, matching the recurrence with an empty sum.
+
+    All arithmetic is integral (long contributions, decimal(30,0)
+    sums, integral ``div``), so the result is bit-exact at any
+    parallelism. Overflow headroom: the damped sum must fit a long
+    after the final ``div`` — true while total in-neighborhood rank
+    mass stays below ~9·10^12 micro-units per node (rank mass ~9
+    million); graphs beyond that drop PR_SCALE a digit.
+
+    Scale: per iteration ONE shuffle join (ranks ⋈ edges on src, the
+    edge side checkpointed once with degrees attached) + ONE
+    map-side-combined aggregation on dst; the rank frame is |V| rows,
+    orders of magnitude smaller than |E|. On a cluster, bucket edges
+    by src to make the join exchange-free on the big side; hub skew on
+    dst is absorbed by partial aggregation + AQE skew handling.
+    """
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    # Degrees ride along with the edges so iterations do ONE join each
+    # (ranks), not two. Checkpointed: scanned fresh by every iteration
+    # without replaying the groupBy lineage.
+    ed = edges.join(deg, "src").localCheckpoint(eager=False)
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    ranks = nodes.select("id", F.lit(PR_SCALE).cast("long").alias("m"))
+    for _ in range(iters):
+        contrib = (
+            ed.join(ranks.withColumnRenamed("id", "_rid"),
+                    ed["src"] == F.col("_rid"))
+            .groupBy("dst")
+            .agg(F.sum(F.expr("m div d").cast("decimal(20,0)")).alias("_s"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["id"] == contrib["dst"], "left")
+            .select(
+                "id",
+                F.expr(
+                    f"CAST({PR_BASE} + ((CAST({PR_DAMP_NUM} AS DECIMAL(10,0))"
+                    " * COALESCE(_s, CAST(0 AS DECIMAL(20,0))))"
+                    " div 1000000) AS BIGINT)"
+                ).alias("m"),
+            )
+            # truncate the per-iteration lineage or the final plan is
+            # exponential in iters
+            .localCheckpoint(eager=False)
+        )
+    return ranks
+
+
+def copurchase_edges(lineitem: DataFrame) -> DataFrame:
+    """Distinct undirected part–part co-purchase edges (p < q): two
+    parts are linked when some order contains both. The per-order
+    self-join fans out quadratically only in *items per order*
+    (bounded ≤ 7 in TPC-H-shaped data; a real basket table would cap
+    or sample giant baskets first), then distinct-reduces.
+    """
+    a = lineitem.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("p")
+    ).distinct()
+    b = a.select("okey", F.col("p").alias("q"))
+    return (
+        a.join(b, "okey")
+        .where(F.col("p") < F.col("q"))
+        .select("p", "q")
+        .distinct()
+    )
+
+
+def bipartite_order_part_edges(lineitem: DataFrame) -> DataFrame:
+    """Directed edge list (both directions) of the undirected
+    bipartite order↔part graph, nodes namespaced into one id space:
+    order o → 2o, part p → 2p+1."""
+    pairs = lineitem.select(
+        (F.col("l_orderkey") * 2).alias("onode"),
+        (F.col("l_partkey") * 2 + 1).alias("pnode"),
+    ).distinct()
+    fwd = pairs.select(F.col("onode").alias("src"), F.col("pnode").alias("dst"))
+    rev = pairs.select(F.col("pnode").alias("src"), F.col("onode").alias("dst"))
+    return fwd.unionByName(rev)
+
+
+def triangle_counts(edges_undirected: DataFrame) -> DataFrame:
+    """(node_id, n_triangles) for every node in ≥1 triangle.
+
+    ``edges_undirected``: one row per undirected edge {p, q} (any
+    orientation, duplicates tolerated — distinct-ed here). Algorithm:
+    orient every edge from the (degree, id)-smaller endpoint to the
+    larger (a total order), enumerate wedges (u→v, u→w) with
+    ord(v) < ord(w) from each pivot's OUT-neighborhood, and close them
+    against the oriented edge v→w. Each triangle is found exactly
+    once, at its unique minimum-order corner; per-node counts then
+    credit all three corners.
+    """
+    und = (
+        edges_undirected.select(
+            F.least("p", "q").alias("a"), F.greatest("p", "q").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    # symmetric adjacency for degree counting
+    adj = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    # orient u→v when (d_u, u) < (d_v, v)
+    oriented = (
+        adj.join(deg.withColumnsRenamed({"u": "u1", "d": "du"}),
+                 F.col("u") == F.col("u1"))
+        .join(deg.withColumnsRenamed({"u": "v1", "d": "dv"}),
+              F.col("v") == F.col("v1"))
+        .where(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+        )
+        .select("u", "v", "dv")
+        .localCheckpoint(eager=False)
+    )
+    # wedges from each pivot's out-neighborhood, ordered by (deg, id)
+    e2 = oriented.select(
+        F.col("u").alias("u2"), F.col("v").alias("w"), F.col("dv").alias("dw")
+    )
+    wedges = (
+        oriented.join(e2, F.col("u") == F.col("u2"))
+        .where(
+            (F.col("dv") < F.col("dw"))
+            | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+        )
+        .select("u", "v", "w")
+    )
+    closing = oriented.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    tris = wedges.join(closing, ["v", "w"], "left_semi")
+    corners = (
+        tris.select(F.col("u").alias("node_id"))
+        .unionByName(tris.select(F.col("v").alias("node_id")))
+        .unionByName(tris.select(F.col("w").alias("node_id")))
+    )
+    return corners.groupBy("node_id").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )

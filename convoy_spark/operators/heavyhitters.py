@@ -1,0 +1,111 @@
+"""ε-heavy-hitters over the token stream: Misra-Gries sketch, then
+exact verify — the frequent-vocabulary primitive (stop-list mining,
+boilerplate detection, tokenizer seeding) that must NOT be computed
+as a full-vocabulary ``GROUP BY token`` at corpus scale.
+
+Why not plain groupBy: at 100 TB the distinct-token cardinality is
+O(10^9..10^11) (typos, ids, urls); a full hash aggregate shuffles the
+entire vocabulary every run to answer a question about the top few
+thousand tokens. Instead:
+
+1. **Sketch pass** — each partition folds its token stream through a
+   bounded Misra-Gries summary of ``m`` counters (Arrow-batched
+   ``mapInPandas``; the per-batch update is a vectorized
+   ``value_counts`` merge + quantile shrink). MG guarantee: any token
+   with partition frequency > n_p/(m+1) survives the partition's
+   summary; by weighted pigeonhole any token with GLOBAL frequency
+   > N/(m+1) survives in ≥1 partition. Output is ≤ m rows per
+   partition — the vocabulary never shuffles.
+2. **Verify pass** — exact recount of ONLY the candidate tokens
+   (broadcast semi-join before the count agg, so the shuffle carries
+   ≤ |candidates| rows per partition after map-side combine), then
+   the exact integer threshold ``freq * K > N``.
+
+With m+1 ≥ K the candidate set provably contains every true
+1/K-heavy hitter, so the verified output EQUALS the exact answer —
+which is why this approximate-by-construction operator still carries
+a full value-hash DuckDB oracle (the oracle just does the naive
+GROUP BY; it runs at sf0.01, not 100 TB).
+
+The threshold is integer arithmetic (``freq * K > N``), never a float
+fraction — exact and engine-independent.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from convoy_spark.functions.hashing import WS_SPLIT
+
+# 1/K is the heaviness threshold; m the per-partition summary size.
+HH_K = 2000
+HH_SUMMARY = 8192  # m+1 >= K with 4x slack for fewer shrink passes
+
+
+def _tokens_exploded(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), WS_SPLIT), lambda t: t != F.lit("")
+    )
+    return docs.select(F.explode(toks).alias("token"))
+
+
+def _mg_partition(m: int):
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for tok, cnt in pdf["token"].value_counts().items():
+                counters[tok] = counters.get(tok, 0) + int(cnt)
+            if len(counters) > m:
+                # subtract the (m+1)-th largest from everything and
+                # drop the non-positive — each shrink removes >=
+                # delta*(m+1) mass, so total undercount <= n_p/(m+1)
+                delta = sorted(counters.values(), reverse=True)[m]
+                counters = {
+                    t: c - delta for t, c in counters.items() if c > delta
+                }
+        yield pd.DataFrame({"token": list(counters.keys())})
+
+    return fold
+
+
+def heavy_hitters(
+    docs: DataFrame,
+    k_inv: int = HH_K,
+    summary_size: int = HH_SUMMARY,
+    text_col: str = "text",
+) -> DataFrame:
+    """(token, freq) for every token with freq * k_inv > N, exactly.
+
+    Two corpus passes (sketch, verify) + one cheap doc-level pass for
+    N; zero full-vocabulary shuffles. ``summary_size + 1 >= k_inv`` is
+    asserted — it is the superset guarantee the exactness rests on.
+    """
+    assert summary_size + 1 >= k_inv, "MG summary too small for threshold"
+    tokens = _tokens_exploded(docs, text_col)
+    candidates = (
+        tokens.mapInPandas(_mg_partition(summary_size), "token string")
+        .distinct()
+    )
+    # N from a doc-level map pass (no explode): sum of per-doc counts
+    total = docs.select(
+        F.size(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), WS_SPLIT),
+                lambda t: t != F.lit(""),
+            )
+        ).cast("long").alias("_n")
+    ).agg(F.sum("_n").alias("n_total"))
+    counts = (
+        tokens.join(F.broadcast(candidates), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .where(F.col("freq") * F.lit(int(k_inv)) > F.col("n_total"))
+        .select("token", "freq")
+    )

@@ -166,6 +166,21 @@ from convoy_spark.queries import (  # noqa: F401,E402
 # OUT tfidf_topterms (its postings → df → idf → per-doc score chain
 # is the same scoring machinery in-window bm25_multi_query runs,
 # operators/textops.py shared chain; stays emulator-checked).
+# Round-6 graph-algorithm additions (standing rule):
+#   IN : pagerank_scores      (fixed-point PageRank, iterated keyed
+#                              join+agg — new first-class machinery),
+#        triangle_part_counts (degree-oriented wedge enumeration),
+#        heavy_hitters        (Misra-Gries sketch-then-verify — the
+#                              no-full-vocab-shuffle frequency path)
+#   OUT: pca_project_topk     (projection aggs are the in-window
+#                              pca_topk_components deflation loop's
+#                              own, operators/pca.py:270),
+#        split_vocab_shift    (salted-hash split machinery proven by
+#                              in-window split_contamination; TV
+#                              distance stays emulator+pytest green),
+#        index_drift_profile  (stream==batch whole-table equality
+#                              pytest + the df/avgdl scoring chain is
+#                              in-window via bm25_multi_query).
 _CHECK_WINDOW = [
     # §2.3/§2.8 aggregates + SQL front door (two_pass_mad is past the
     # window: A6/P13 two-pass MAD is proven by tree_metric_mad)
@@ -199,9 +214,8 @@ _CHECK_WINDOW = [
     "coalesce_preference",
     "scalar_surface",
     "filter_suite",
-    # §2.8 text search (ranked retrieval) + index freshness
+    # §2.8 text search (ranked retrieval)
     "bm25_multi_query",
-    "index_drift_profile",
     # text analysis components
     "token_stats",
     "text_quality",
@@ -224,7 +238,6 @@ _CHECK_WINDOW = [
     "split_contamination",
     "dedup_keep_best",
     "ngram_contamination",
-    "split_vocab_shift",
     # similarity / embedding components (cosine_topk is past the
     # window: it is the brute-force recall ORACLE for the ANN entries;
     # ann_ivf_topk rotated out round 6 — the ANN surface is proven by
@@ -232,7 +245,10 @@ _CHECK_WINDOW = [
     # embedding-decomposition capability, deflation + projection)
     "ann_srp_topk",
     "pca_topk_components",
-    "pca_project_topk",
+    # graph algorithms + frequency sketch (round-6 additions)
+    "pagerank_scores",
+    "triangle_part_counts",
+    "heavy_hitters",
     # multimodal plumbing
     "media_decode_meta",
     # S8 idempotent append

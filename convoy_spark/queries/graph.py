@@ -10,6 +10,13 @@ from pyspark.sql import functions as F
 
 from convoy_spark.operators.closure import closure_roots, enrich_with_roots
 from convoy_spark.operators.forest import FOREST_SQL_CTE, forest_edges
+from convoy_spark.operators.graph import (
+    PAGERANK_ITERS,
+    bipartite_order_part_edges,
+    copurchase_edges,
+    pagerank,
+    triangle_counts,
+)
 from convoy_spark.queries.catalog import query
 from convoy_spark.tables import load_table
 
@@ -99,3 +106,107 @@ def conversation_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_members"),
         F.max("node_id").cast("long").alias("max_member"),
     )
+
+
+# ---------------------------------------------------------------------------
+# General graph algorithms (extension beyond the reference's closure
+# layer): PageRank and triangle counting over graphs derived from
+# lineitem. See operators/graph.py for the 100 TB shape discussion.
+
+def _pagerank_iter_sql(i: int) -> str:
+    """One unrolled fixed-point PageRank iteration as a DuckDB CTE —
+    the exact integer twin of the Spark loop body (floor divisions,
+    HUGEINT sum; see operators/graph.py)."""
+    return f"""r{i + 1} AS MATERIALIZED (
+      SELECT n.id,
+             CAST(150000 + (850000 * COALESCE(c.s, CAST(0 AS HUGEINT)))
+                  // 1000000 AS BIGINT) AS m
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst, CAST(SUM(r.m // d.d) AS HUGEINT) AS s
+        FROM edges e JOIN r{i} r ON e.src = r.id
+                     JOIN deg d ON e.src = d.src
+        GROUP BY e.dst
+      ) c ON n.id = c.dst
+    )"""
+
+
+PAGERANK_ORACLE = f"""
+WITH pairs AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey * 2 AS onode, l_partkey * 2 + 1 AS pnode
+  FROM lineitem
+),
+edges AS MATERIALIZED (
+  SELECT onode AS src, pnode AS dst FROM pairs
+  UNION ALL
+  SELECT pnode AS src, onode AS dst FROM pairs
+),
+deg AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT src AS id FROM edges
+  UNION SELECT DISTINCT dst FROM edges
+),
+r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS m FROM nodes),
+{",".join(_pagerank_iter_sql(i) for i in range(PAGERANK_ITERS))}
+SELECT id AS node_id, CAST(m AS DOUBLE) / 1000000.0 AS pagerank,
+       id % 2 = 0 AS is_order
+FROM r{PAGERANK_ITERS}
+"""
+
+
+@query("pagerank_scores", oracle=PAGERANK_ORACLE)
+def pagerank_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-authority scores: PAGERANK_ITERS-iteration PageRank over
+    the undirected bipartite order↔part graph (an extension operator —
+    web-corpus curation uses exactly this to weight documents by
+    hyperlink authority). Per iteration: one keyed join + one
+    map-side-combined aggregation; the fixed-point integer recurrence
+    is bit-exact, hence hash-comparable against the oracle's unrolled
+    CTE chain."""
+    edges = bipartite_order_part_edges(load_table(spark, sf_dir, "lineitem"))
+    ranks = pagerank(edges)
+    return ranks.select(
+        F.col("id").alias("node_id"),
+        (F.col("m").cast("double") / F.lit(1000000.0)).alias("pagerank"),
+        (F.col("id") % 2 == 0).alias("is_order"),
+    )
+
+
+TRIANGLE_ORACLE = """
+WITH ap AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS p FROM lineitem),
+und AS MATERIALIZED (
+  SELECT DISTINCT x.p AS a, y.p AS b
+  FROM ap x JOIN ap y ON x.okey = y.okey AND x.p < y.p
+),
+adj AS (SELECT a AS u, b AS v FROM und UNION ALL SELECT b AS u, a AS v FROM und),
+deg AS MATERIALIZED (SELECT u, COUNT(*) AS d FROM adj GROUP BY u),
+ori AS MATERIALIZED (
+  SELECT adj.u, adj.v, dv.d AS dv
+  FROM adj JOIN deg du ON adj.u = du.u JOIN deg dv ON adj.v = dv.u
+  WHERE (du.d < dv.d) OR (du.d = dv.d AND adj.u < adj.v)
+),
+tri AS (
+  SELECT e1.u, e1.v, e2.v AS w
+  FROM ori e1 JOIN ori e2 ON e1.u = e2.u
+  WHERE ((e1.dv < e2.dv) OR (e1.dv = e2.dv AND e1.v < e2.v))
+    AND EXISTS (SELECT 1 FROM ori e3 WHERE e3.u = e1.v AND e3.v = e2.v)
+),
+corners AS (
+  SELECT u AS node_id FROM tri
+  UNION ALL SELECT v FROM tri
+  UNION ALL SELECT w FROM tri
+)
+SELECT node_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM corners GROUP BY node_id
+"""
+
+
+@query("triangle_part_counts", oracle=TRIANGLE_ORACLE)
+def triangle_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle participation in the co-purchase graph
+    (extension operator: local clustering / community-density signal).
+    Degree-oriented wedge enumeration — each triangle found once at
+    its minimum-(degree, id) corner; the closure check is a semi join.
+    The oracle mirrors the orientation so both engines enumerate the
+    identical wedge set."""
+    edges = copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+    return triangle_counts(edges)

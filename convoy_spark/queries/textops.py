@@ -984,3 +984,35 @@ def trigram_lm_score_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed-feature (model_quality_filter) stages as the third filter
     of the CCNet recipe."""
     return trigram_lm_score(load_table(spark, sf_dir, "documents"))
+
+
+from convoy_spark.operators.heavyhitters import (  # noqa: E402
+    HH_K,
+    heavy_hitters,
+)
+
+
+@query(
+    "heavy_hitters",
+    oracle=f"""
+    WITH tk AS MATERIALIZED (
+      SELECT t AS token FROM (
+        SELECT unnest(string_split_regex(lower(text), '{WS_SPLIT}')) AS t
+        FROM documents
+      ) WHERE t <> ''
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM tk)
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM tk, tot
+    GROUP BY token, tot.n
+    HAVING COUNT(*) * {HH_K} > tot.n
+    """,
+)
+def heavy_hitters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-heavy-hitters (freq·K > N, K=2000) via per-partition
+    Misra-Gries sketch + exact candidate recount — the
+    frequent-vocabulary primitive without a full-vocabulary shuffle.
+    The MG superset guarantee (operators/heavyhitters.py) makes the
+    sketched answer EXACTLY the naive-GROUP-BY answer, so the oracle
+    is the naive form."""
+    return heavy_hitters(load_table(spark, sf_dir, "documents"))
