@@ -88,6 +88,12 @@ BENCH_QUERIES = [
     "pack_sequences",
     "mixture_sample",
     "shard_assignment",
+    # round-6 graph algorithms + frequency sketch: the iterated
+    # fixed-point PageRank, degree-oriented triangles, and the
+    # Misra-Gries sketch-then-verify heavy hitters
+    "pagerank_scores",
+    "triangle_part_counts",
+    "heavy_hitters",
 ]
 
 

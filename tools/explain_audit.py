@@ -134,6 +134,21 @@ EXPECTATIONS = {
     # broadcasts; selection is TakeOrderedAndProject (per-partition
     # partial top-n merged on the driver), never a global sort
     "dsir_select": ["TakeOrderedAndProject", "BroadcastHashJoin"],
+    # PageRank loop body (audited un-checkpointed via OVERRIDES — the
+    # shipped operator truncates lineage each iteration, so the
+    # catalog query's visible plan is a checkpoint scan): contribution
+    # sum must be a map-side-combined hash agg keyed on dst (partial
+    # agg + one hashpartitioning exchange on dst); AQE may broadcast
+    # the |V|-row rank/degree side at this SF — at scale that side
+    # exceeds the threshold and falls back to the keyed shuffle join
+    "pagerank_scores": ["HashAggregate", "hashpartitioning(dst"],
+    # triangles: wedge closure must be a LeftSemi join; corner credit
+    # a union feeding one hash agg
+    "triangle_part_counts": ["LeftSemi", "Union", "HashAggregate"],
+    # heavy hitters: the MG sketch is the one Arrow Python stage
+    # (MapInPandas); candidates come back via broadcast semi join;
+    # recount is a map-side-combined hash agg
+    "heavy_hitters": ["MapInPandas", "BroadcastHashJoin", "HashAggregate"],
 }
 
 
@@ -149,10 +164,30 @@ def main() -> int:
     from convoy_spark.queries.dedup import NEARDUP_J
     from convoy_spark.tables import load_table
 
+    from pyspark.sql import functions as F  # noqa: E402
+
+    from convoy_spark.operators.graph import bipartite_order_part_edges
+
+    def _pagerank_body(s, d):
+        # one un-checkpointed iteration — the plan each iteration runs
+        edges = bipartite_order_part_edges(load_table(s, d, "lineitem"))
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("dg"))
+        ed = edges.join(deg, "src")
+        ranks = deg.select(
+            F.col("src").alias("id"), F.lit(1000000).cast("long").alias("m")
+        )
+        return (
+            ed.join(ranks.withColumnRenamed("id", "_rid"),
+                    ed["src"] == F.col("_rid"))
+            .groupBy("dst")
+            .agg(F.sum(F.expr("m div dg").cast("decimal(20,0)")).alias("_s"))
+        )
+
     OVERRIDES = {
         "minhash_lsh_neardup": lambda s, d: _mlsh(
             load_table(s, d, "documents"), min_jaccard=NEARDUP_J
         ),
+        "pagerank_scores": _pagerank_body,
     }
 
     failures: list[str] = []
