@@ -54,11 +54,22 @@ def _tokens_exploded(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _mg_partition(m: int):
+    """Fold a partition's 64-bit token-hash stream through an m-counter
+    Misra-Gries summary. Sketching over hashes, not strings, keeps the
+    Arrow transfer and the dict keys compact; a hash collision merges
+    two tokens' counters, which only ADDS mass to each — survival is
+    monotone in counted mass, so the superset guarantee is preserved
+    and the exact recount discards any collision-born false candidate.
+    Emits the surviving hashes plus one marker row (th NULL) carrying
+    the partition's total token count, so N needs no extra pass."""
+
     def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        counters: dict[str, int] = {}
+        counters: dict[int, int] = {}
+        n_part = 0
         for pdf in batches:
-            for tok, cnt in pdf["token"].value_counts().items():
-                counters[tok] = counters.get(tok, 0) + int(cnt)
+            n_part += len(pdf)
+            for th, cnt in pdf["th"].value_counts().items():
+                counters[th] = counters.get(th, 0) + int(cnt)
             if len(counters) > m:
                 # subtract the (m+1)-th largest from everything and
                 # drop the non-positive — each shrink removes >=
@@ -67,7 +78,16 @@ def _mg_partition(m: int):
                 counters = {
                     t: c - delta for t, c in counters.items() if c > delta
                 }
-        yield pd.DataFrame({"token": list(counters.keys())})
+        yield pd.DataFrame(
+            {
+                "th": pd.array(
+                    list(counters.keys()) + [None], dtype="Int64"
+                ),
+                "n": pd.array(
+                    [0] * len(counters) + [n_part], dtype="Int64"
+                ),
+            }
+        )
 
     return fold
 
@@ -80,27 +100,26 @@ def heavy_hitters(
 ) -> DataFrame:
     """(token, freq) for every token with freq * k_inv > N, exactly.
 
-    Two corpus passes (sketch, verify) + one cheap doc-level pass for
-    N; zero full-vocabulary shuffles. ``summary_size + 1 >= k_inv`` is
-    asserted — it is the superset guarantee the exactness rests on.
+    Two corpus passes total — sketch (which also accumulates N via
+    per-partition marker rows) and verify; zero full-vocabulary
+    shuffles. ``summary_size + 1 >= k_inv`` is asserted — it is the
+    superset guarantee the exactness rests on.
     """
     assert summary_size + 1 >= k_inv, "MG summary too small for threshold"
     tokens = _tokens_exploded(docs, text_col)
+    hashed = tokens.select(F.xxhash64("token").alias("th"))
+    sketch = hashed.mapInPandas(
+        _mg_partition(summary_size), "th long, n long"
+    ).localCheckpoint(eager=False)
     candidates = (
-        tokens.mapInPandas(_mg_partition(summary_size), "token string")
-        .distinct()
+        sketch.where(F.col("th").isNotNull()).select("th").distinct()
     )
-    # N from a doc-level map pass (no explode): sum of per-doc counts
-    total = docs.select(
-        F.size(
-            F.filter(
-                F.split(F.lower(F.col(text_col)), WS_SPLIT),
-                lambda t: t != F.lit(""),
-            )
-        ).cast("long").alias("_n")
-    ).agg(F.sum("_n").alias("n_total"))
+    total = sketch.where(F.col("th").isNull()).agg(
+        F.sum("n").alias("n_total")
+    )
     counts = (
-        tokens.join(F.broadcast(candidates), "token", "left_semi")
+        tokens.withColumn("th", F.xxhash64("token"))
+        .join(F.broadcast(candidates), "th", "left_semi")
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
