@@ -369,8 +369,104 @@ def mixture_rates_feedback(
     )
 
 
+PRIORITY_SALT = "ps1"
+
+
+def priority_sample(
+    docs: DataFrame, n: int, salt: str = PRIORITY_SALT,
+    text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, weight, priority): Duffield-Lund-Thorup priority
+    sampling — weighted sampling WITHOUT replacement of ``n`` docs
+    with inclusion probability increasing in weight (here weight =
+    whitespace token count, so the sampled token budget is
+    length-unbiased). Priority q_i = w_i / u_i with u_i derived from
+    the salted cross-engine hash60 (uniform over [1, 2^60]); take the
+    top n by (q, doc_id).
+
+    Determinism: w is an exact long, u an exact long, and q one IEEE
+    double DIVISION of the two — correctly rounded, hence identical
+    in any engine (no transcendental in sight: the classic
+    u^(1/w)-key formulation would hinge on pow(), which differs
+    between libm implementations; DLT priorities need only the
+    division). Re-salting draws a fresh sample.
+
+    Scale: a pure map (hash + divide) feeding TakeOrderedAndProject —
+    per-partition partial top-n, no global sort, no shuffle of the
+    corpus. This is the whole point vs. ORDER BY random() LIMIT n.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), WS_SPLIT), lambda t: t != F.lit("")
+    )
+    w = F.size(toks).cast("long")
+    u = hash60(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))) + 1
+    q = w.cast("double") / u.cast("double")
+    return (
+        docs.select(
+            F.col(id_col), w.alias("weight"), q.alias("priority")
+        )
+        .orderBy(F.desc("priority"), F.col(id_col))
+        .limit(n)
+    )
+
+
+CURRICULUM_BINS = 10
+# quality_score ranges over roughly [-1, 3]; 1/8-wide blocks give the
+# block prefix scan a few dozen range-blocks. At a skewed 100 TB
+# distribution you would space blocks by approx-quantile cutpoints
+# instead; correctness is unaffected by block sizing, only balance.
+CURRICULUM_BLOCK = 0.125
+
+
+def curriculum_order(
+    quality: DataFrame, n_bins: int = CURRICULUM_BINS
+) -> DataFrame:
+    """(doc_id, bin, within_rank, curriculum_pos): quality-binned
+    round-robin curriculum over ``quality`` = (doc_id, quality_score).
+    Docs are globally ranked by (quality_score, doc_id), cut into
+    ``n_bins`` contiguous quality bins, and scheduled round-robin
+    across bins (i-th doc of bin 0, i-th of bin 1, ...) — the
+    easy-to-hard interleave curriculum-training loaders consume,
+    ordered by ``curriculum_pos = within_rank * n_bins + bin``.
+
+    The global rank is the two-phase block prefix scan over SCORE
+    -range blocks (per-block window + broadcast block offsets — the
+    corpus never crosses a single-task exchange); bin starts are a
+    ``n_bins``-row aggregate broadcast back. Everything after the
+    rank is integer arithmetic, so the full table is oracle-exact.
+    """
+    ranked = block_prefix_sum(
+        quality.withColumn("_one", F.lit(1)),
+        order_col="quality_score",
+        value_col="_one",
+        block_size=CURRICULUM_BLOCK,
+        out_col="rank",
+        tiebreak_col="doc_id",
+    ).select("doc_id", "rank")
+    total = ranked.agg(F.count(F.lit(1)).alias("_n"))
+    binned = ranked.crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        "rank",
+        F.expr(f"((rank - 1) * {int(n_bins)}) div _n").alias("bin"),
+    )
+    starts = binned.groupBy("bin").agg(F.min("rank").alias("_bstart"))
+    return (
+        binned.join(F.broadcast(starts), "bin")
+        .select(
+            "doc_id",
+            "bin",
+            (F.col("rank") - F.col("_bstart")).alias("within_rank"),
+            (
+                (F.col("rank") - F.col("_bstart")) * n_bins + F.col("bin")
+            ).alias("curriculum_pos"),
+        )
+    )
+
+
 __all__ = [
     "SCAN_BLOCK",
+    "curriculum_order",
+    "priority_sample",
     "block_prefix_sum",
     "epoch_shuffle",
     "mixture_decide",

@@ -181,6 +181,18 @@ from convoy_spark.queries import (  # noqa: F401,E402
 #        index_drift_profile  (stream==batch whole-table equality
 #                              pytest + the df/avgdl scoring chain is
 #                              in-window via bm25_multi_query).
+# Round-6 loader-family additions (standing rule):
+#   IN : weighted_sample      (DLT priority sampling — deterministic
+#                              weighted without-replacement draw),
+#        curriculum_order     (quality-binned round-robin interleave)
+#   OUT: shard_assignment     (its block-prefix-scan machinery is
+#                              in-window via pack_sequences; the
+#                              token-balance property stays pytest +
+#                              emulator green),
+#        ngram_contamination  (stop-gram-capped gram equi-join proven
+#                              in-window by substring_dup_pairs; the
+#                              eval-overlap variant stays emulator
+#                              green).
 _CHECK_WINDOW = [
     # §2.3/§2.8 aggregates + SQL front door (two_pass_mad is past the
     # window: A6/P13 two-pass MAD is proven by tree_metric_mad)
@@ -237,7 +249,6 @@ _CHECK_WINDOW = [
     "semantic_dedup",
     "split_contamination",
     "dedup_keep_best",
-    "ngram_contamination",
     # similarity / embedding components (cosine_topk is past the
     # window: it is the brute-force recall ORACLE for the ANN entries;
     # ann_ivf_topk rotated out round 6 — the ANN surface is proven by
@@ -255,10 +266,12 @@ _CHECK_WINDOW = [
     "dedup_first_wins",
     # tokenizer-training loop (classic word-frequency BPE trainer)
     "bpe_train_vocab",
-    # loader-prep family: packing + target-mixture sampling + shards
+    # loader-prep family: packing + target-mixture sampling +
+    # weighted draw + curriculum interleave
     "pack_sequences",
     "mixture_sample",
-    "shard_assignment",
+    "weighted_sample",
+    "curriculum_order",
 ]
 
 

@@ -5,6 +5,7 @@ operators/loader.py), each with a full DuckDB value-hash oracle."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from convoy_spark.functions.hashing import WS_SPLIT, sql_hash60
 from convoy_spark.operators.loader import (
@@ -189,3 +190,95 @@ __all__ = [
     "SHARD_TOKENS",
     "SHUFFLE_EPOCH",
 ]
+
+
+from convoy_spark.operators.loader import (  # noqa: E402
+    CURRICULUM_BINS,
+    curriculum_order,
+    priority_sample,
+)
+from convoy_spark.operators.textops import text_quality  # noqa: E402
+from convoy_spark.queries.textops import quality_score_sql  # noqa: E402
+
+PRIORITY_N = 500
+
+
+@query(
+    "weighted_sample",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+        CAST(len(list_filter(
+          string_split_regex(lower(text), '{WS_SPLIT}'),
+          x -> x <> '')) AS BIGINT) AS weight
+      FROM documents
+    ),
+    pr AS (
+      SELECT doc_id, weight,
+        CAST(weight AS DOUBLE) /
+          CAST({sql_hash60("concat('ps1:', CAST(doc_id AS VARCHAR))")} + 1
+               AS DOUBLE) AS priority
+      FROM w
+    )
+    SELECT doc_id, weight, priority
+    FROM pr ORDER BY priority DESC, doc_id LIMIT {PRIORITY_N}
+    """,
+)
+def weighted_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duffield–Lund–Thorup priority sampling: weighted (by token
+    count) sampling without replacement of {n} docs — one map + a
+    distributed top-n, no transcendentals (the u^(1/w) formulation
+    would hinge on engine-dependent pow), no corpus shuffle. The
+    deterministic salted-hash priority makes the SAMPLE ITSELF
+    oracle-checkable — reproducible sampling as a feature, the
+    dataset_split ethos."""
+    return priority_sample(
+        load_table(spark, sf_dir, "documents"), n=PRIORITY_N
+    )
+
+
+@query(
+    "curriculum_order",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '{WS_SPLIT}'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, {quality_score_sql("toks", "text")} AS qs FROM t
+    ),
+    r AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY qs, doc_id) AS rank FROM q
+    ),
+    n AS (SELECT COUNT(*) AS n FROM r),
+    b AS (
+      SELECT doc_id, rank,
+             ((rank - 1) * {CURRICULUM_BINS}) // n.n AS bin
+      FROM r, n
+    ),
+    s AS (SELECT bin, MIN(rank) AS bstart FROM b GROUP BY bin)
+    SELECT b.doc_id, b.bin,
+           CAST(b.rank - s.bstart AS BIGINT) AS within_rank,
+           CAST((b.rank - s.bstart) * {CURRICULUM_BINS} + b.bin AS BIGINT)
+             AS curriculum_pos
+    FROM b JOIN s ON b.bin = s.bin
+    """,
+)
+def curriculum_order_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-binned round-robin curriculum ordering: global rank by
+    (text_quality score, doc_id) via the two-phase block prefix scan,
+    ten contiguous quality bins, easy-to-hard interleave position.
+    The oracle restates the rank as one ordered window; the Spark
+    plan never moves the corpus through a single-task exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    quality = text_quality(docs).select("doc_id", "quality_score")
+    out = curriculum_order(quality)
+    return out.select(
+        "doc_id",
+        "bin",
+        F.col("within_rank").cast("long").alias("within_rank"),
+        F.col("curriculum_pos").cast("long").alias("curriculum_pos"),
+    )

@@ -167,3 +167,69 @@ def test_write_training_shards_layout(spark, tmp_path):
     assert sorted(
         d for d in os.listdir(out) if d.startswith("shard_id=")
     ) == dirs
+
+
+def test_priority_sample_deterministic_and_weight_biased(spark):
+    from convoy_spark.operators.loader import priority_sample
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (100 if i < 20 else 1)) for i in range(400)],
+        "doc_id long, text string",
+    )
+    a = priority_sample(docs, n=50).collect()
+    b = priority_sample(docs, n=50).collect()
+    assert [r.doc_id for r in a] == [r.doc_id for r in b]  # deterministic
+    # heavy docs (weight 100 vs 1) dominate the sample
+    heavy = sum(1 for r in a if r.doc_id < 20)
+    assert heavy == 20  # all 20 heavy docs drawn before most light ones
+    # re-salting draws a different sample
+    c = priority_sample(docs, n=50, salt="other").collect()
+    assert {r.doc_id for r in c} != {r.doc_id for r in a}
+
+
+def test_priority_sample_matches_python(spark):
+    import hashlib
+
+    from convoy_spark.operators.loader import priority_sample
+
+    docs = [(i, "tok " * ((i % 7) + 1)) for i in range(100)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    pri = []
+    for i, text in docs:
+        w = len(text.split())
+        q = float(w) / float(h60(f"ps1:{i}") + 1)
+        pri.append((-q, i, w))
+    want = sorted(pri)[:10]
+    got = priority_sample(df, n=10).collect()
+    assert [(r.doc_id, r.weight) for r in got] == [(i, w) for _, i, w in want]
+
+
+def test_curriculum_order_round_robin_property(spark):
+    from convoy_spark.operators.loader import curriculum_order
+
+    rows = [(i, float((i * 37) % 101) / 10.0) for i in range(123)]
+    df = spark.createDataFrame(rows, "doc_id long, quality_score double")
+    out = curriculum_order(df, n_bins=10).collect()
+    assert len(out) == 123
+    # python reference
+    order = sorted(rows, key=lambda r: (r[1], r[0]))
+    n = len(order)
+    ref = {}
+    starts = {}
+    for rank0, (i, _) in enumerate(order):
+        b = (rank0 * 10) // n
+        starts.setdefault(b, rank0 + 1)
+        ref[i] = (b, rank0 + 1 - starts[b])
+    got = {r.doc_id: (r.bin, r.within_rank) for r in out}
+    assert got == ref
+    # curriculum_pos is a valid total order: all distinct, and within
+    # a bin it increases with quality rank
+    pos = sorted((r.curriculum_pos, r.bin, r.within_rank) for r in out)
+    assert len({p for p, _, _ in pos}) == len(pos)
+    for b in range(10):
+        wr = [w for _, bb, w in pos if bb == b]
+        assert wr == sorted(wr)
