@@ -103,3 +103,72 @@ def explain_str(df: DataFrame) -> str:
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     return buf.getvalue()
+
+
+# --- Z-order (Morton) layout -------------------------------------------------
+# The third layout knob after bucketing and salting: interleave the
+# bits of two filter dimensions so RANGE-partitioning by the combined
+# key keeps every partition tight on BOTH dimensions at once — parquet
+# min/max row-group stats then skip files for predicates on either
+# column (single-column sort is tight on one dimension and useless on
+# the other). This is what table formats run under "OPTIMIZE ZORDER
+# BY"; here it is a plain column expression + range write, nothing
+# format-specific.
+
+ZORDER_BITS = 16
+
+
+def zorder_key(c1: Column, c2: Column, bits: int = ZORDER_BITS) -> Column:
+    """Morton interleave of the low ``bits`` bits of two non-negative
+    long columns (c1 in even positions, c2 in odd). Pure integer
+    shifts/masks — bit-identical in any engine, hence oracle-exact.
+    Callers range-normalize wider domains first (div to fit
+    ``bits``); 16+16 bits = 4·10^9 cells, plenty for file-level
+    skipping."""
+    expr = None
+    for i in range(bits):
+        even = F.shiftleft(F.shiftright(c1, i).bitwiseAND(F.lit(1)), 2 * i)
+        odd = F.shiftleft(
+            F.shiftright(c2, i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
+        piece = even + odd
+        expr = piece if expr is None else expr + piece
+    return expr
+
+
+def sql_zorder_key(e1: str, e2: str, bits: int = ZORDER_BITS) -> str:
+    """DuckDB fragment identical to :func:`zorder_key`."""
+    # every piece fully parenthesized: DuckDB's << binds LOOSER than +
+    pieces = []
+    for i in range(bits):
+        pieces.append(f"(((({e1}) >> {i}) & 1) << {2 * i})")
+        pieces.append(f"(((({e2}) >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(pieces) + ")"
+
+
+def zorder_bucket_stats(
+    df: DataFrame,
+    c1: str,
+    c2: str,
+    n_bucket_bits: int = 10,
+    bits: int = ZORDER_BITS,
+) -> DataFrame:
+    """(bucket, n_rows, min/max of both dims): the per-bucket min/max
+    envelope a Z-order layout yields — the exact numbers a scan
+    planner's file-skipping decision reads. Bucket = the Morton key's
+    top ``n_bucket_bits`` bits, i.e. the range-partition id a
+    ``repartitionByRange(zkey)`` write would produce, computed
+    deterministically so the whole layout is oracle-checkable. One
+    map + one keyed aggregation."""
+    z = zorder_key(F.col(c1), F.col(c2), bits)
+    b = df.select(
+        F.col(c1), F.col(c2),
+        F.shiftright(z, 2 * bits - n_bucket_bits).alias("bucket"),
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(c1).alias(f"min_{c1}"),
+        F.max(c1).alias(f"max_{c1}"),
+        F.min(c2).alias(f"min_{c2}"),
+        F.max(c2).alias(f"max_{c2}"),
+    )

@@ -31,6 +31,7 @@ from convoy_spark.queries import (  # noqa: F401,E402
     funnel,
     graph,
     joins,
+    layout,
     loader,
     multimodal,
     projections,
@@ -193,6 +194,16 @@ from convoy_spark.queries import (  # noqa: F401,E402
 #                              in-window by substring_dup_pairs; the
 #                              eval-overlap variant stays emulator
 #                              green).
+# Round-6 layout addition (standing rule):
+#   IN : zorder_layout        (Morton clustering envelope — the
+#                              OPTIMIZE-ZORDER data-skipping layout,
+#                              integer-exact, SURVEY §4 made
+#                              first-class)
+#   OUT: dedup_first_wins     (S8 first-wins canonicalization is the
+#                              same operators/dedup.py:452 window the
+#                              in-window exact_dedup runs; the
+#                              idempotent-append semantics stay
+#                              emulator + warehouse-pytest green).
 _CHECK_WINDOW = [
     # §2.3/§2.8 aggregates + SQL front door (two_pass_mad is past the
     # window: A6/P13 two-pass MAD is proven by tree_metric_mad)
@@ -262,8 +273,6 @@ _CHECK_WINDOW = [
     "heavy_hitters",
     # multimodal plumbing
     "media_decode_meta",
-    # S8 idempotent append
-    "dedup_first_wins",
     # tokenizer-training loop (classic word-frequency BPE trainer)
     "bpe_train_vocab",
     # loader-prep family: packing + target-mixture sampling +
@@ -272,6 +281,8 @@ _CHECK_WINDOW = [
     "mixture_sample",
     "weighted_sample",
     "curriculum_order",
+    # physical layout (SURVEY §4)
+    "zorder_layout",
 ]
 
 
