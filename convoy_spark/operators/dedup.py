@@ -657,3 +657,44 @@ def span_dedup(
         F.sum(F.col("_kept").cast("long")).alias("spans_kept"),
         F.sum((~F.col("_kept")).cast("long")).alias("spans_dropped"),
     )
+
+
+def fuzzy_pairs_dist1(names: DataFrame, name_col: str = "name") -> DataFrame:
+    """(name_a, name_b): all distinct unordered pairs at Levenshtein
+    distance EXACTLY 1 — FastSS (Bocek et al. 2007) restated as
+    equi-joins: index every name under itself plus each single-
+    deletion variant; any dist-1 pair shares a key (substitution at i
+    → both delete i; insertion/deletion → the shorter IS a variant of
+    the longer), so the variant join is a complete candidate set
+    (it admits some dist-2 pairs, which the exact verify drops).
+
+    The entity-resolution primitive (author/domain canonicalization):
+    never all-pairs — candidates are variant-bucket joins, quadratic
+    only within a bucket. NO bucket cap here, unlike the n-gram
+    detectors' stop-gram cap: a dist-1 pair is witnessed by exactly
+    one shared deletion in the substitution case, so dropping hot
+    buckets would lose pairs; a pathological bucket (10^6 names one
+    deletion apart) is real skew the verify join handles via AQE
+    skew-split, not a shortcut.
+    """
+    base = names.select(F.col(name_col).alias("n")).where(
+        F.col("n").isNotNull()
+    ).distinct()
+    variants = F.expr(
+        "transform(sequence(1, length(n), 1),"
+        " i -> concat(substring(n, 1, i - 1),"
+        "             substring(n, i + 1, length(n) - i)))"
+    )
+    keys = base.select(
+        "n",
+        F.explode(F.array_union(F.array(F.col("n")), variants)).alias("k"),
+    ).distinct()
+    a = keys.withColumnRenamed("n", "name_a")
+    b = keys.withColumnRenamed("n", "name_b")
+    cands = (
+        a.join(b, "k")
+        .where(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+        .distinct()
+    )
+    return cands.where(F.levenshtein("name_a", "name_b") == 1)

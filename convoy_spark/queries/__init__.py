@@ -204,6 +204,22 @@ from convoy_spark.queries import (  # noqa: F401,E402
 #                              in-window exact_dedup runs; the
 #                              idempotent-append semantics stay
 #                              emulator + warehouse-pytest green).
+# Round-6 analytics/entity-resolution additions (standing rule):
+#   IN : cohort_retention     (first-activity cohort × day-offset
+#                              retention matrix — integer day buckets,
+#                              one long/long division),
+#        fuzzy_name_pairs     (FastSS edit-distance-1 join: deletion-
+#                              variant equi-join candidates, exact
+#                              levenshtein verify; the oracle is the
+#                              all-pairs form, so the check proves
+#                              candidate COMPLETENESS)
+#   OUT: calendar_projection  (P7 calendar derivations run verbatim in
+#                              the driver's entry() flagship smoke and
+#                              stay emulator-green),
+#        coalesce_preference  (P3: the COALESCE-apply side is in-window
+#                              via ur_enrichment; the URL-unwind side
+#                              is U2 pytest, test_ingest entity edges;
+#                              stays emulator-green).
 _CHECK_WINDOW = [
     # §2.3/§2.8 aggregates + SQL front door (two_pass_mad is past the
     # window: A6/P13 two-pass MAD is proven by tree_metric_mad)
@@ -231,10 +247,8 @@ _CHECK_WINDOW = [
     "self_join_parent_child",
     # §2.3 grouping/filter relational
     "singleton_groups",
-    "calendar_projection",
     # §2.2 projections
     "json_extraction",
-    "coalesce_preference",
     "scalar_surface",
     "filter_suite",
     # §2.8 text search (ranked retrieval)
@@ -283,6 +297,9 @@ _CHECK_WINDOW = [
     "curriculum_order",
     # physical layout (SURVEY §4)
     "zorder_layout",
+    # product analytics + entity resolution
+    "cohort_retention",
+    "fuzzy_name_pairs",
 ]
 
 

@@ -1059,3 +1059,27 @@ def dsir_select_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     target = docs.select("doc_id").filter(_split_col() == "val")
     return dsir_select(docs, target, n_select=DSIR_SELECT_N)
+
+
+from convoy_spark.operators.dedup import fuzzy_pairs_dist1  # noqa: E402
+
+
+@query(
+    "fuzzy_name_pairs",
+    oracle="""
+    WITH c AS (SELECT DISTINCT c_name AS n FROM customer)
+    SELECT a.n AS name_a, b.n AS name_b
+    FROM c a JOIN c b ON a.n < b.n AND levenshtein(a.n, b.n) = 1
+    """,
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy join: all customer-name pairs at edit
+    distance exactly 1 via the FastSS deletion-variant equi-join
+    (operators/dedup.py::fuzzy_pairs_dist1) — candidates are variant
+    buckets, never all-pairs; the oracle IS the all-pairs form, so
+    the driver check proves candidate completeness, not just
+    precision."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name")
+    )
+    return fuzzy_pairs_dist1(cust)

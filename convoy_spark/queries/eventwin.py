@@ -122,3 +122,67 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+      FROM events
+    ),
+    first AS (
+      SELECT user_id, MIN(day) AS cohort_day FROM act GROUP BY user_id
+    ),
+    cohorts AS (
+      SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS n_cohort
+      FROM first GROUP BY cohort_day
+    ),
+    ret AS (
+      SELECT f.cohort_day, a.day - f.cohort_day AS day_offset,
+             CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+      FROM act a JOIN first f ON a.user_id = f.user_id
+      GROUP BY f.cohort_day, a.day - f.cohort_day
+    )
+    SELECT r.cohort_day, r.day_offset, r.n_active, c.n_cohort,
+           CAST(r.n_active AS DOUBLE) / c.n_cohort AS retention
+    FROM ret r JOIN cohorts c ON r.cohort_day = c.cohort_day
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort-retention matrix (the product-analytics staple): users
+    cohorted by first-activity day, per (cohort, day-offset) distinct
+    active users and retention rate. Day = integer epoch-day, so the
+    bucketing is engine-exact; the rate is ONE long/long IEEE
+    division. Plan: one distinct (user, day) agg, a tiny first-day
+    agg joined back on user_id (keyed), then a count-distinct rollup
+    — every stage map-side-combinable; cohort sizes (≤ days rows)
+    broadcast into the final rate projection. At 100 TB the
+    (user, day) distinct is the only big shuffle, and it is the
+    minimal one the statistic needs."""
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id",
+        F.expr("unix_timestamp(ts) div 86400").alias("day"),
+    ).distinct()
+    first = act.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    cohorts = first.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    ret = (
+        act.join(first, "user_id")
+        .groupBy(
+            "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset")
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+    return ret.join(F.broadcast(cohorts), "cohort_day").select(
+        "cohort_day",
+        "day_offset",
+        "n_active",
+        "n_cohort",
+        (F.col("n_active").cast("double") / F.col("n_cohort")).alias(
+            "retention"
+        ),
+    )

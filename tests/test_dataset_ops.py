@@ -223,3 +223,54 @@ def test_split_vocab_shift_detects_skew(spark):
     assert tv[("train", "test")] < 1e-9  # identical distributions
     assert tv[("train", "val")] > 0.999  # disjoint vocabularies
     assert tv[("val", "test")] > 0.999
+
+
+def test_fuzzy_pairs_dist1_matches_bruteforce(spark):
+    import random
+
+    from convoy_spark.operators.dedup import fuzzy_pairs_dist1
+
+    rng = random.Random(5)
+    alphabet = "ab"
+    names = list(
+        {
+            "".join(rng.choice(alphabet) for _ in range(rng.randrange(3, 7)))
+            for _ in range(120)
+        }
+    )
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    want = {
+        (min(x, y), max(x, y))
+        for i, x in enumerate(names)
+        for y in names[i + 1:]
+        if lev(x, y) == 1
+    }
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    got = {
+        (r.name_a, r.name_b) for r in fuzzy_pairs_dist1(df).collect()
+    }
+    assert got == want
+
+
+def test_cohort_retention_invariants(spark, duck):
+    from convoy_spark.queries import ORACLES, QUERIES
+    from tests.conftest import SF_DIR, assert_frames_match
+
+    spdf = QUERIES["cohort_retention"](spark, SF_DIR).toPandas()
+    opdf = duck.execute(ORACLES["cohort_retention"]).fetchdf()
+    assert_frames_match(spdf, opdf, "cohort_retention")
+    # day-0 retention is exactly 1.0 for every cohort
+    d0 = spdf[spdf.day_offset == 0]
+    assert (d0.n_active == d0.n_cohort).all()
+    assert (spdf.n_active <= spdf.n_cohort).all()
+    assert (spdf.day_offset >= 0).all()
