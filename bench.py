@@ -94,6 +94,13 @@ BENCH_QUERIES = [
     "pagerank_scores",
     "triangle_part_counts",
     "heavy_hitters",
+    # round-6 tail: weighted draw, curriculum interleave, Z-order
+    # envelope, cohort retention, FastSS fuzzy join
+    "weighted_sample",
+    "curriculum_order",
+    "zorder_layout",
+    "cohort_retention",
+    "fuzzy_name_pairs",
 ]
 
 

@@ -97,6 +97,7 @@ def heavy_hitters(
     k_inv: int = HH_K,
     summary_size: int = HH_SUMMARY,
     text_col: str = "text",
+    checkpoint: bool = True,
 ) -> DataFrame:
     """(token, freq) for every token with freq * k_inv > N, exactly.
 
@@ -108,9 +109,11 @@ def heavy_hitters(
     assert summary_size + 1 >= k_inv, "MG summary too small for threshold"
     tokens = _tokens_exploded(docs, text_col)
     hashed = tokens.select(F.xxhash64("token").alias("th"))
-    sketch = hashed.mapInPandas(
-        _mg_partition(summary_size), "th long, n long"
-    ).localCheckpoint(eager=False)
+    sketch = hashed.mapInPandas(_mg_partition(summary_size), "th long, n long")
+    if checkpoint:
+        # materialized once, read twice (candidates + total); pass
+        # checkpoint=False to see the full pipeline in .explain()
+        sketch = sketch.localCheckpoint(eager=False)
     candidates = (
         sketch.where(F.col("th").isNotNull()).select("th").distinct()
     )

@@ -149,6 +149,24 @@ EXPECTATIONS = {
     # (MapInPandas); candidates come back via broadcast semi join;
     # recount is a map-side-combined hash agg
     "heavy_hitters": ["MapInPandas", "BroadcastHashJoin", "HashAggregate"],
+    # weighted draw: pure map feeding a distributed top-n — never a
+    # global sort; only (doc_id, text) read
+    "weighted_sample": [
+        "TakeOrderedAndProject",
+        "ReadSchema: struct<doc_id:bigint,text:string>",
+    ],
+    # curriculum: the global quality rank is the two-phase block scan
+    # (keyed _blk exchange), bin starts broadcast back
+    "curriculum_order": ["hashpartitioning(_blk", "BroadcastHashJoin"],
+    # z-order envelope: one map + one keyed agg; the max frame rides a
+    # broadcast
+    "zorder_layout": ["HashAggregate", "BroadcastNestedLoopJoin"],
+    # cohort retention: keyed aggs throughout; cohort sizes broadcast
+    "cohort_retention": ["HashAggregate", "BroadcastHashJoin"],
+    # fuzzy join: deletion variants behind Generate; candidate buckets
+    # are an equi-join (shuffle or broadcast at this SF), never a
+    # cartesian; the verify filter runs post-join
+    "fuzzy_name_pairs": ["Generate", "levenshtein"],
 }
 
 
@@ -183,11 +201,17 @@ def main() -> int:
             .agg(F.sum(F.expr("m div dg").cast("decimal(20,0)")).alias("_s"))
         )
 
+    from convoy_spark.operators.heavyhitters import heavy_hitters as _hh
+
     OVERRIDES = {
         "minhash_lsh_neardup": lambda s, d: _mlsh(
             load_table(s, d, "documents"), min_jaccard=NEARDUP_J
         ),
         "pagerank_scores": _pagerank_body,
+        # audited un-checkpointed so the sketch stage is visible
+        "heavy_hitters": lambda s, d: _hh(
+            load_table(s, d, "documents"), checkpoint=False
+        ),
     }
 
     failures: list[str] = []
