@@ -220,6 +220,10 @@ from convoy_spark.queries import (  # noqa: F401,E402
 #                              via ur_enrichment; the URL-unwind side
 #                              is U2 pytest, test_ingest entity edges;
 #                              stays emulator-green).
+# key_skew_profile (join-key skew diagnostic) deliberately registers
+# PAST-window: its machinery is two map-side-combined hash aggs — the
+# plan shape a dozen in-window entries already prove — so it takes no
+# proving slot (the pivot_matrix precedent); emulator-checked.
 _CHECK_WINDOW = [
     # §2.3/§2.8 aggregates + SQL front door (two_pass_mad is past the
     # window: A6/P13 two-pass MAD is proven by tree_metric_mad)

@@ -66,3 +66,42 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zorder_bucket_stats(
         scaled, "l_partkey", "l_suppkey", n_bucket_bits=_ZBUCKET_BITS
     )
+
+
+@query(
+    "key_skew_profile",
+    oracle="""
+    WITH k AS (
+      SELECT l_orderkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    b AS (
+      SELECT CAST(floor(log2(cnt)) AS BIGINT) AS log2_bucket, cnt FROM k
+    )
+    SELECT log2_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           CAST(MAX(cnt) AS BIGINT) AS max_rows_per_key
+    FROM b GROUP BY log2_bucket
+    """,
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic (the pre-flight check before any
+    100 TB join/groupBy: is the key power-law, and how heavy is the
+    head?): per-key row counts histogrammed by log2 bucket. Two
+    map-side-combinable aggregations; the per-key agg is exactly the
+    shuffle the diagnosed join would do, so the profile costs what
+    one pass of the real workload costs. ``log2`` of an exact long is
+    engine-identical for counts < 2^53 (power-of-two boundaries are
+    exact doubles; intermediate values round identically)."""
+    k = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("key"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    b = k.select(F.floor(F.log2("cnt")).alias("log2_bucket"), "cnt")
+    return b.groupBy("log2_bucket").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_rows_per_key"),
+    )
