@@ -101,6 +101,14 @@ BENCH_QUERIES = [
     "zorder_layout",
     "cohort_retention",
     "fuzzy_name_pairs",
+    # round-6 temporal-warehouse family: SCD2 history, interval
+    # consolidation, rolling anomaly flags, last-touch attribution,
+    # ANALYZE-style column stats
+    "scd2_snapshot",
+    "interval_merge",
+    "anomaly_zscore",
+    "last_touch_attribution",
+    "column_profile",
 ]
 
 

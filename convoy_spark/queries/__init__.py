@@ -40,6 +40,7 @@ from convoy_spark.queries import (  # noqa: F401,E402
     textops,
     treestats,
     setops,
+    temporal,
     windows,
 )
 

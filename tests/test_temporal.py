@@ -1,0 +1,107 @@
+"""Semantic invariants for the temporal-warehouse family — checks the
+oracle differential can't express (the oracle shares the formulation;
+these recompute the CONTRACT independently, in pandas, from the raw
+table)."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+from convoy_spark.queries.temporal import (
+    anomaly_zscore,
+    column_profile,
+    interval_merge,
+    last_touch_attribution,
+    scd2_snapshot,
+)
+from tests.conftest import SF_DIR
+
+
+def _events(spark):
+    from convoy_spark.tables import load_table
+
+    return load_table(spark, SF_DIR, "events").toPandas()
+
+
+def test_interval_merge_islands_disjoint_and_cover(spark):
+    out = interval_merge(spark, SF_DIR).toPandas()
+    ev = _events(spark)
+    assert out["n_intervals"].sum() == len(ev)
+    assert (out["merged_start"] <= out["merged_end"]).all()
+    for _, g in out.groupby("user_id"):
+        g = g.sort_values("island_id")
+        # islands are strictly separated: each starts after the
+        # previous island's end (strict >, touching would have merged)
+        prev_end = None
+        for _, row in g.iterrows():
+            if prev_end is not None:
+                assert row["merged_start"] > prev_end
+            prev_end = row["merged_end"]
+
+
+def test_scd2_runs_collapse_and_chain(spark):
+    out = scd2_snapshot(spark, SF_DIR).toPandas()
+    ev = _events(spark)
+    assert out["n_events"].sum() == len(ev)
+    for _, g in out.groupby("user_id"):
+        g = g.sort_values("run_id").reset_index(drop=True)
+        # consecutive runs always change type (else they'd be one run)
+        types = g["event_type"].tolist()
+        assert all(a != b for a, b in zip(types, types[1:]))
+        # valid_to chains to the next run's valid_from; final is open
+        assert g["valid_to"].iloc[-1] is pd.NaT or pd.isna(
+            g["valid_to"].iloc[-1]
+        )
+        for i in range(len(g) - 1):
+            assert g["valid_to"].iloc[i] == g["valid_from"].iloc[i + 1]
+
+
+def test_anomaly_zscore_flags_are_three_sigma(spark):
+    out = anomaly_zscore(spark, SF_DIR).toPandas()
+    ev = _events(spark).sort_values(["event_type", "ts", "event_id"])
+    flagged = set(out["event_id"])
+    recomputed = set()
+    for _, g in ev.groupby("event_type"):
+        v = (g["value"] * 1000.0).apply(math.floor).astype("int64").tolist()
+        ids = g["event_id"].tolist()
+        for i in range(len(v)):
+            lo = max(0, i - 100)
+            win = v[lo:i]
+            n = len(win)
+            if n < 30:
+                continue
+            s, q = float(sum(win)), float(sum(x * x for x in win))
+            dev = n * float(v[i]) - s
+            if dev * dev * (n - 1.0) > 9.0 * n * (n * q - s * s):
+                recomputed.add(ids[i])
+    assert flagged == recomputed
+    assert len(flagged) > 0
+
+
+def test_attribution_partitions_purchases(spark):
+    out = last_touch_attribution(spark, SF_DIR).toPandas()
+    ev = _events(spark)
+    n_purch = (ev["event_type"] == "purchase").sum()
+    assert out["n_purchases"].sum() == n_purch
+    assert set(out["channel"]) <= {"click", "view", "organic"}
+    # revenue partitions the purchase total (decimal-exact on both
+    # sides; compare at the quantization the dsum contract guarantees)
+    total = ev.loc[ev["event_type"] == "purchase", "value"].round(6).sum()
+    assert abs(out["attributed_revenue"].sum() - total) < 1e-3
+
+
+def test_column_profile_matches_pandas(spark):
+    out = column_profile(spark, SF_DIR).toPandas().set_index("col_name")
+    from convoy_spark.tables import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem").toPandas()
+    for col in ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]:
+        row = out.loc[col]
+        assert row["n_rows"] == len(li)
+        assert row["n_nulls"] == li[col].isna().sum()
+        assert row["n_distinct"] == li[col].nunique()
+        assert row["min_value"] == li[col].min()
+        assert row["max_value"] == li[col].max()
+        assert abs(row["mean_value"] - li[col].mean()) < 1e-6

@@ -167,6 +167,23 @@ EXPECTATIONS = {
     # are an equi-join (shuffle or broadcast at this SF), never a
     # cartesian; the verify filter runs post-join
     "fuzzy_name_pairs": ["Generate", "levenshtein"],
+    # SCD2: both windows + the run groupBy key on user_id — one
+    # events exchange, one run-table exchange, nothing global
+    "scd2_snapshot": ["Window", "hashpartitioning(user_id"],
+    # interval merge: cumulative-max + prefix-sum windows share the
+    # user_id partitioning
+    "interval_merge": ["Window", "hashpartitioning(user_id"],
+    # anomaly flags: ONE keyed window (bounded 100-row frame), scan
+    # pruned to the four live columns
+    "anomaly_zscore": [
+        "hashpartitioning(event_type",
+        "ReadSchema: struct<event_id:bigint,ts:timestamp_ntz,event_type:string,value:double>",
+    ],
+    # attribution: keyed window feeding a 3-key final agg
+    "last_touch_attribution": ["Window", "HashAggregate"],
+    # column profile: stack behind Generate; two-level agg (distinct
+    # values then per-column), both map-side combined
+    "column_profile": ["Generate", "HashAggregate"],
 }
 
 
