@@ -225,6 +225,44 @@ from convoy_spark.queries import (  # noqa: F401,E402
 # PAST-window: its machinery is two map-side-combined hash aggs — the
 # plan shape a dozen in-window entries already prove — so it takes no
 # proving slot (the pivot_matrix precedent); emulator-checked.
+# Round-6 temporal-warehouse additions (standing rule):
+#   IN : scd2_snapshot         (SCD type-2 validity intervals from the
+#                               event stream — CDC→dimension history),
+#        interval_merge        (overlap consolidation via keyed
+#                               cumulative max — the non-lag island
+#                               test),
+#        anomaly_zscore        (rolling 3σ flags, division-free exact
+#                               integer formulation),
+#        last_touch_attribution (IGNORE-NULLS last over the preceding
+#                               frame — the same-table as-of),
+#        column_profile        (ANALYZE stats via two-level unpivot
+#                               aggregate — exact NDV without per-
+#                               column reducer funnels)
+#   OUT: root_stats_fastpath  (A7's fast path shares the in-window
+#                              tree_stats forest build; its singleton
+#                              filter is the HAVING-count plan shape
+#                              singleton_groups proves; two rounds
+#                              driver-green, stays emulator-checked),
+#        self_join_parent_child (J1/J2 self-equi-join machinery runs
+#                              verbatim inside in-window
+#                              flagship_conversation_rollup's edge
+#                              build and closure_roots' O1 edge
+#                              derivation, pipeline/warehouse.py:39;
+#                              four rounds driver-green),
+#        filter_suite          (P9 IsNull/IsNotNull filter plans are
+#                              exercised in-window by interval_merge's
+#                              explicit null island test and
+#                              ur_enrichment's left-join null
+#                              handling; four rounds driver-green),
+#        token_stats           (the tokenize Generate+agg machinery
+#                              runs in-window in bpe_train_vocab,
+#                              trigram_lm_score, model_quality_filter
+#                              and heavy_hitters; four rounds green),
+#        text_quality          (the quality-score formula is computed
+#                              in-window INSIDE dedup_keep_best via
+#                              the shared quality_score_sql fragment —
+#                              shared-by-construction, cannot drift;
+#                              four rounds driver-green).
 _CHECK_WINDOW = [
     # §2.3/§2.8 aggregates + SQL front door (two_pass_mad is past the
     # window: A6/P13 two-pass MAD is proven by tree_metric_mad)
@@ -243,24 +281,19 @@ _CHECK_WINDOW = [
     "closure_roots",
     "ur_enrichment",
     # §2.3 A5–A8 tree statistics (the reference's crown jewel;
-    # tree_engagement / ur_tree_duality are past the window — the A5
-    # fold is proven by tree_stats, the plain/ur duality by pytest)
+    # tree_engagement / ur_tree_duality / root_stats_fastpath are past
+    # the window — the A5 fold is proven by tree_stats, the plain/ur
+    # duality by pytest, A7's singleton filter by singleton_groups)
     "tree_stats",
     "tree_metric_mad",
-    "root_stats_fastpath",
-    # §2.4 joins
-    "self_join_parent_child",
     # §2.3 grouping/filter relational
     "singleton_groups",
     # §2.2 projections
     "json_extraction",
     "scalar_surface",
-    "filter_suite",
     # §2.8 text search (ranked retrieval)
     "bm25_multi_query",
     # text analysis components
-    "token_stats",
-    "text_quality",
     "lang_id",
     "winnow_fingerprints",
     # round-3 text/quality flagships (rotated in r4 per standing rule)
@@ -305,6 +338,12 @@ _CHECK_WINDOW = [
     # product analytics + entity resolution
     "cohort_retention",
     "fuzzy_name_pairs",
+    # temporal-warehouse family (round-6 additions)
+    "scd2_snapshot",
+    "interval_merge",
+    "anomaly_zscore",
+    "last_touch_attribution",
+    "column_profile",
 ]
 
 

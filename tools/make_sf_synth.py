@@ -166,6 +166,32 @@ def synth_relational(src: str, out: str, copies: int) -> tuple[int, int]:
     return len(oall), len(lall)
 
 
+def synth_events(src: str, out: str, copies: int) -> int:
+    """Round-6: scale events by USER-stride copies — copy i shifts
+    ``user_id`` and ``event_id``, keeps ts/type/value verbatim. Each
+    copy's users are new users with copy-0's exact per-user history,
+    so the keyed-window families (temporal, sessionize, cohorts,
+    event-time aggs) see copies× the partition-key groups at identical
+    group size — how an event stream actually grows (more users, not
+    longer single histories). Outputs of every per-user query scale
+    exactly linearly, which makes slope ratios interpretable."""
+    import pandas as pd
+
+    ev = pq.read_table(os.path.join(src, "events.parquet")).to_pandas()
+    frames = []
+    for i in range(copies):
+        c = ev.copy()
+        c["event_id"] = c["event_id"] + i * ID_STRIDE
+        c["user_id"] = c["user_id"] + i * ID_STRIDE
+        frames.append(c)
+    allv = pd.concat(frames, ignore_index=True)
+    _write_table(
+        pa.Table.from_pandas(allv, preserve_index=False),
+        os.path.join(out, "events.parquet"),
+    )
+    return len(allv)
+
+
 def main() -> None:
     copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
@@ -178,14 +204,14 @@ def main() -> None:
     nd = synth_documents(src, out, copies)
     ne = synth_embeddings(src, out, copies)
     no, nl = synth_relational(src, out, copies)
-    print(f"orders={no} lineitem={nl}")
+    nev = synth_events(src, out, copies)
+    print(f"orders={no} lineitem={nl} events={nev}")
     for tname in [
         "region",
         "nation",
         "customer",
         "supplier",
         "part",
-        "events",
     ]:
         dst = os.path.join(out, f"{tname}.parquet")
         if not os.path.exists(dst):
