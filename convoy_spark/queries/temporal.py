@@ -227,14 +227,24 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     are exact integer window sums of millis-quantized values, so the
     boolean is bit-deterministic across engines (module docstring).
 
-    Scale: one shuffle on ``event_type`` with a bounded 100-row frame —
-    constant state per row regardless of corpus size. With few event
-    types the sort groups are large; a deployment with low-cardinality
-    keys would sub-bucket by hash(event_id) ranges exactly like the
-    two-phase top-k in ``bm25_multi_query`` (`operators/textops.py`),
-    trading the cross-bucket boundary rows for parallelism; at the
-    catalog's key cardinalities the single keyed window is the right
-    plan.
+    Scale — prefix sums, not a sliding frame. Spark's sliding
+    ``rowsBetween(-100, -1)`` frame has no aggregate-retraction
+    support, so WindowExec re-accumulates all 100 frame rows for
+    every row — O(100·n) per key, measured growing linearly at a flat
+    ~5× of the baseline's segment-tree windows (BENCH_NOTES). The
+    trailing sums are instead derived from RUNNING prefix sums (an
+    incremental O(1)-per-row frame) and a 101-row ``lag`` of those
+    prefixes (an offset frame, also O(1)):
+
+        S[p-100..p-1] = (PS(p) − v(p)) − PS(p-101)
+
+    — same sort, same single shuffle, ~100× less aggregate work, and
+    the integers are identical so the oracle (which keeps the naive
+    sliding-window formulation) proves the rewrite. With few event
+    types the sort groups are large; a deployment with
+    low-cardinality keys would sub-bucket by time blocks with
+    100-row context overlap for parallelism; at the catalog's key
+    cardinalities the single keyed window is the right plan.
     """
     events = load_table(spark, sf_dir, "events")
     scaled = events.select(
@@ -244,19 +254,34 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.floor(F.col("value") * F.lit(1000.0)).cast("bigint").alias("v"),
     )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-100, -1)
-    )
-    stats = scaled.select(
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vv = F.col("v") * F.col("v")
+    pre = scaled.select(
         "event_id",
         "event_type",
         "value",
         "v",
-        F.count("v").over(w).alias("n"),
-        F.sum("v").over(w).alias("s"),
-        F.sum(F.col("v") * F.col("v")).over(w).alias("q"),
+        (F.row_number().over(w) - 1).alias("n_before"),
+        F.sum("v").over(run).alias("ps"),
+        F.sum(vv).over(run).alias("pq"),
+        F.lag(F.sum("v").over(run), 101).over(w).alias("ps_back"),
+        F.lag(F.sum(vv).over(run), 101).over(w).alias("pq_back"),
+    )
+    stats = pre.select(
+        "event_id",
+        "event_type",
+        "value",
+        "v",
+        F.least(F.lit(100), F.col("n_before")).cast("bigint").alias("n"),
+        (
+            F.col("ps") - F.col("v") - F.coalesce("ps_back", F.lit(0))
+        ).alias("s"),
+        (
+            F.col("pq")
+            - F.col("v") * F.col("v")
+            - F.coalesce("pq_back", F.lit(0))
+        ).alias("q"),
     )
     n_d = F.col("n").cast("double")
     v_d = F.col("v").cast("double")
