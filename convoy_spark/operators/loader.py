@@ -121,6 +121,72 @@ def pack_sequences(
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    chunk_size: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, chunk_id, start_token, n_chunk_tokens, chunk_text) —
+    RAG-style overlapping token-window chunking: each document's
+    whitespace token stream cut into windows of ``chunk_size`` tokens
+    every ``stride`` tokens (overlap = chunk_size - stride), the unit
+    a retrieval index or context-window-bounded consumer ingests.
+
+    Start positions are ``0, stride, 2*stride, …`` up to the last
+    start that still begins a non-empty window and covers the tail
+    (``ceil((n - chunk_size) / stride)`` strides for n > chunk_size,
+    exactly one chunk otherwise), so every token lands in ≥1 chunk
+    and the final chunk may be short. Empty docs (no tokens) emit
+    nothing.
+
+    Scale: pure per-document Generate work — tokenize once, one
+    ``sequence`` + ``explode`` + ``slice``; zero shuffle, zero Python.
+    Fan-out is bounded at ~n_tokens/stride rows per doc, so output
+    volume is O(corpus tokens × chunk_size/stride) regardless of
+    document skew."""
+    if not (0 < stride <= chunk_size):
+        raise ValueError("need 0 < stride <= chunk_size")
+    toks = F.filter(
+        F.split(F.col(text_col), WS_SPLIT), lambda t: t != F.lit("")
+    )
+    base = (
+        docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+        .withColumn("n_tokens", F.size("_toks").cast("long"))
+        .filter(F.col("n_tokens") > 0)
+    )
+    # last start, in stride units: 0 when the doc fits in one chunk,
+    # else ceil((n - chunk_size)/stride) — integer DIV so the starts
+    # stay exact longs at any document length.
+    c, s = int(chunk_size), int(stride)
+    starts = F.expr(
+        "sequence(CAST(0 AS BIGINT), "
+        f"(CASE WHEN n_tokens <= {c} THEN CAST(0 AS BIGINT) "
+        f"ELSE (n_tokens - {c} + {s} - 1) DIV {s} END) * {s}, "
+        f"CAST({s} AS BIGINT))"
+    )
+    return (
+        base.select(
+            "doc_id",
+            "_toks",
+            "n_tokens",
+            F.explode(starts).alias("start_token"),
+        )
+        .select(
+            "doc_id",
+            (F.col("start_token") / s).cast("long").alias("chunk_id"),
+            "start_token",
+            F.least(F.lit(c).cast("long"), F.col("n_tokens") - F.col("start_token"))
+            .alias("n_chunk_tokens"),
+            F.array_join(
+                F.slice(F.col("_toks"), F.col("start_token").cast("int") + 1, c),
+                " ",
+            ).alias("chunk_text"),
+        )
+    )
+
+
 def epoch_shuffle(
     docs: DataFrame, epoch: int, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from convoy_spark.functions.hashing import WS_SPLIT, sql_hash60
 from convoy_spark.operators.loader import (
+    chunk_documents,
     epoch_shuffle,
     mixture_sample,
     pack_sequences,
@@ -62,6 +63,62 @@ def pack_sequences_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     never runs a single-task scan.""".format(n=PACK_SEQ_LEN)
     return pack_sequences(
         load_table(spark, sf_dir, "documents"), seq_len=PACK_SEQ_LEN
+    )
+
+
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48
+
+
+@query(
+    "chunk_documents",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '{WS_SPLIT}'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    n AS (
+      SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens
+      FROM t WHERE len(toks) > 0
+    ),
+    s AS (
+      SELECT doc_id, toks, n_tokens,
+             unnest(generate_series(
+               CAST(0 AS BIGINT),
+               (CASE WHEN n_tokens <= {CHUNK_SIZE} THEN CAST(0 AS BIGINT)
+                     ELSE (n_tokens - {CHUNK_SIZE} + {CHUNK_STRIDE} - 1)
+                          // {CHUNK_STRIDE} END) * {CHUNK_STRIDE},
+               CAST({CHUNK_STRIDE} AS BIGINT))) AS start_token
+      FROM n
+    )
+    SELECT doc_id,
+           CAST(start_token // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+           CAST(start_token AS BIGINT) AS start_token,
+           CAST(LEAST({CHUNK_SIZE}, n_tokens - start_token) AS BIGINT)
+             AS n_chunk_tokens,
+           array_to_string(
+             toks[start_token + 1 : start_token + {CHUNK_SIZE}], ' ')
+             AS chunk_text
+    FROM s
+    """,
+)
+def chunk_documents_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style overlapping chunking of the corpus into
+    {c}-token windows every {s} tokens (operators/loader.py::
+    chunk_documents) — the retrieval-index / context-window unit a
+    downstream embedder or indexer ingests. Hash-checked INCLUDING
+    the reassembled chunk text. Registers PAST the check window: the
+    plan is one Generate over a per-doc token array — the same
+    zero-shuffle tokenize+explode shape a dozen in-window entries
+    prove (the key_skew_profile precedent).""".format(
+        c=CHUNK_SIZE, s=CHUNK_STRIDE
+    )
+    return chunk_documents(
+        load_table(spark, sf_dir, "documents"),
+        chunk_size=CHUNK_SIZE,
+        stride=CHUNK_STRIDE,
     )
 
 

@@ -706,3 +706,93 @@ def semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         eps=SEMDEDUP_EPS,
         n_cells=IVF_CELLS,
     )
+
+
+@query(
+    "embed_quantize_int8",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    m AS (
+      SELECT vec_id, v,
+             list_min(v) AS vec_min, list_max(v) AS vec_max
+      FROM v
+    ),
+    c AS (
+      SELECT vec_id, vec_min, vec_max,
+             list_transform(v, x ->
+               CASE WHEN vec_max = vec_min THEN CAST(0 AS BIGINT)
+                    ELSE GREATEST(CAST(0 AS BIGINT), LEAST(CAST(255 AS BIGINT),
+                      CAST(floor((x - vec_min) * 255.0
+                                 / (vec_max - vec_min) + 0.5) AS BIGINT)))
+               END) AS codes
+      FROM m
+    )
+    SELECT vec_id,
+           CAST(len(codes) AS BIGINT) AS n_dims,
+           vec_min,
+           vec_max,
+           CAST(list_sum(codes) AS BIGINT) AS code_sum,
+           CAST(list_min(codes) AS BIGINT) AS code_min,
+           CAST(list_max(codes) AS BIGINT) AS code_max,
+           CAST(list_sum(list_transform(generate_series(1, len(codes)),
+                                        i -> i * codes[i])) AS BIGINT)
+             AS code_checksum
+    FROM c
+    """,
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar quantization of the embedding column —
+    the storage/bandwidth step an ANN index build runs before writing
+    codes (faiss SQ8-style: per-vector min/max range, 256 levels).
+    Codes are exact integers (floor of an IEEE-deterministic double
+    expression, identical operation order on both engines), so the
+    whole code table is value-hash-checkable; the checked surface is
+    the per-vector code summary (sum / min / max / position-weighted
+    checksum — pins every code AND its position) plus the
+    dequantization params (vec_min, vec_max).
+
+    Scale: pure per-row ``transform`` / ``aggregate`` array work —
+    zero shuffle, zero Python; at 100 TB this is a map-only rewrite
+    that cuts ANN index memory 4× vs float32, which is why it runs
+    BEFORE the banded/IVF stages (operators/similarity.py) rather
+    than after."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    m = emb.select(
+        "vec_id",
+        v.alias("v"),
+        F.array_min(v).alias("vec_min"),
+        F.array_max(v).alias("vec_max"),
+    )
+    code = (
+        "CASE WHEN vec_max = vec_min THEN CAST(0 AS BIGINT) "
+        "ELSE GREATEST(CAST(0 AS BIGINT), LEAST(CAST(255 AS BIGINT), "
+        "CAST(floor((x - vec_min) * 255.0 / (vec_max - vec_min) + 0.5)"
+        " AS BIGINT))) END"
+    )
+    c = m.select(
+        "vec_id",
+        "vec_min",
+        "vec_max",
+        F.expr(f"transform(v, x -> {code})").alias("codes"),
+    )
+    return c.select(
+        "vec_id",
+        F.size("codes").cast("long").alias("n_dims"),
+        "vec_min",
+        "vec_max",
+        F.expr(
+            "aggregate(codes, CAST(0 AS BIGINT), (a, x) -> a + x)"
+        ).alias("code_sum"),
+        F.array_min("codes").alias("code_min"),
+        F.array_max("codes").alias("code_max"),
+        F.expr(
+            "aggregate(zip_with(codes, sequence(CAST(1 AS BIGINT), "
+            "size(codes)), (c, i) -> c * i), CAST(0 AS BIGINT), "
+            "(a, x) -> a + x)"
+        ).alias("code_checksum"),
+    )

@@ -233,3 +233,39 @@ def test_curriculum_order_round_robin_property(spark):
     for b in range(10):
         wr = [w for _, bb, w in pos if bb == b]
         assert wr == sorted(wr)
+
+
+def test_chunk_documents_covers_stream_and_matches_python(spark):
+    import re
+
+    from convoy_spark.operators.loader import chunk_documents
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = chunk_documents(docs, chunk_size=16, stride=12).collect()
+    raw = {r.doc_id: r.text for r in docs.collect()}
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, text in raw.items():
+        toks = [t for t in ws.split(text) if t != ""]
+        chunks = sorted(by_doc.get(doc_id, []), key=lambda r: r.chunk_id)
+        if not toks:
+            assert chunks == []
+            continue
+        n = len(toks)
+        exp_starts = list(range(0, max(n - 16, 0) + 12, 12)) if n > 16 else [0]
+        # python reference: every start, exact slice text, short tail
+        assert [r.start_token for r in chunks] == [
+            s for s in exp_starts
+        ], doc_id
+        for r in chunks:
+            sl = toks[r.start_token : r.start_token + 16]
+            assert r.chunk_text == " ".join(sl)
+            assert r.n_chunk_tokens == len(sl)
+            assert r.chunk_id == r.start_token // 12
+        # coverage: union of [start, start+len) tiles [0, n)
+        covered = set()
+        for r in chunks:
+            covered.update(range(r.start_token, r.start_token + r.n_chunk_tokens))
+        assert covered == set(range(n))

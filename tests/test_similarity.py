@@ -167,3 +167,40 @@ def test_semantic_dedup_vs_python_reference(spark):
     # disagree within ~2^-40 of the threshold; assert none is close
     assert got == expect
     assert 0 < sum(got.values()) < len(got)  # both branches exercised
+
+
+def test_embed_quantize_int8_roundtrip(spark, duck):
+    from tests.conftest import run_parity
+
+    pdf = run_parity(spark, duck, "embed_quantize_int8")
+    # codes live on the 8-bit grid and the summary is self-consistent
+    assert (pdf.code_min >= 0).all() and (pdf.code_max <= 255).all()
+    assert (pdf.code_sum >= pdf.code_min * pdf.n_dims).all()
+    assert (pdf.code_sum <= pdf.code_max * pdf.n_dims).all()
+    # numpy reference on a sample: codes reconstruct within half a step
+    import numpy as np
+
+    from convoy_spark.tables import load_table
+
+    emb = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        .limit(20)
+        .collect()
+    }
+    by_id = pdf.set_index("vec_id")
+    for vid, v in emb.items():
+        mn, mx = v.min(), v.max()
+        row = by_id.loc[vid]
+        assert row.vec_min == mn and row.vec_max == mx
+        if mx == mn:
+            assert row.code_sum == 0
+            continue
+        codes = np.clip(
+            np.floor((v - mn) * 255.0 / (mx - mn) + 0.5), 0, 255
+        ).astype(np.int64)
+        assert row.code_sum == codes.sum()
+        assert row.code_checksum == (codes * np.arange(1, len(v) + 1)).sum()
+        recon = mn + codes * (mx - mn) / 255.0
+        step = (mx - mn) / 255.0
+        assert np.abs(recon - v).max() <= step / 2 + 1e-12

@@ -184,6 +184,17 @@ EXPECTATIONS = {
     # column profile: stack behind Generate; two-level agg (distinct
     # values then per-column), both map-side combined
     "column_profile": ["Generate", "HashAggregate"],
+    # RAG chunking: pure per-doc Generate (sequence explode + slice),
+    # zero exchange; only (doc_id, text) read
+    "chunk_documents": [
+        "Generate",
+        "ReadSchema: struct<doc_id:bigint,text:string>",
+    ],
+    # int8 quantization: map-only array transform/aggregate, zero
+    # exchange, zero Python; only (vec_id, embedding) read
+    "embed_quantize_int8": [
+        "ReadSchema: struct<vec_id:bigint,embedding:array<float>>",
+    ],
 }
 
 
