@@ -885,9 +885,25 @@ def bpe_train_vocab(docs: DataFrame, n_merges: int = 6) -> DataFrame:
     run selection — char symbols concatenate WITHOUT a joiner, which
     is collision-safe because BPE symbols are just strings). Output
     is the learned merge table (n_merges scalar rows)."""
+    merges, _ = _bpe_vocab_loop(docs, n_merges, apply_all=False)
+    return docs.sparkSession.createDataFrame(
+        merges, "step int, left string, right string, n_occurrences long"
+    )
+
+
+def _bpe_vocab_loop(
+    docs: DataFrame, n_merges: int, apply_all: bool
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """The word-frequency trainer inner loop shared by
+    :func:`bpe_train_vocab` (which discards the vocab state —
+    ``apply_all=False`` skips the post-final-count application) and
+    :func:`bpe_encode_docs` (which needs every learned merge APPLIED
+    to the vocab — ``apply_all=True``). Returns (merge table, final
+    (syms, freq) vocab frame); since merged symbols concatenate
+    without a joiner, ``array_join(syms, '')`` always reassembles the
+    original word, which is how the encoder joins back to tokens."""
     from convoy_spark.operators.dedup import doc_tokens
 
-    spark = docs.sparkSession
     vocab = doc_tokens(docs).groupBy("token").agg(
         F.count("*").cast("long").alias("freq")
     )
@@ -922,7 +938,7 @@ def bpe_train_vocab(docs: DataFrame, n_merges: int = 6) -> DataFrame:
         if top is None:
             break
         merges.append((step, top.left, top.right, top.n))
-        if step < n_merges - 1:
+        if apply_all or step < n_merges - 1:
             l, r = F.lit(top.left), F.lit(top.right)
             m = F.lit(top.left + top.right)
             cur = cur.select(
@@ -941,8 +957,52 @@ def bpe_train_vocab(docs: DataFrame, n_merges: int = 6) -> DataFrame:
                 ).alias("syms"),
                 "freq",
             ).localCheckpoint(eager=False)
-    return spark.createDataFrame(
-        merges, "step int, left string, right string, n_occurrences long"
+    return merges, cur
+
+
+def bpe_encode_docs(docs: DataFrame, n_merges: int = 6) -> DataFrame:
+    """(doc_id, n_tokens, n_symbols, n_chars, chars_per_symbol) — the
+    corpus ENCODED with the tokenizer :func:`bpe_train_vocab` learns:
+    train ``n_merges`` merges, apply every one to the word vocabulary
+    (``apply_all=True`` — the trainer itself skips the application
+    after its final count), then charge each document the symbol
+    count of its words. This is the apply/consumer half of tokenizer
+    training — the pass a loader actually runs over 100 TB once the
+    merge table is fixed.
+
+    Scale shape: the corpus is touched TWICE (once to build the word
+    vocabulary inside the trainer, once to join tokens back to their
+    encoded symbol counts); all ``n_merges`` greedy-apply folds
+    iterate over the distinct-word VOCAB table only. The final join
+    is token-keyed (broadcastable when the vocab is small; AQE
+    decides), and the per-doc rollup is one map-side-combined keyed
+    agg. ``chars_per_symbol`` (the compression diagnostic fertility⁻¹
+    tokenizer evals report) is ONE IEEE division of two exact longs,
+    so the double column hash-checks."""
+    _, final_vocab = _bpe_vocab_loop(docs, n_merges, apply_all=True)
+    from convoy_spark.operators.dedup import doc_tokens
+
+    enc = final_vocab.select(
+        F.array_join("syms", "").alias("word"),
+        F.size("syms").cast("long").alias("n_syms"),
+    )
+    return (
+        doc_tokens(docs)
+        .join(enc, F.col("token") == F.col("word"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("n_syms").alias("n_symbols"),
+            F.sum(F.length("token")).alias("n_chars"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_symbols",
+            "n_chars",
+            (F.col("n_chars").cast("double") / F.col("n_symbols"))
+            .alias("chars_per_symbol"),
+        )
     )
 
 

@@ -14,6 +14,7 @@ from convoy_spark.functions.numeric import sql_dsum
 from convoy_spark.operators.textops import (
     bm25_search,
     bm25_search_multi,
+    bpe_encode_docs,
     bpe_merge_candidates,
     bpe_train_steps,
     bpe_train_vocab,
@@ -656,11 +657,14 @@ def _bpe_train_oracle(n_steps: int) -> str:
 BPE_VOCAB_MERGES = 4
 
 
-def _bpe_vocab_oracle(n_merges: int) -> str:
-    """The word-frequency BPE trainer unrolled: like
+def _bpe_vocab_ctes(n_merges: int, apply_all: bool) -> list[str]:
+    """CTE chain for the word-frequency BPE trainer unrolled: like
     :func:`_bpe_train_oracle` but the stream is per-WORD character
     symbols carrying the word's corpus frequency, pair counts are
-    SUM(freq), and merged symbols concatenate without a joiner."""
+    SUM(freq), and merged symbols concatenate without a joiner.
+    ``apply_all=True`` also applies the FINAL merge (producing
+    ``s{n_merges}``, the fully-encoded vocab the encode oracle
+    consumes); the trainer oracle stops after the final count."""
     ctes = [
         f"""v AS MATERIALIZED (
       SELECT token AS word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
@@ -689,7 +693,7 @@ def _bpe_vocab_oracle(n_merges: int) -> str:
       GROUP BY sym, nxt ORDER BY c DESC, l ASC, r ASC LIMIT 1
     )"""
         )
-        if r < n_merges - 1:
+        if apply_all or r < n_merges - 1:
             ctes.append(
                 f"""occ{r} AS (
       SELECT pr.word, pr.p
@@ -725,6 +729,11 @@ def _bpe_vocab_oracle(n_merges: int) -> str:
       )
     )"""
             )
+    return ctes
+
+
+def _bpe_vocab_oracle(n_merges: int) -> str:
+    ctes = _bpe_vocab_ctes(n_merges, apply_all=False)
     selects = [
         f'SELECT CAST({r} AS INT) AS step, l AS "left", r AS "right",'
         f" c AS n_occurrences FROM top{r}"
@@ -732,6 +741,43 @@ def _bpe_vocab_oracle(n_merges: int) -> str:
     ]
     return "WITH " + ",\n    ".join(ctes) + "\n    " + "\n    UNION ALL ".join(
         selects
+    )
+
+
+def _bpe_encode_oracle(n_merges: int) -> str:
+    """Encode oracle: the fully-applied vocab ``s{n_merges}`` rolled
+    up to per-word symbol counts, joined back to the corpus token
+    stream, aggregated per document."""
+    ctes = _bpe_vocab_ctes(n_merges, apply_all=True)
+    ctes.append(
+        f"""enc AS MATERIALIZED (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS n_syms
+      FROM s{n_merges} GROUP BY word
+    )"""
+    )
+    ctes.append(
+        f"""dt AS (
+      SELECT doc_id, token FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '{WS_SPLIT}'))
+                 AS token
+        FROM documents
+      ) WHERE token <> ''
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT dt.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(e.n_syms) AS BIGINT) AS n_symbols,
+           CAST(SUM(length(dt.token)) AS BIGINT) AS n_chars,
+           CAST(SUM(length(dt.token)) AS DOUBLE) / SUM(e.n_syms)
+             AS chars_per_symbol
+    FROM dt JOIN enc e ON dt.token = e.word
+    GROUP BY dt.doc_id
+    """
     )
 
 
@@ -744,6 +790,23 @@ def bpe_train_vocab_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalable tokenizer-training shape (corpus touched once). Oracle:
     fixed-depth unrolled window formulation, freq-weighted."""
     return bpe_train_vocab(
+        load_table(spark, sf_dir, "documents"), n_merges=BPE_VOCAB_MERGES
+    )
+
+
+@query("bpe_encode_docs", oracle=_bpe_encode_oracle(BPE_VOCAB_MERGES))
+def bpe_encode_docs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus ENCODED with the {BPE_VOCAB_MERGES}-merge tokenizer
+    bpe_train_vocab learns — per doc: token / post-merge symbol /
+    char counts and the chars-per-symbol compression diagnostic
+    (operators/textops.py::bpe_encode_docs). The apply/consumer half
+    of tokenizer training: all merge folds run over the distinct-word
+    vocab, the corpus is touched twice (vocab build + encode join).
+    Registers PAST the check window: the greedy-apply fold and the
+    vocab-loop machinery are in-window via bpe_train_vocab; the
+    token-keyed join + keyed rollup shapes are proven by a dozen
+    in-window entries."""
+    return bpe_encode_docs(
         load_table(spark, sf_dir, "documents"), n_merges=BPE_VOCAB_MERGES
     )
 

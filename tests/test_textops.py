@@ -375,3 +375,68 @@ def test_dsir_importance_matches_python(spark):
         got[12].importance, got[13].importance
     )
     assert {d for d, r in got.items() if r.selected} == {10, 11}
+
+
+def test_bpe_encode_docs_matches_python_reference(spark):
+    """Train n merges + encode, vs a pure-Python Sennrich
+    train/apply: identical merge table semantics (freq-weighted,
+    (count desc, left, right) tie-break, greedy left-to-right apply)
+    must yield identical per-doc symbol counts."""
+    import re
+
+    from convoy_spark.operators.textops import bpe_encode_docs
+
+    rows = [
+        (1, "low low low lower"),
+        (2, "lower newest newest widest"),
+        (3, "the newest lowest low"),
+        (4, "wide wide widest the the the"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    n_merges = 4
+
+    # python reference
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    vocab = {}
+    for _, text in rows:
+        for t in ws.split(text.lower()):
+            if t:
+                vocab[t] = vocab.get(t, 0) + 1
+    syms = {w: [c for c in w] for w in vocab}
+
+    def apply_merge(seq, l, r):
+        out = []
+        for x in seq:
+            if out and out[-1] == l and x == r:
+                out[-1] = l + r
+            else:
+                out.append(x)
+        return out
+
+    for _ in range(n_merges):
+        counts = {}
+        for w, s in syms.items():
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + vocab[w]
+        if not counts:
+            break
+        (l, r), _c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        syms = {w: apply_merge(s, l, r) for w, s in syms.items()}
+
+    expect = {}
+    for doc_id, text in rows:
+        toks = [t for t in ws.split(text.lower()) if t]
+        expect[doc_id] = (
+            len(toks),
+            sum(len(syms[t]) for t in toks),
+            sum(len(t) for t in toks),
+        )
+
+    got = {
+        r.doc_id: (r.n_tokens, r.n_symbols, r.n_chars)
+        for r in bpe_encode_docs(docs, n_merges=n_merges).collect()
+    }
+    assert got == expect
+    # symbols never exceed chars, never fall below token count
+    for n_tok, n_sym, n_chr in got.values():
+        assert n_tok <= n_sym <= n_chr

@@ -184,6 +184,11 @@ EXPECTATIONS = {
     # column profile: stack behind Generate; two-level agg (distinct
     # values then per-column), both map-side combined
     "column_profile": ["Generate", "HashAggregate"],
+    # BPE encode: token explode behind Generate; the encoded-vocab
+    # join (broadcast at this SF, keyed at scale) feeds one map-side-
+    # combined per-doc agg; the merge folds live behind the vocab
+    # loop's checkpoints
+    "bpe_encode_docs": ["Generate", "HashAggregate"],
     # RAG chunking: pure per-doc Generate (sequence explode + slice),
     # zero exchange; only (doc_id, text) read
     "chunk_documents": [
