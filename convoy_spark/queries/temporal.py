@@ -453,3 +453,106 @@ def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum(nn)
         ).alias("mean_value"),
     )
+
+
+@query(
+    "resample_ffill",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, grid_ts, value AS bucket_value,
+             n_events
+      FROM (
+        SELECT user_id, date_trunc('hour', ts) AS grid_ts, value,
+               CAST(COUNT(*) OVER (PARTITION BY user_id,
+                                   date_trunc('hour', ts)) AS BIGINT)
+                 AS n_events,
+               row_number() OVER (PARTITION BY user_id,
+                                  date_trunc('hour', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ),
+    bounds AS (
+      SELECT user_id, MIN(grid_ts) AS lo, MAX(grid_ts) AS hi FROM b
+      GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id,
+             unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS grid_ts
+      FROM bounds
+    )
+    SELECT g.user_id, g.grid_ts,
+           COALESCE(b.n_events, 0) AS n_events,
+           last_value(b.bucket_value IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.grid_ts
+             ROWS UNBOUNDED PRECEDING) AS value_ffill
+    FROM grid g LEFT JOIN b ON g.user_id = b.user_id
+                           AND g.grid_ts = b.grid_ts
+    """,
+)
+def resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-grid resampling with forward fill (gap filling): each
+    user's event stream snapped to an hourly grid between their first
+    and last event, per-cell event count (0 in gaps) and the
+    last-observation-carried-forward value — the feature-store
+    snapshot / downsampling operator Spark has no native resample
+    for. The carried value is selected deterministically (latest
+    ``(ts, event_id)`` within the hour) and NEVER recomputed — no
+    float arithmetic, so the double column hash-checks as-is.
+
+    Scale: everything is keyed by ``user_id`` — the bucket-last
+    window, the grid explode (``sequence`` bounded by each user's own
+    span: output = Σ_user span_hours, never |users| × global span),
+    the grid↔bucket equi-join, and the forward-fill window — one
+    partitioning reused across all four stages, no global sort. A
+    pathological single-user multi-year span costs that one key
+    span-many rows (bounded fan-out, the chunk_documents argument);
+    the fill is O(1)-per-row state."""
+    events = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    wb = (
+        Window.partitionBy("user_id", "grid_ts")
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    )
+    b = (
+        events.select(
+            "user_id", hour.alias("grid_ts"), "value", "ts", "event_id"
+        )
+        .select(
+            "user_id",
+            "grid_ts",
+            "value",
+            F.count("*").over(
+                Window.partitionBy("user_id", "grid_ts")
+            ).alias("n_events"),
+            F.row_number().over(wb).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "grid_ts",
+            F.col("value").alias("bucket_value"),
+            "n_events",
+        )
+    )
+    grid = (
+        b.groupBy("user_id")
+        .agg(F.min("grid_ts").alias("lo"), F.max("grid_ts").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(
+                F.expr("sequence(lo, hi, interval 1 hour)")
+            ).alias("grid_ts"),
+        )
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("grid_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return grid.join(b, ["user_id", "grid_ts"], "left").select(
+        "user_id",
+        "grid_ts",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.last("bucket_value", ignorenulls=True).over(wf).alias("value_ffill"),
+    )

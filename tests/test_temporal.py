@@ -105,3 +105,28 @@ def test_column_profile_matches_pandas(spark):
         assert row["min_value"] == li[col].min()
         assert row["max_value"] == li[col].max()
         assert abs(row["mean_value"] - li[col].mean()) < 1e-6
+
+
+def test_resample_ffill_pandas_reference(spark):
+    from convoy_spark.queries.temporal import resample_ffill
+
+    ev = _events(spark)
+    out = resample_ffill(spark, SF_DIR).toPandas()
+    ev["hour"] = ev["ts"].dt.floor("h")
+    for uid, g in out.groupby("user_id"):
+        e = ev[ev.user_id == uid].sort_values(["ts", "event_id"])
+        g = g.sort_values("grid_ts").reset_index(drop=True)
+        # contiguous hourly grid spanning the user's event range
+        assert g.grid_ts.iloc[0] == e.hour.min()
+        assert g.grid_ts.iloc[-1] == e.hour.max()
+        assert (g.grid_ts.diff().dropna() == pd.Timedelta(hours=1)).all()
+        # event counts conserved, gaps are zero
+        assert g.n_events.sum() == len(e)
+        counts = e.groupby("hour").size()
+        for _, r in g.iterrows():
+            assert r.n_events == counts.get(r.grid_ts, 0)
+        # forward fill: last event value at or before the hour's end
+        for _, r in g.iterrows():
+            prior = e[e.hour <= r.grid_ts]
+            assert not prior.empty
+            assert r.value_ffill == prior.value.iloc[-1]

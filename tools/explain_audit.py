@@ -184,6 +184,10 @@ EXPECTATIONS = {
     # column profile: stack behind Generate; two-level agg (distinct
     # values then per-column), both map-side combined
     "column_profile": ["Generate", "HashAggregate"],
+    # resampling: bucket-last + count windows, the grid Generate, the
+    # grid<->bucket join and the fill window all share the user_id
+    # partitioning — keyed exchanges only, no global sort
+    "resample_ffill": ["Window", "Generate", "hashpartitioning(user_id"],
     # BPE encode: token explode behind Generate; the encoded-vocab
     # join (broadcast at this SF, keyed at scale) feeds one map-side-
     # combined per-doc agg; the merge folds live behind the vocab
