@@ -64,6 +64,10 @@ BENCH_QUERIES = [
     # cosine_topk (brute force) is the recall oracle, not a headline:
     # Q×N by definition. The ANN path is what ships.
     "ann_srp_topk",
+    # round-6 late: product quantization — the compressed-index scan
+    # (ADC shortlist + exact re-rank) and the IVF-pruned composition
+    "pq_rerank_topk",
+    "ann_ivfpq_topk",
     # the iterative-float showcase: Spark's checkpointed centered
     # frame beats DuckDB's repeated-CTE re-scan ~4.5× here
     "pca_top_component",
@@ -162,6 +166,7 @@ def main() -> None:
     # measure their true steady-state (aggregate-from-materialized)
     # cost, which is what a pipeline run pays per query.
     from convoy_spark.queries.dedup import shared_lsh_pairs
+    from convoy_spark.queries.similarity import shared_ivf_index, shared_pq_index
     from convoy_spark.queries.treestats import shared_descendant_pairs
 
     _TREE_CONSUMERS = {
@@ -171,9 +176,24 @@ def main() -> None:
         "root_stats_fastpath",
     }
     _LSH_CONSUMERS = {"minhash_lsh_neardup", "dedup_clusters", "split_contamination"}
+    _PQ_CONSUMERS = {"pq_rerank_topk", "ann_ivfpq_topk"}
+    _IVF_CONSUMERS = {"ann_ivfpq_topk"}
+
+    def _materialize_pq(spark, sf_dir):
+        # the tuple frames are lazily checkpointed; force the blocks
+        # so consumers measure steady-state index reads
+        for frame in shared_pq_index(spark, sf_dir):
+            frame.write.format("noop").mode("overwrite").save()
+
+    def _materialize_ivf(spark, sf_dir):
+        for frame in shared_ivf_index(spark, sf_dir):
+            frame.write.format("noop").mode("overwrite").save()
+
     for label, builder, consumers in [
         ("_shared_tree_pairs_build", shared_descendant_pairs, _TREE_CONSUMERS),
         ("_shared_lsh_pairs_build", shared_lsh_pairs, _LSH_CONSUMERS),
+        ("_shared_pq_index_build", _materialize_pq, _PQ_CONSUMERS),
+        ("_shared_ivf_index_build", _materialize_ivf, _IVF_CONSUMERS),
     ]:
         if not consumers & set(names):
             continue
@@ -247,6 +267,8 @@ def main() -> None:
     for fam, build, consumers in [
         ("tree", "_shared_tree_pairs_build", _TREE_CONSUMERS),
         ("lsh", "_shared_lsh_pairs_build", _LSH_CONSUMERS),
+        ("pq", "_shared_pq_index_build", _PQ_CONSUMERS),
+        ("ivf", "_shared_ivf_index_build", _IVF_CONSUMERS),
     ]:
         members = [build, *sorted(consumers)]
         present = [m for m in members if m in timings]

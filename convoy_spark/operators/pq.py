@@ -1,0 +1,430 @@
+"""Product quantization (PQ) vector index: per-subspace codebook
+training and asymmetric-distance (ADC) top-k search.
+
+PQ (Jégou, Douze & Schmid, "Product Quantization for Nearest Neighbor
+Search", TPAMI 2011) cuts a ``dim``-dimensional vector into ``n_sub``
+contiguous subvectors and vector-quantizes each subspace independently
+with its own ``ks``-centroid codebook, so a corpus vector is stored as
+``n_sub`` small integer codes (here 16 five-bit codes ≈ 10 bytes vs
+256 bytes of float32 — the memory compression that makes billion-scale
+indexes fit in RAM). Search is asymmetric: the UNquantized query precomputes a
+(sub, cell) → squared-distance table against the codebooks, and each
+corpus vector's approximate distance is just ``n_sub`` table lookups
+summed — no float vector is ever touched at scan time.
+
+Spark-first shape (NOT a translation of the usual single-node loop):
+
+- **Training is ONE k-means dataflow for all subspaces at once.** The
+  exploded (vec_id, d, x) frame gains ``sub = d div ds`` /
+  ``dsub = d mod ds`` keys, and every Lloyd step — distance aggregate,
+  argmin assignment, centroid mean — simply carries ``sub`` in its
+  grouping key. M independent quantizers train in the SAME jobs with
+  the same shuffle count as one: assignment is one broadcast join +
+  one keyed aggregate per round, never a per-subspace loop.
+- **Codebooks broadcast, codes shuffle once.** The codebook is
+  n_sub·ks·ds doubles (tiny, always broadcast); the code table is
+  |N|·n_sub small-int rows, the compressed index a 100 TB corpus
+  actually materializes.
+- **ADC is a broadcast-join scan.** The per-query distance table
+  (Q·n_sub·ks rows) broadcasts; approximate distances come from one
+  map-side-combined aggregate over the code table. The scan is linear
+  in |N| — PQ's contract is compression, not pruning; compose with the
+  IVF coarse quantizer (operators/similarity.py::ivf_index) for the
+  pruned IVF-PQ layout — see :func:`ann_ivfpq_topk`.
+- **Ranking is the two-phase top-k** (the bm25_multi_query lesson,
+  round 6): local rank within (query_id, salt) prunes to
+  ≤ salts·k rows per query before the final per-query rank, so no
+  single task ever ranks a whole query's candidate set.
+
+Exactness (what makes the whole iterative index value-hash
+oracle-able, like ann_ivf_topk): every squared-distance sum — the
+Lloyd assignment fan-out, the ADC distance table, and the final
+per-vector fold — runs through the floor-scaled-long trick
+(similarity.SCORE_SCALE: each (x−m)² is one deterministic double op,
+power-of-two scaling and floor are exact, long sums are exact and
+associative); argmins tiebreak on (dist, cell); centroid means are
+decimal-exact sums over exact counts; the re-rank distances are
+decimal-exact. No engine-dependent rounding anywhere, so codes,
+tables, distances and ranks reproduce bit-for-bit across engines and
+partitionings.
+Reference parity: the reference's engine has no vector index at all
+(SURVEY §2 north-star extensions); the training-data role is the
+embedding-side analogue of its dedup/search stages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from convoy_spark.operators.similarity import (
+    DEC,
+    SCORE_SCALE,
+    _infer_dim,
+    exploded_vectors,
+)
+
+PQ_SUB = 16  # subspaces (dim 64 -> 4 dims per subspace)
+PQ_KS = 32  # centroids per subspace codebook
+PQ_ITERS = 2  # Lloyd update rounds (then one final assignment pass)
+PQ_TOPK_SALTS = 32  # phase-1 groups per query in the two-phase top-k
+PQ_RERANK = 10  # ADC shortlist size = PQ_RERANK * k for the re-ranked path
+# Geometry choice, measured at sf0.001 (500 vecs, 64 dims): 8×16
+# codebooks gave 0.80 shortlist-recall@50 of the exact top-5; 16×32
+# gives 0.99 — and 16 five-bit codes (~10 B) still compress float32
+# vectors ~25×. Pure-ADC top-5 recall is ~0.3 either way (quantization
+# error ≈ neighbor-gap on this synthetic corpus), which is WHY the
+# production path is shortlist-then-rerank (ann_pq_rerank_topk), the
+# same sketch-then-verify discipline as the MinHash/SimHash dedup.
+
+
+def _sub_exploded(
+    vectors: DataFrame, ds: int, vec_col: str, id_col: str
+) -> DataFrame:
+    """(vec_id, sub, dsub, x) — the exploded frame keyed by subspace."""
+    return exploded_vectors(vectors, vec_col, id_col).select(
+        "vec_id",
+        F.expr(f"d div {ds}").cast("int").alias("sub"),
+        (F.col("d") % ds).cast("int").alias("dsub"),
+        "x",
+    )
+
+
+def _assign(ex: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, sub, code) — per-subspace nearest-centroid argmin with
+    the deterministic (dist, cell) tiebreak.
+
+    The N·ks distance fan-out is the hot stage of Lloyd's algorithm,
+    so the squared-distance sum runs as floor-scaled LONGs
+    (similarity.SCORE_SCALE — each (x−m)² is one deterministic double
+    op, power-of-two scaling and floor are exact, long sums are exact
+    and associative), not DECIMAL: same bit-for-bit oracle parity,
+    ~10× cheaper per row (the measured decimal-agg tax, see
+    operators/similarity.py SCORE_SCALE note). Argmin compares the raw
+    longs — no division back needed for a comparison."""
+    dist = (
+        ex.join(F.broadcast(cent), ["sub", "dsub"])
+        .groupBy("vec_id", "sub", "cell")
+        .agg(
+            F.sum(
+                F.floor(
+                    ((F.col("x") - F.col("m")) * (F.col("x") - F.col("m")))
+                    * F.lit(SCORE_SCALE)
+                )
+            ).alias("dd")
+        )
+    )
+    return dist.groupBy("vec_id", "sub").agg(
+        F.min(F.struct(F.col("dd"), F.col("cell"))).getField("cell").alias("code")
+    )
+
+
+def _update(codes: DataFrame, ex: DataFrame) -> DataFrame:
+    """(sub, cell, dsub, m) — decimal-exact per-subspace centroid means."""
+    return (
+        codes.withColumnRenamed("code", "cell")
+        .join(ex, ["vec_id", "sub"])
+        .groupBy("sub", "cell", "dsub")
+        .agg(
+            (F.sum(F.col("x").cast(DEC)).cast("double") / F.count("*")).alias("m")
+        )
+    )
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    n_sub: int = PQ_SUB,
+    ks: int = PQ_KS,
+    iters: int = PQ_ITERS,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Train the PQ index: ``iters`` Lloyd rounds per subspace (all
+    subspaces in one keyed dataflow), then one final assignment against
+    the final codebook. Seeds are the first ``ks`` vectors by id — the
+    same deterministic seeding as the IVF coarse quantizer.
+
+    Returns ``(codebook, codes, ex)``:
+
+    - codebook: (sub, cell, dsub, m) — exploded, broadcast-sized;
+    - codes: (vec_id, sub, code) — the compressed corpus;
+    - ex: the (vec_id, sub, dsub, x) exploded frame (checkpointed),
+      for callers that score queries against the same corpus.
+
+    Checkpoint discipline follows operators/similarity._ivf_loop: the
+    loop is a linear fixed-depth plan, so only the final frames are
+    checkpointed (one for the codebook every consumer broadcasts, one
+    for the code table the ADC scan reads).
+    """
+    dim = _infer_dim(corpus, vec_col)
+    ds = dim // n_sub
+    ex = _sub_exploded(corpus, ds, vec_col, id_col).localCheckpoint(eager=False)
+    seeds = (
+        corpus.select(F.col(id_col).alias("vec_id"))
+        .orderBy("vec_id")
+        .limit(ks)
+        .select(
+            "vec_id",
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("cell"),
+        )
+    )
+    cent = seeds.join(ex, "vec_id").select(
+        "sub", "cell", "dsub", F.col("x").alias("m")
+    )
+    for _ in range(iters):
+        cent = _update(_assign(ex, cent), ex)
+    cent = cent.localCheckpoint(eager=False)
+    codes = _assign(ex, cent).localCheckpoint(eager=False)
+    return cent, codes, ex
+
+
+def adc_table(
+    queries_ex: DataFrame, codebook: DataFrame, query_col: str = "query_id"
+) -> DataFrame:
+    """(query_id, sub, cell, dd) — the per-query asymmetric distance
+    table: exact squared distance from each query subvector to every
+    codebook centroid. Q·n_sub·ks rows — broadcast-sized for any sane
+    query batch."""
+    return (
+        queries_ex.withColumnRenamed("vec_id", query_col)
+        .join(F.broadcast(codebook), ["sub", "dsub"])
+        .groupBy(query_col, "sub", "cell")
+        .agg(
+            (
+                F.sum(
+                    F.floor(
+                        ((F.col("x") - F.col("m")) * (F.col("x") - F.col("m")))
+                        * F.lit(SCORE_SCALE)
+                    )
+                ).cast("double")
+                / F.lit(SCORE_SCALE)
+            ).alias("dd")
+        )
+    )
+
+
+def _topk_by_adist(scored: DataFrame, k: int) -> DataFrame:
+    """Two-phase per-query top-k by (adist asc, corpus_id asc)."""
+    order = (F.col("adist").asc(), F.col("corpus_id").asc())
+    w_local = Window.partitionBy("query_id", "_salt").orderBy(*order)
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        scored.withColumn(
+            "_salt", F.pmod(F.hash("corpus_id"), F.lit(PQ_TOPK_SALTS))
+        )
+        .withColumn("_lrk", F.row_number().over(w_local))
+        .filter(F.col("_lrk") <= k)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "corpus_id", "adist", F.col("rank").cast("int").alias("rank")
+        )
+    )
+
+
+def ann_pq_adc_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_sub: int = PQ_SUB,
+    ks: int = PQ_KS,
+    iters: int = PQ_ITERS,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    index: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """Flat PQ-ADC top-k: train codebooks on the corpus, encode it,
+    and rank every corpus vector per query by the table-lookup
+    approximate distance. Returns (query_id, corpus_id, adist, rank).
+
+    The scan is linear over the CODE table (|N|·n_sub small-int rows —
+    the compressed index), never the float vectors: the distance table
+    broadcasts and the per-vector distance is one map-side-combined
+    long aggregate. Queries are assumed drawn from the corpus id space;
+    self-pairs are excluded.
+    """
+    codebook, codes, _ = index or pq_codebooks(
+        corpus, n_sub, ks, iters, vec_col, id_col
+    )
+    dim = _infer_dim(corpus, vec_col)
+    q_ex = _sub_exploded(queries, dim // n_sub, vec_col, id_col)
+    dtab = adc_table(q_ex, codebook)
+    scored = (
+        codes.join(
+            F.broadcast(dtab),
+            (codes["sub"] == dtab["sub"]) & (codes["code"] == dtab["cell"]),
+        )
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", F.col("vec_id").alias("corpus_id"))
+        .agg(
+            (
+                F.sum(F.floor(F.col("dd") * F.lit(SCORE_SCALE))).cast("double")
+                / F.lit(SCORE_SCALE)
+            ).alias("adist")
+        )
+    )
+    return _topk_by_adist(scored, k)
+
+
+def ann_ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    n_sub: int = PQ_SUB,
+    ks: int = PQ_KS,
+    iters: int = PQ_ITERS,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    pq_index: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+    coarse_index: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """IVF-PQ: the coarse quantizer prunes the scan to the ``n_probe``
+    nearest cells per query, and PQ-ADC ranks only those candidates —
+    the canonical billion-scale index layout (FAISS IVFPQ; residual
+    encoding omitted: codes quantize raw vectors, which keeps every
+    stage decimal-exact and oracle-able while preserving the plan
+    shape). Candidate volume is n_probe/n_cells of the corpus; the
+    ADC stage never touches float vectors — it joins the probed cells'
+    code rows against the broadcast distance table.
+
+    Both index builds share ONE exploded scan discipline: the IVF loop
+    and the PQ loop each checkpoint their final frames only, and the
+    candidate pruning is an equi-join on cell — no Q×N anywhere.
+    """
+    from convoy_spark.operators.similarity import ivf_index
+
+    centroids, assignment = coarse_index or ivf_index(
+        corpus, n_cells=n_cells, vec_col=vec_col, id_col=id_col
+    )
+    codebook, codes, _ = pq_index or pq_codebooks(
+        corpus, n_sub, ks, iters, vec_col, id_col
+    )
+    dim = _infer_dim(corpus, vec_col)
+    q_ex = _sub_exploded(queries, dim // n_sub, vec_col, id_col)
+    dtab = adc_table(q_ex, codebook)
+    # Probe ranking: exact decimal distance from each query to each
+    # coarse centroid (mirrors ann_ivf_topk's probe stage — same
+    # deterministic (d, cell) tiebreak).
+    from convoy_spark.operators.similarity import _sq_dist, with_norm  # noqa: F401
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("d").asc(), F.col("cell").asc()
+    )
+    probes = (
+        q.join(F.broadcast(centroids))
+        .select(
+            "query_id", "cell", _sq_dist(F.col("qv"), F.col("centroid")).alias("d")
+        )
+        .withColumn("pr", F.row_number().over(probe_w))
+        .filter(F.col("pr") <= n_probe)
+        .select("query_id", "cell")
+    )
+    cand_codes = (
+        probes.join(assignment, "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id")
+        .join(codes, "vec_id")
+    )
+    dt = dtab.select(
+        F.col("query_id").alias("_dq"),
+        F.col("sub").alias("_dsub"),
+        F.col("cell").alias("_dcell"),
+        "dd",
+    )
+    scored = (
+        cand_codes.join(
+            F.broadcast(dt),
+            (cand_codes["sub"] == dt["_dsub"])
+            & (cand_codes["code"] == dt["_dcell"])
+            & (cand_codes["query_id"] == dt["_dq"]),
+        )
+        .groupBy("query_id", F.col("vec_id").alias("corpus_id"))
+        .agg(
+            (
+                F.sum(F.floor(F.col("dd") * F.lit(SCORE_SCALE))).cast("double")
+                / F.lit(SCORE_SCALE)
+            ).alias("adist")
+        )
+    )
+    return _topk_by_adist(scored, k)
+
+
+def ann_pq_rerank_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    rerank: int = PQ_RERANK,
+    n_sub: int = PQ_SUB,
+    ks: int = PQ_KS,
+    iters: int = PQ_ITERS,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    index: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """The production PQ pipeline: ADC over the compressed code table
+    shortlists ``rerank · k`` candidates per query, then ONLY those
+    candidates' float vectors are fetched for an exact L2 re-rank —
+    sketch-then-verify, same discipline as the MinHash dedup. Returns
+    (query_id, corpus_id, dist, rank) with exact distances.
+
+    Scale: the scan stage reads codes only (the 25×-compressed index);
+    the verify stage touches rerank·k·|Q| float vectors — candidate-
+    proportional, never corpus-proportional. Measured recall@5 vs
+    exact L2 at sf0.001: 0.99 (pure ADC: ~0.3 — the shortlist is what
+    makes PQ usable, not the raw code ranks). Exactness: the re-rank
+    distance is the decimal-exact squared L2 over the exploded frame,
+    so the final ranks carry a full value-hash oracle."""
+    codebook, codes, ex = index or pq_codebooks(
+        corpus, n_sub, ks, iters, vec_col, id_col
+    )
+    dim = _infer_dim(corpus, vec_col)
+    q_ex = _sub_exploded(queries, dim // n_sub, vec_col, id_col)
+    dtab = adc_table(q_ex, codebook)
+    scored = (
+        codes.join(
+            F.broadcast(dtab),
+            (codes["sub"] == dtab["sub"]) & (codes["code"] == dtab["cell"]),
+        )
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", F.col("vec_id").alias("corpus_id"))
+        .agg(
+            (
+                F.sum(F.floor(F.col("dd") * F.lit(SCORE_SCALE))).cast("double")
+                / F.lit(SCORE_SCALE)
+            ).alias("adist")
+        )
+    )
+    short = _topk_by_adist(scored, rerank * k).select("query_id", "corpus_id")
+    ea = ex.select(
+        F.col("vec_id").alias("query_id"), "sub", "dsub", F.col("x").alias("xa")
+    )
+    eb = ex.select(
+        F.col("vec_id").alias("corpus_id"), "sub", "dsub", F.col("x").alias("xb")
+    )
+    exact = (
+        short.join(ea, "query_id")
+        .join(eb, ["corpus_id", "sub", "dsub"])
+        .groupBy("query_id", "corpus_id")
+        .agg(
+            F.sum(
+                ((F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))).cast(
+                    DEC
+                )
+            )
+            .cast("double")
+            .alias("dist")
+        )
+    )
+    order = (F.col("dist").asc(), F.col("corpus_id").asc())
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "dist", F.col("rank").cast("int"))
+    )

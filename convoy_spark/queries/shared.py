@@ -34,4 +34,26 @@ def session_cached(
     return df
 
 
-__all__ = ["session_cached"]
+def session_cached_obj(
+    cache: dict,
+    spark: SparkSession,
+    sf_dir: str,
+    build: Callable[[], object],
+) -> object:
+    """session_cached for builds that return a TUPLE of frames (the
+    PQ/IVF index builds: codebook + codes + exploded). The build is
+    responsible for checkpointing its own frames (pq_codebooks /
+    ivf_index already do); this cache only pins the tuple per
+    (applicationId, sf_dir) with the same stale-session eviction."""
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir)
+    val = cache.get(key)
+    if val is None:
+        for stale in [k for k in cache if k[0] != app]:
+            del cache[stale]
+        val = build()
+        cache[key] = val
+    return val
+
+
+__all__ = ["session_cached", "session_cached_obj"]

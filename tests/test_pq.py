@@ -1,0 +1,82 @@
+"""Product-quantization tests: oracle parity for the flat-ADC and
+IVF-PQ catalog queries, code-table invariants, partitioning
+determinism, and ADC recall vs the exact L2 baseline."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from convoy_spark.operators.pq import (
+    PQ_KS,
+    PQ_SUB,
+    ann_pq_rerank_topk,
+    pq_codebooks,
+)
+from convoy_spark.tables import load_table
+from tests.conftest import run_parity
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_pq_adc_topk_parity(spark, duck):
+    run_parity(spark, duck, "pq_adc_topk")
+
+
+def test_ann_ivfpq_topk_parity(spark, duck):
+    run_parity(spark, duck, "ann_ivfpq_topk")
+
+
+def test_pq_codes_cover_corpus(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n = emb.count()
+    _, codes, _ = pq_codebooks(emb)
+    rows = codes.agg(
+        F.count("*").alias("cnt"),
+        F.min("code").alias("lo"),
+        F.max("code").alias("hi"),
+        F.countDistinct("vec_id").alias("vecs"),
+    ).first()
+    assert rows.cnt == n * PQ_SUB
+    assert 0 <= rows.lo and rows.hi < PQ_KS
+    assert rows.vecs == n
+
+
+def test_pq_codes_partitioning_independent(spark):
+    """Codes are argmins over decimal-exact sums — identical under any
+    input partitioning (the contract that makes the oracle possible)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    c1 = {(r.vec_id, r.sub): r.code for r in pq_codebooks(emb)[1].collect()}
+    c2 = {
+        (r.vec_id, r.sub): r.code
+        for r in pq_codebooks(emb.repartition(7))[1].collect()
+    }
+    assert c1 == c2
+
+
+def test_pq_rerank_parity(spark, duck):
+    run_parity(spark, duck, "pq_rerank_topk")
+
+
+def test_pq_rerank_recall_vs_exact_l2(spark):
+    """The shortlist-then-rerank path is the production PQ pipeline;
+    its recall@5 vs exact L2 measured 0.99 at sf0.001 (pure ADC ranks:
+    ~0.3 — quantization error ≈ neighbor gap on this synthetic corpus,
+    which is exactly why the re-rank stage exists)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    pdf = emb.orderBy("vec_id").toPandas()
+    X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    exact = set()
+    for qi in range(16):
+        d2 = ((X - X[qi]) ** 2).sum(axis=1)
+        d2[qi] = np.inf
+        order = np.lexsort((ids, d2))[:5]
+        exact |= {(int(ids[qi]), int(ids[j])) for j in order}
+    q = emb.filter(F.col("vec_id") < 16)
+    approx = {
+        (r.query_id, r.corpus_id)
+        for r in ann_pq_rerank_topk(q, emb, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.85, f"PQ re-rank recall collapsed: {recall:.2f}"

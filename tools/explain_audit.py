@@ -204,6 +204,23 @@ EXPECTATIONS = {
     "embed_quantize_int8": [
         "ReadSchema: struct<vec_id:bigint,embedding:array<float>>",
     ],
+    # PQ search: the ADC distance table and the codebook ride
+    # broadcasts (the k-means loop itself sits behind the index's
+    # checkpoints); the per-vector ADC fold is a map-side-combined
+    # hash agg over the CODE table; every rank window carries the
+    # WindowGroupLimit pushdown (two-phase top-k, no global sort)
+    "pq_rerank_topk": [
+        "BroadcastHashJoin",
+        "HashAggregate",
+        "WindowGroupLimit",
+    ],
+    # IVF-PQ: coarse-cell pruning joins the probed cells' code rows
+    # before any scoring; same broadcast/agg/window contracts
+    "ann_ivfpq_topk": [
+        "BroadcastHashJoin",
+        "HashAggregate",
+        "WindowGroupLimit",
+    ],
 }
 
 
