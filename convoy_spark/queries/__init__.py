@@ -263,6 +263,40 @@ from convoy_spark.queries import (  # noqa: F401,E402
 #                              the shared quality_score_sql fragment —
 #                              shared-by-construction, cannot drift;
 #                              four rounds driver-green).
+# Round-6 retrieval/vector-index additions (standing rule):
+#   IN : pq_rerank_topk       (product quantization, the production
+#                              path: 16×32 codebooks trained as one
+#                              keyed Lloyd dataflow, ADC shortlist
+#                              over the compressed code table, exact
+#                              decimal L2 re-rank — sketch-then-
+#                              verify; recall@5 0.99 pytest-asserted),
+#        ann_ivfpq_topk       (the canonical billion-scale IVF-PQ
+#                              composition: coarse-cell prune + ADC),
+#        hybrid_rrf_topk      (reciprocal-rank fusion of the BM25
+#                              query-table leg and the exact-cosine
+#                              leg — the RAG lexical+semantic stack,
+#                              fused ranking fully hash-checked)
+#   OUT: weighted_sample      (the DLT priority draw's machinery —
+#                              one map + TakeOrderedAndProject — is
+#                              in-window via dsir_select's top-n
+#                              selection; the priority construction
+#                              stays pytest + emulator green),
+#        curriculum_order     (the global-rank block prefix scan is
+#                              in-window via pack_sequences — same
+#                              two-phase _blk window + broadcast
+#                              offsets, plan-asserted; interleave
+#                              arithmetic stays emulator green),
+#        cohort_retention     (keyed count-distinct rollup + broadcast
+#                              cohort sizes — the plan shapes are
+#                              in-window via flagship_conversation_
+#                              rollup and broadcast-dim machinery;
+#                              one round driver-green, stays
+#                              emulator + invariant-pytest green).
+# kmv_distinct_rollup and pq_adc_topk deliberately register
+# PAST-window: the KMV sketch's exact-twin + tolerance-boolean
+# construction is the in-window approx_percentile_rollup pattern (and
+# unlike the HLL entry it is fully hash-checked in the emulator);
+# pq_adc_topk is the raw-rank subset of in-window pq_rerank_topk.
 _CHECK_WINDOW = [
     # §2.3/§2.8 aggregates + SQL front door (two_pass_mad is past the
     # window: A6/P13 two-pass MAD is proven by tree_metric_mad)
@@ -331,13 +365,14 @@ _CHECK_WINDOW = [
     # weighted draw + curriculum interleave
     "pack_sequences",
     "mixture_sample",
-    "weighted_sample",
-    "curriculum_order",
     # physical layout (SURVEY §4)
     "zorder_layout",
-    # product analytics + entity resolution
-    "cohort_retention",
+    # entity resolution
     "fuzzy_name_pairs",
+    # product quantization + hybrid retrieval (round-6 late)
+    "pq_rerank_topk",
+    "ann_ivfpq_topk",
+    "hybrid_rrf_topk",
     # temporal-warehouse family (round-6 additions)
     "scd2_snapshot",
     "interval_merge",

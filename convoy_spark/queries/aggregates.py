@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from convoy_spark.functions.hashing import sql_hash60
 from convoy_spark.functions.numeric import davg, dsum, sql_davg, sql_dsum
 from convoy_spark.queries.catalog import query
 from convoy_spark.tables import load_table
@@ -354,4 +355,113 @@ def pivot_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col(c), F.lit(0)).alias(c)
             for c in ["click", "view", "purchase", "signup", "error"]
         ],
+    )
+
+
+KMV_K = 64  # sketch size: rel. std. error ~ 1/sqrt(k-2) ≈ 13%
+_KMV_RANGE = float(1 << 60)  # hash60 value space
+
+
+@query(
+    "kmv_distinct_rollup",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             {sql_hash60("concat('u:', user_id)")} AS hv
+      FROM events
+    ),
+    rk AS (
+      SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv) AS r,
+             COUNT(*) OVER (PARTITION BY event_type) AS nd
+      FROM h
+    )
+    SELECT event_type,
+           CAST(nd AS BIGINT) AS exact_users,
+           CAST(hv AS BIGINT) AS kth_hash,
+           CASE WHEN nd < {KMV_K} THEN CAST(nd AS DOUBLE)
+                ELSE CAST({KMV_K} - 1 AS DOUBLE) * {_KMV_RANGE}
+                     / CAST(hv AS DOUBLE) END
+             AS kmv_estimate,
+           (abs(CASE WHEN nd < {KMV_K} THEN CAST(nd AS DOUBLE)
+                     ELSE CAST({KMV_K} - 1 AS DOUBLE) * {_KMV_RANGE}
+                          / CAST(hv AS DOUBLE) END
+                - CAST(nd AS DOUBLE)) <= 0.5 * CAST(nd AS DOUBLE))
+             AS within_tol
+    FROM rk WHERE r = LEAST({KMV_K}, nd)
+    """,
+)
+def kmv_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct sketch (Bar-Yossef et al. 2002; the
+    KMV/theta-sketch family): per group keep the {KMV_K} smallest
+    values of a uniform hash; the k-th smallest h_k estimates
+    distinct ≈ (k−1)·R/h_k, and a group with fewer than k distinct
+    values saturates the sketch — it holds ALL its hashes and the
+    estimate is the exact count (the algorithm's own small-set
+    contract, not a special case bolted on). Unlike HLL (whose
+    registers are engine-specific — `approx_distinct_raw` is the
+    catalog's one rows-only entry), KMV over the shared md5-derived
+    hash60 is engine-deterministic END TO END, so the sketch value,
+    the estimate AND the tolerance flag all value-hash-check against
+    the oracle — a fully auditable approximate-distinct.
+    ``exact_users`` is the distinct-hash count on both engines (60-bit
+    hash: collision-free at any realistic group cardinality).
+
+    Scale shape: the min-k set is associatively mergeable (union →
+    keep k smallest; pytest-asserted), which the plan expresses as a
+    TWO-PHASE rank — a local top-k within (group, hash-salt) prunes
+    each partition's contribution to ≤ k rows before the final
+    per-group rank touches ≤ salts·k rows (the bm25/PQ top-k
+    discipline; never a full distinct-value sort per group). At
+    100 TB the distinct shuffle is the floor (as with any
+    exact-distinct pass); the production win is the downstream one —
+    k longs per group flow into any further rollup merge instead of
+    the full value set. Estimate quality (±3/√k) is pytest-asserted;
+    the exact count rides along for the value-parity check, same
+    pattern as approx_distinct_rollup."""
+    from pyspark.sql import Window
+
+    from convoy_spark.functions.hashing import hash60
+
+    events = load_table(spark, sf_dir, "events")
+    h = events.select(
+        "event_type",
+        hash60(F.concat(F.lit("u:"), F.col("user_id"))).alias("hv"),
+    ).distinct()
+    w_local = Window.partitionBy("event_type", "_salt").orderBy("hv")
+    w = Window.partitionBy("event_type").orderBy("hv")
+    w_all = Window.partitionBy("event_type")
+    kth = (
+        h.withColumn("_salt", F.pmod(F.col("hv"), F.lit(64)))
+        .withColumn("_lrk", F.row_number().over(w_local))
+        .filter(F.col("_lrk") <= KMV_K)
+        .withColumn("_rk", F.row_number().over(w))
+        .withColumn("nd", F.count("*").over(w_all))
+        .filter(F.col("_rk") == F.least(F.lit(KMV_K), F.col("nd")))
+        .select("event_type", F.col("hv").alias("kth_hash"), "nd")
+    )
+    # nd (count of two-phase survivors) == the distinct-hash count
+    # whenever it is < KMV_K (the local prune kept everything); when
+    # saturated it only gates the CASE, where any value >= KMV_K is
+    # equivalent — so the branch below needs the TRUE distinct count
+    # only for exact_users, which the separate exact agg provides.
+    nd_exact = h.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("exact_users")
+    )
+    est = F.when(
+        F.col("exact_users") < KMV_K, F.col("exact_users").cast("double")
+    ).otherwise(
+        F.lit(float(KMV_K - 1))
+        * F.lit(_KMV_RANGE)
+        / F.col("kth_hash").cast("double")
+    )
+    return kth.join(nd_exact, "event_type").select(
+        "event_type",
+        "exact_users",
+        "kth_hash",
+        est.alias("kmv_estimate"),
+        (
+            F.abs(est - F.col("exact_users").cast("double"))
+            <= 0.5 * F.col("exact_users").cast("double")
+        ).alias("within_tol"),
     )

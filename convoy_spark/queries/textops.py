@@ -502,10 +502,12 @@ _BM25_Q_VALUES = ", ".join(
 )
 
 
-@query(
-    "bm25_multi_query",
-    oracle=f"""
-    WITH q AS (
+# The multi-query BM25 CTE chain (query VALUES -> per-(query, doc)
+# scores), shared verbatim by the bm25_multi_query oracle and the
+# hybrid-retrieval RRF oracle so the scoring SQL cannot drift between
+# them (the round-5 ADVICE lesson on duplicated quality-score SQL).
+_BM25_CHAIN_SQL = f"""
+    q AS (
       SELECT * FROM (VALUES {_BM25_Q_VALUES}) AS v(query_id, token)
     ),
     tk AS (
@@ -544,6 +546,13 @@ _BM25_Q_VALUES = ", ".join(
       FROM scored JOIN q USING (token)
       GROUP BY q.query_id, scored.doc_id
     )
+"""
+
+
+@query(
+    "bm25_multi_query",
+    oracle=f"""
+    WITH {_BM25_CHAIN_SQL}
     SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score,
            n_hit_terms
     FROM per_q
@@ -1079,3 +1088,136 @@ def heavy_hitters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketched answer EXACTLY the naive-GROUP-BY answer, so the oracle
     is the naive form."""
     return heavy_hitters(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of the BM25 text leg and the
+# exact-cosine vector leg — the RAG-stack standard for combining
+# lexical and semantic retrieval (Cormack, Clarke & Büttcher, SIGIR
+# 2009). doc_id and vec_id share an id space in the testdata, which is
+# exactly the contract a production corpus satisfies (one id per
+# chunk, text + embedding columns side by side).
+
+HYBRID_TOPK = 10
+RRF_K0 = 60.0  # the canonical RRF damping constant
+_N_HYBRID_QUERIES = 1 + max(q for q, _ in BM25_MULTI_QUERIES)
+
+
+@query(
+    "hybrid_rrf_topk",
+    oracle=f"""
+    WITH {_BM25_CHAIN_SQL},
+    tq AS (
+      SELECT query_id, doc_id, r FROM (
+        SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+               row_number() OVER (
+                 PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+               ) AS r
+        FROM per_q
+      ) WHERE r <= {BM25_MULTI_TOPK}
+    ),
+    ev AS (
+      SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+             generate_subscripts(embedding, 1) - 1 AS d
+      FROM embeddings
+    ),
+    nrms AS (
+      SELECT vec_id,
+             sqrt(CAST(SUM(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+      FROM ev GROUP BY vec_id
+    ),
+    vdots AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
+             CAST(SUM(CAST(a.x * b.x AS DECIMAL(28,12))) AS DOUBLE) AS dp
+      FROM ev a
+      JOIN ev b ON a.d = b.d AND a.vec_id <> b.vec_id
+      WHERE a.vec_id < {_N_HYBRID_QUERIES}
+      GROUP BY a.vec_id, b.vec_id
+    ),
+    vq AS (
+      SELECT query_id, doc_id, r FROM (
+        SELECT d.query_id, d.doc_id,
+               row_number() OVER (
+                 PARTITION BY d.query_id
+                 ORDER BY d.dp / (qn.nrm * cn.nrm) DESC, d.doc_id ASC
+               ) AS r
+        FROM vdots d
+        JOIN nrms qn ON qn.vec_id = d.query_id
+        JOIN nrms cn ON cn.vec_id = d.doc_id
+      ) WHERE r <= {BM25_MULTI_TOPK}
+    ),
+    fused AS (
+      SELECT COALESCE(t.query_id, v.query_id) AS query_id,
+             COALESCE(t.doc_id, v.doc_id) AS doc_id,
+             COALESCE(1.0 / ({RRF_K0} + CAST(t.r AS DOUBLE)), 0.0)
+               + COALESCE(1.0 / ({RRF_K0} + CAST(v.r AS DOUBLE)), 0.0)
+               AS rrf_score,
+             CAST(COALESCE(t.r, 0) AS BIGINT) AS bm25_rank,
+             CAST(COALESCE(v.r, 0) AS BIGINT) AS cos_rank
+      FROM tq t
+      FULL OUTER JOIN vq v
+        ON t.query_id = v.query_id AND t.doc_id = v.doc_id
+    )
+    SELECT query_id, doc_id, rrf_score, bm25_rank, cos_rank, rank FROM (
+      SELECT query_id, doc_id, rrf_score, bm25_rank, cos_rank,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY rrf_score DESC, doc_id ASC
+             ) AS INT) AS rank
+      FROM fused
+    ) WHERE rank <= {HYBRID_TOPK}
+    """,
+)
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+semantic retrieval via reciprocal-rank fusion:
+    the BM25 query-table leg and the exact-cosine vector leg each
+    produce a per-query top-{BM25_MULTI_TOPK} ranking, fused as
+    RRF = Σ 1/({RRF_K0:.0f} + rank) over a full outer join on
+    (query_id, doc_id), re-ranked to the final top-{HYBRID_TOPK}.
+
+    Exactness: both legs' ranks are already engine-deterministic
+    (decimal-exact BM25 sums and cosine dots with doc_id tiebreaks);
+    the fused score is two IEEE divisions summed in a fixed order —
+    bit-identical both engines, so the FUSED ranking hash-checks.
+    Scale: each leg keeps its own 100 TB shape (one corpus pass for
+    all probes / broadcast query set); fusion touches only
+    2·{BM25_MULTI_TOPK}·|Q| rank rows — a full outer join on rank
+    survivors, never corpus-sized. Absent legs contribute rank 0
+    (COALESCE) so the output carries provenance: which leg(s)
+    surfaced each hit."""
+    from pyspark.sql import Window
+
+    from convoy_spark.operators.similarity import cosine_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = spark.createDataFrame(BM25_MULTI_QUERIES, "query_id long, term string")
+    t = bm25_search_multi(docs, qdf, top_k=BM25_MULTI_TOPK)
+    wt = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    tq = t.select("query_id", "doc_id", F.row_number().over(wt).alias("tr"))
+    vq = cosine_topk(
+        emb.filter(F.col("vec_id") < _N_HYBRID_QUERIES), emb, k=BM25_MULTI_TOPK
+    ).select(
+        "query_id", F.col("corpus_id").alias("doc_id"), F.col("rank").alias("vr")
+    )
+    j = tq.join(vq, ["query_id", "doc_id"], "full_outer")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(RRF_K0) + F.col("tr").cast("double")), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(RRF_K0) + F.col("vr").cast("double")), F.lit(0.0)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        j.select(
+            "query_id",
+            "doc_id",
+            rrf.alias("rrf_score"),
+            F.coalesce(F.col("tr"), F.lit(0)).cast("long").alias("bm25_rank"),
+            F.coalesce(F.col("vr"), F.lit(0)).cast("long").alias("cos_rank"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= HYBRID_TOPK)
+    )

@@ -83,3 +83,42 @@ def test_approx_percentile_within_tolerance(spark):
         tol = 0.02 * (vmax - vmin) + 1e-9
         assert abs(a50 - e50) <= tol, (k, a50, e50)
         assert abs(a99 - e99) <= tol, (k, a99, e99)
+
+
+def test_kmv_parity(spark, duck):
+    from tests.conftest import run_parity
+
+    run_parity(spark, duck, "kmv_distinct_rollup")
+
+
+def test_kmv_estimate_quality_and_merge(spark):
+    """KMV contract on a synthetic id stream: (a) the estimate from
+    the k-th smallest hash tracks the true distinct count within the
+    ~3/sqrt(k) bound; (b) the sketch is MERGEABLE — the k smallest of
+    a union equal the k smallest over the merged min-k sets of the
+    two halves (the property that makes it a one-pass distributed
+    sketch)."""
+    import pyspark.sql.functions as F
+
+    from convoy_spark.functions.hashing import hash60
+    from convoy_spark.queries.aggregates import KMV_K
+
+    n = 5000
+    ids = spark.range(n).select(
+        hash60(F.concat(F.lit("u:"), F.col("id"))).alias("hv")
+    )
+    ks = [r.hv for r in ids.orderBy("hv").limit(KMV_K).collect()]
+    est = (KMV_K - 1) * float(1 << 60) / ks[-1]
+    assert abs(est - n) <= 3.0 / (KMV_K ** 0.5) * n, est
+
+    # mergeability: min-k(all) == min-k(min-k(evens) ∪ min-k(odds))
+    halves = []
+    for par in (0, 1):
+        h = (
+            spark.range(n)
+            .filter(F.col("id") % 2 == par)
+            .select(hash60(F.concat(F.lit("u:"), F.col("id"))).alias("hv"))
+        )
+        halves.extend(r.hv for r in h.orderBy("hv").limit(KMV_K).collect())
+    merged = sorted(halves)[:KMV_K]
+    assert merged == ks

@@ -440,3 +440,37 @@ def test_bpe_encode_docs_matches_python_reference(spark):
     # symbols never exceed chars, never fall below token count
     for n_tok, n_sym, n_chr in got.values():
         assert n_tok <= n_sym <= n_chr
+
+
+def test_hybrid_rrf_parity(spark, duck):
+    from tests.conftest import run_parity
+
+    run_parity(spark, duck, "hybrid_rrf_topk")
+
+
+def test_hybrid_rrf_fusion_invariants(spark):
+    """Every fused hit carries provenance from at least one leg, the
+    RRF score equals the recomputed 1/(60+r) sum of its leg ranks,
+    and a doc ranked by BOTH legs outscores the same ranks split
+    across docs (the fusion property that makes RRF work)."""
+    from convoy_spark.queries import QUERIES
+
+    rows = QUERIES["hybrid_rrf_topk"](spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r.bm25_rank > 0 or r.cos_rank > 0
+        want = (1.0 / (60.0 + r.bm25_rank) if r.bm25_rank else 0.0) + (
+            1.0 / (60.0 + r.cos_rank) if r.cos_rank else 0.0
+        )
+        assert r.rrf_score == want, (r, want)
+    # per query, ranks are 1..n with strictly non-increasing scores
+    from collections import defaultdict
+
+    by_q = defaultdict(list)
+    for r in rows:
+        by_q[r.query_id].append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        scores = [r.rrf_score for r in rs]
+        assert all(a >= b for a, b in zip(scores, scores[1:]))

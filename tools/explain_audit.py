@@ -221,6 +221,15 @@ EXPECTATIONS = {
         "HashAggregate",
         "WindowGroupLimit",
     ],
+    # hybrid retrieval: both legs keep their own shapes (BM25 chain's
+    # broadcast vocabulary + two-phase windows; cosine's broadcast
+    # query set); fusion is ONE join over rank survivors — a full
+    # outer that never touches corpus-sized frames
+    "hybrid_rrf_topk": ["FullOuter", "WindowGroupLimit", "BroadcastHashJoin"],
+    # KMV distinct sketch: the min-k is the two-phase rank (local
+    # top-k within (group, salt) before the final per-group rank —
+    # WindowGroupLimit on both), never a full per-group value sort
+    "kmv_distinct_rollup": ["WindowGroupLimit", "HashAggregate"],
 }
 
 
