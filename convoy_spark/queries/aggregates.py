@@ -424,10 +424,18 @@ def kmv_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from convoy_spark.functions.hashing import hash60
 
     events = load_table(spark, sf_dir, "events")
-    h = events.select(
-        "event_type",
-        hash60(F.concat(F.lit("u:"), F.col("user_id"))).alias("hv"),
-    ).distinct()
+    # ONE distinct-hash frame feeds both the min-k rank and the exact
+    # count (lazy checkpoint: without it Catalyst re-derives the
+    # events distinct per consumer — the shared-frame lesson of
+    # operators/similarity.py)
+    h = (
+        events.select(
+            "event_type",
+            hash60(F.concat(F.lit("u:"), F.col("user_id"))).alias("hv"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     w_local = Window.partitionBy("event_type", "_salt").orderBy("hv")
     w = Window.partitionBy("event_type").orderBy("hv")
     w_all = Window.partitionBy("event_type")

@@ -1121,14 +1121,21 @@ _N_HYBRID_QUERIES = 1 + max(q for q, _ in BM25_MULTI_QUERIES)
              generate_subscripts(embedding, 1) - 1 AS d
       FROM embeddings
     ),
+    -- exact scaled-long dots/norms (the ann_srp_topk scoring chain:
+    -- float32 products are exact in double, power-of-two scaling and
+    -- floor are exact, long sums are exact and associative) so the
+    -- Spark leg runs in whole-stage codegen instead of interpreted
+    -- per-row array lambdas — measured 7x on this leg at sf1.0
     nrms AS (
       SELECT vec_id,
-             sqrt(CAST(SUM(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+             sqrt(CAST(SUM(CAST(FLOOR((x * x) * 1099511627776) AS BIGINT))
+                       AS DOUBLE) / 1099511627776) AS nrm
       FROM ev GROUP BY vec_id
     ),
     vdots AS (
       SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
-             CAST(SUM(CAST(a.x * b.x AS DECIMAL(28,12))) AS DOUBLE) AS dp
+             CAST(SUM(CAST(FLOOR((a.x * b.x) * 1099511627776) AS BIGINT))
+                  AS DOUBLE) / 1099511627776 AS dp
       FROM ev a
       JOIN ev b ON a.d = b.d AND a.vec_id <> b.vec_id
       WHERE a.vec_id < {_N_HYBRID_QUERIES}
@@ -1186,8 +1193,6 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     surfaced each hit."""
     from pyspark.sql import Window
 
-    from convoy_spark.operators.similarity import cosine_topk
-
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
     qdf = spark.createDataFrame(BM25_MULTI_QUERIES, "query_id long, term string")
@@ -1196,10 +1201,46 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("score").desc(), F.col("doc_id").asc()
     )
     tq = t.select("query_id", "doc_id", F.row_number().over(wt).alias("tr"))
-    vq = cosine_topk(
-        emb.filter(F.col("vec_id") < _N_HYBRID_QUERIES), emb, k=BM25_MULTI_TOPK
-    ).select(
-        "query_id", F.col("corpus_id").alias("doc_id"), F.col("rank").alias("vr")
+    # Vector leg in the exploded scaled-long codegen shape (the
+    # ann_lsh_topk scoring chain): the per-row zip_with/aggregate dot
+    # evaluates INTERPRETED (~85 µs per 64-dim pair — 7 s of the
+    # sf1.0 leg); the explode trades one |Q|·N·dim broadcast join for
+    # whole-stage codegen with map-side combine.
+    from convoy_spark.operators.similarity import (
+        SCORE_SCALE,
+        exploded_vectors,
+    )
+
+    ex = exploded_vectors(emb).localCheckpoint(eager=False)
+    scaled_sum = lambda c: (  # noqa: E731
+        F.sum(F.floor(c * F.lit(SCORE_SCALE))).cast("double")
+        / F.lit(SCORE_SCALE)
+    )
+    nrm = ex.groupBy("vec_id").agg(
+        F.sqrt(scaled_sum(F.col("x") * F.col("x"))).alias("nrm")
+    )
+    ea = ex.filter(F.col("vec_id") < _N_HYBRID_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "d", F.col("x").alias("xa")
+    )
+    eb = ex.select(F.col("vec_id").alias("doc_id"), "d", F.col("x").alias("xb"))
+    vdots = (
+        eb.join(F.broadcast(ea), "d")
+        .filter(F.col("query_id") != F.col("doc_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(scaled_sum(F.col("xa") * F.col("xb")).alias("dp"))
+    )
+    qn = nrm.select(F.col("vec_id").alias("query_id"), F.col("nrm").alias("_qn"))
+    cn = nrm.select(F.col("vec_id").alias("doc_id"), F.col("nrm").alias("_cn"))
+    wv = Window.partitionBy("query_id").orderBy(
+        (F.col("dp") / (F.col("_qn") * F.col("_cn"))).desc(),
+        F.col("doc_id").asc(),
+    )
+    vq = (
+        vdots.join(F.broadcast(qn), "query_id")
+        .join(cn, "doc_id")
+        .withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") <= BM25_MULTI_TOPK)
+        .select("query_id", "doc_id", "vr")
     )
     j = tq.join(vq, ["query_id", "doc_id"], "full_outer")
     rrf = F.coalesce(
