@@ -68,9 +68,12 @@ BENCH_QUERIES = [
     # (ADC shortlist + exact re-rank) and the IVF-pruned composition
     "pq_rerank_topk",
     "ann_ivfpq_topk",
-    # round-6 late: lexical+semantic fusion and the KMV sketch
+    # round-6 late: lexical+semantic fusion, the KMV sketch, and the
+    # retrieval-quality evaluation harness
     "hybrid_rrf_topk",
     "kmv_distinct_rollup",
+    "retrieval_metrics",
+    "classifier_eval",
     # the iterative-float showcase: Spark's checkpointed centered
     # frame beats DuckDB's repeated-CTE re-scan ~4.5× here
     "pca_top_component",

@@ -428,3 +428,98 @@ def ann_pq_rerank_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "dist", F.col("rank").cast("int"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted index layout: the artifact a 100 TB corpus actually ships
+# between the (expensive, run-once) index build and the (cheap,
+# run-forever) search path. The code and coarse-assignment tables are
+# written BUCKETED by vec_id through the session catalog
+# (streaming/util.py's store machinery — plain parquet loses the
+# bucket spec), so search-side equi-joins and per-vector aggregations
+# on vec_id read co-located buckets and skip their exchange entirely;
+# the codebook and coarse centroids are broadcast-sized plain parquet.
+
+CODES_STORE_SCHEMA = "vec_id long, sub int, code int"
+ASSIGN_STORE_SCHEMA = "vec_id long, cell int"
+PQ_INDEX_BUCKET = ("vec_id",)
+
+
+def write_pq_index(
+    corpus: DataFrame,
+    base_path: str,
+    n_cells: int = 16,
+    n_sub: int = PQ_SUB,
+    ks: int = PQ_KS,
+    iters: int = PQ_ITERS,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Build and persist the full IVF-PQ index: PQ codebook + bucketed
+    code table + coarse centroids + bucketed cell assignment.
+    Overwrites any index at ``base_path`` (an index REBUILD — the
+    incremental path is streaming/pqencode.py)."""
+    import os
+    import shutil
+
+    from convoy_spark.operators.similarity import ivf_index
+    from convoy_spark.streaming.util import append_store
+
+    codebook, codes, _ = pq_codebooks(corpus, n_sub, ks, iters, vec_col, id_col)
+    centroids, assignment = ivf_index(
+        corpus, n_cells=n_cells, vec_col=vec_col, id_col=id_col
+    )
+    for sub in ("codes", "assignment"):
+        p = os.path.join(base_path, sub)
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+    codebook.write.mode("overwrite").parquet(
+        os.path.join(base_path, "codebook")
+    )
+    centroids.write.mode("overwrite").parquet(
+        os.path.join(base_path, "centroids")
+    )
+    append_store(
+        codes.select(
+            "vec_id", F.col("sub").cast("int"), F.col("code").cast("int")
+        ),
+        os.path.join(base_path, "codes"),
+        CODES_STORE_SCHEMA,
+        bucket=PQ_INDEX_BUCKET,
+    )
+    append_store(
+        assignment.select("vec_id", F.col("cell").cast("int")),
+        os.path.join(base_path, "assignment"),
+        ASSIGN_STORE_SCHEMA,
+        bucket=PQ_INDEX_BUCKET,
+    )
+
+
+def load_pq_index(
+    spark, base_path: str
+) -> dict[str, DataFrame]:
+    """Load a persisted index. ``codes`` and ``assignment`` come back
+    through the catalog as BUCKETED scans (Catalyst sees the
+    HashPartitioning the files carry — vec_id-keyed joins and
+    aggregations over them run without a store-side exchange,
+    plan-asserted in tests); codebook/centroids are broadcast-sized."""
+    import os
+
+    from convoy_spark.streaming.util import load_store
+
+    return {
+        "codebook": spark.read.parquet(os.path.join(base_path, "codebook")),
+        "centroids": spark.read.parquet(os.path.join(base_path, "centroids")),
+        "codes": load_store(
+            spark,
+            os.path.join(base_path, "codes"),
+            CODES_STORE_SCHEMA,
+            bucket=PQ_INDEX_BUCKET,
+        ),
+        "assignment": load_store(
+            spark,
+            os.path.join(base_path, "assignment"),
+            ASSIGN_STORE_SCHEMA,
+            bucket=PQ_INDEX_BUCKET,
+        ),
+    }

@@ -674,3 +674,53 @@ def semantic_dedup(
             F.coalesce(~F.col("_dropped"), F.lit(True)).alias("is_kept"),
         )
     )
+
+
+def cosine_ranks_fast(
+    corpus: DataFrame,
+    n_queries: int,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(query_id, doc_id, sim, rank) — exact cosine top-``k`` for the
+    first ``n_queries`` corpus vectors, in the exploded scaled-long
+    codegen shape (SCORE_SCALE): the per-row zip_with/aggregate dot
+    evaluates INTERPRETED (~85 µs per 64-dim pair — 7 s of the
+    hybrid query's sf1.0 vector leg before this form), while the
+    explode trades one |Q|·N·dim broadcast join for whole-stage
+    codegen with map-side combine. Same exactness contract as the
+    SRP candidate scorer (floor-scaled long sums — bit-identical
+    across engines), shared by the hybrid-RRF vector leg and the
+    retrieval-metrics harness."""
+    ex = exploded_vectors(corpus, vec_col, id_col).localCheckpoint(eager=False)
+    scaled_sum = lambda c: (  # noqa: E731
+        F.sum(F.floor(c * F.lit(SCORE_SCALE))).cast("double")
+        / F.lit(SCORE_SCALE)
+    )
+    nrm = ex.groupBy("vec_id").agg(
+        F.sqrt(scaled_sum(F.col("x") * F.col("x"))).alias("nrm")
+    )
+    ea = ex.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "d", F.col("x").alias("xa")
+    )
+    eb = ex.select(F.col("vec_id").alias("doc_id"), "d", F.col("x").alias("xb"))
+    dots = (
+        eb.join(F.broadcast(ea), "d")
+        .filter(F.col("query_id") != F.col("doc_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(scaled_sum(F.col("xa") * F.col("xb")).alias("dp"))
+    )
+    qn = nrm.select(F.col("vec_id").alias("query_id"), F.col("nrm").alias("_qn"))
+    cn = nrm.select(F.col("vec_id").alias("doc_id"), F.col("nrm").alias("_cn"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("doc_id").asc()
+    )
+    return (
+        dots.join(F.broadcast(qn), "query_id")
+        .join(cn, "doc_id")
+        .withColumn("sim", F.col("dp") / (F.col("_qn") * F.col("_cn")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "sim", F.col("rank").cast("int").alias("rank"))
+    )

@@ -292,11 +292,20 @@ from convoy_spark.queries import (  # noqa: F401,E402
 #                              rollup and broadcast-dim machinery;
 #                              one round driver-green, stays
 #                              emulator + invariant-pytest green).
-# kmv_distinct_rollup and pq_adc_topk deliberately register
-# PAST-window: the KMV sketch's exact-twin + tolerance-boolean
-# construction is the in-window approx_percentile_rollup pattern (and
-# unlike the HLL entry it is fully hash-checked in the emulator);
-# pq_adc_topk is the raw-rank subset of in-window pq_rerank_topk.
+# kmv_distinct_rollup, pq_adc_topk and retrieval_metrics deliberately
+# register PAST-window: the KMV sketch's exact-twin +
+# tolerance-boolean construction is the in-window
+# approx_percentile_rollup pattern (and unlike the HLL entry it is
+# fully hash-checked in the emulator); pq_adc_topk is the raw-rank
+# subset of in-window pq_rerank_topk; retrieval_metrics' every plan
+# stage (the shared cosine_ranks_fast chain, rank-survivor joins,
+# dsum rollups) runs in-window inside hybrid_rrf_topk and the
+# aggregate suites — the metric arithmetic itself is
+# numpy-differential-tested and emulator-checked; classifier_eval's
+# prediction leg IS the in-window lang_id pipeline (shared
+# _LANGID_CHAIN_SQL oracle fragment) and its metric stage is
+# constant-size joins — separability + accounting pytests +
+# emulator-checked.
 _CHECK_WINDOW = [
     # §2.3/§2.8 aggregates + SQL front door (two_pass_mad is past the
     # window: A6/P13 two-pass MAD is proven by tree_metric_mad)

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from convoy_spark.functions.hashing import sql_hash60
+from convoy_spark.functions.numeric import sql_dsum
 from convoy_spark.operators.similarity import (
     N_PLANES,
     SRP_ROWS,
@@ -1083,4 +1084,171 @@ def pq_rerank_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     q, c = _queries_and_corpus(spark, sf_dir)
     return ann_pq_rerank_topk(
         q, c, k=TOP_K, index=shared_pq_index(spark, sf_dir)
+    )
+
+
+def scaled_cosine_ranks_ctes(n_queries: int, k: int) -> str:
+    """CTE fragment ``cev/cnrm/cdots/cosranks`` — exact scaled-long
+    cosine top-``k`` for the first ``n_queries`` vectors, mirroring
+    operators.similarity.cosine_ranks_fast bit for bit (the FLOOR
+    long-sum chain of the ann_srp scorer). Shared by the hybrid-RRF
+    oracle (queries/textops.py) and the retrieval-metrics oracle so
+    the ranking SQL cannot drift between them."""
+    return f"""
+    cev AS (
+      SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+             generate_subscripts(embedding, 1) - 1 AS d
+      FROM embeddings
+    ),
+    cnrm AS (
+      SELECT vec_id,
+             sqrt(CAST(SUM(CAST(FLOOR((x * x) * 1099511627776) AS BIGINT))
+                       AS DOUBLE) / 1099511627776) AS nrm
+      FROM cev GROUP BY vec_id
+    ),
+    cdots AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
+             CAST(SUM(CAST(FLOOR((a.x * b.x) * 1099511627776) AS BIGINT))
+                  AS DOUBLE) / 1099511627776 AS dp
+      FROM cev a
+      JOIN cev b ON a.d = b.d AND a.vec_id <> b.vec_id
+      WHERE a.vec_id < {n_queries}
+      GROUP BY a.vec_id, b.vec_id
+    ),
+    cosranks AS (
+      SELECT query_id, doc_id, sim, r FROM (
+        SELECT d.query_id, d.doc_id,
+               d.dp / (qn.nrm * cn.nrm) AS sim,
+               row_number() OVER (
+                 PARTITION BY d.query_id
+                 ORDER BY d.dp / (qn.nrm * cn.nrm) DESC, d.doc_id ASC
+               ) AS r
+        FROM cdots d
+        JOIN cnrm qn ON qn.vec_id = d.query_id
+        JOIN cnrm cn ON cn.vec_id = d.doc_id
+      ) WHERE r <= {k}
+    )
+    """
+
+
+RM_K = 10  # metrics cutoff: precision@10 / DCG@10
+RM_N_QUERIES = N_QUERIES
+
+
+@query(
+    "retrieval_metrics",
+    oracle=f"""
+    WITH {scaled_cosine_ranks_ctes(N_QUERIES, RM_K)},
+    lab AS (SELECT vec_id, label FROM embeddings),
+    rel AS (
+      SELECT cr.query_id, cr.doc_id, cr.r AS rank,
+             CASE WHEN ql.label = dl.label THEN 1 ELSE 0 END AS rel
+      FROM cosranks cr
+      JOIN lab ql ON ql.vec_id = cr.query_id
+      JOIN lab dl ON dl.vec_id = cr.doc_id
+    ),
+    relr AS (
+      SELECT query_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY rank)
+               AS irank
+      FROM rel WHERE rel = 1
+    ),
+    agg AS (
+      SELECT query_id, CAST(SUM(rel) AS BIGINT) AS n_relevant,
+             {sql_dsum('CAST(rel AS DOUBLE) / CAST(rank AS DOUBLE)')}
+               AS dcg_h,
+             COALESCE(MAX(CASE WHEN rel = 1
+                           THEN 1.0 / CAST(rank AS DOUBLE) END), 0.0)
+               AS mrr
+      FROM rel GROUP BY query_id
+    ),
+    idcg AS (
+      SELECT query_id, {sql_dsum('1.0 / CAST(irank AS DOUBLE)')} AS idcg
+      FROM relr GROUP BY query_id
+    )
+    SELECT a.query_id, a.n_relevant,
+           CAST(a.n_relevant AS DOUBLE) / {RM_K}.0 AS precision_at_k,
+           a.mrr, a.dcg_h,
+           COALESCE(a.dcg_h / i.idcg, 0.0) AS ndcg_h
+    FROM agg a LEFT JOIN idcg i USING (query_id)
+    """,
+)
+def retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation harness — the metrics every
+    embedding/retrieval pipeline reports, computed distributed:
+    per-query relevant@{RM_K} (relevance = corpus ``label`` equals the
+    query's label, the testdata's ground truth), precision@{RM_K},
+    MRR, and DCG/NDCG with HARMONIC (1/rank) discounts — chosen over
+    log2 discounts deliberately: 1/rank is one IEEE division per
+    term, bit-identical across engines, while libm log2 is not
+    guaranteed to round identically — the same determinism trade as
+    the log-free trigram LM, making an EVALUATION METRIC fully
+    value-hash-checkable.
+
+    Scale: the ranking is the shared exploded scaled-long cosine
+    chain (one corpus pass for all queries); everything after touches
+    only k·|Q| rank rows — label joins, rank aggregates and the ideal
+    ranking are constant-size. Swap in any catalog ranker
+    (ann_srp/ivf/pq) for the exact leg without touching the metric
+    stage."""
+    from convoy_spark.functions.numeric import dsum
+    from convoy_spark.operators.similarity import cosine_ranks_fast
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ranks = cosine_ranks_fast(emb, N_QUERIES, RM_K)
+    lab = emb.select("vec_id", "label")
+    rel = (
+        ranks.join(
+            lab.select(
+                F.col("vec_id").alias("query_id"), F.col("label").alias("_ql")
+            ),
+            "query_id",
+        )
+        .join(
+            lab.select(
+                F.col("vec_id").alias("doc_id"), F.col("label").alias("_dl")
+            ),
+            "doc_id",
+        )
+        .select(
+            "query_id",
+            "doc_id",
+            "rank",
+            (F.col("_ql") == F.col("_dl")).cast("int").alias("rel"),
+        )
+    )
+    w_rel = Window.partitionBy("query_id").orderBy("rank")
+    relr = (
+        rel.filter(F.col("rel") == 1)
+        .withColumn("irank", F.row_number().over(w_rel))
+        .select("query_id", "irank")
+    )
+    agg = rel.groupBy("query_id").agg(
+        F.sum("rel").cast("long").alias("n_relevant"),
+        dsum(F.col("rel").cast("double") / F.col("rank").cast("double")).alias(
+            "dcg_h"
+        ),
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("rel") == 1,
+                    F.lit(1.0) / F.col("rank").cast("double"),
+                )
+            ),
+            F.lit(0.0),
+        ).alias("mrr"),
+    )
+    idcg = relr.groupBy("query_id").agg(
+        dsum(F.lit(1.0) / F.col("irank").cast("double")).alias("idcg")
+    )
+    return agg.join(idcg, "query_id", "left").select(
+        "query_id",
+        "n_relevant",
+        (F.col("n_relevant").cast("double") / F.lit(float(RM_K))).alias(
+            "precision_at_k"
+        ),
+        "mrr",
+        "dcg_h",
+        F.coalesce(F.col("dcg_h") / F.col("idcg"), F.lit(0.0)).alias("ndcg_h"),
     )

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from convoy_spark.functions.hashing import MERSENNE31, WS_SPLIT
 from convoy_spark.functions.numeric import sql_dsum
+from convoy_spark.queries.similarity import scaled_cosine_ranks_ctes
 from convoy_spark.operators.textops import (
     bm25_search,
     bm25_search_multi,
@@ -137,10 +138,12 @@ def text_quality_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_quality(load_table(spark, sf_dir, "documents"))
 
 
-@query(
-    "lang_id",
-    oracle=f"""
-    WITH g AS (
+# The char-trigram language-ID CTE chain (profiles -> per-doc argmax
+# predictions), shared verbatim by the lang_id oracle and the
+# classifier_eval oracle so the prediction SQL cannot drift between
+# them (the _BM25_CHAIN_SQL discipline).
+_LANGID_CHAIN_SQL = f"""
+    g AS (
       SELECT doc_id, lang,
              unnest(list_transform(
                generate_series(1, length(lower(text)) - 2),
@@ -161,14 +164,24 @@ def text_quality_query(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT dg.doc_id, dg.lang, p.lang AS cand_lang, COUNT(*) AS n_hits
       FROM dg JOIN prof p ON dg.gram = p.gram
       GROUP BY dg.doc_id, dg.lang, p.lang
+    ),
+    preds AS (
+      SELECT doc_id, true_lang, pred_lang, CAST(n_hits AS BIGINT) AS n_hits
+      FROM (
+        SELECT doc_id, lang AS true_lang, cand_lang AS pred_lang, n_hits,
+               row_number() OVER (
+                 PARTITION BY doc_id ORDER BY n_hits DESC, cand_lang ASC) AS rk
+        FROM hits
+      ) WHERE rk = 1
     )
-    SELECT doc_id, true_lang, pred_lang, CAST(n_hits AS BIGINT) AS n_hits
-    FROM (
-      SELECT doc_id, lang AS true_lang, cand_lang AS pred_lang, n_hits,
-             row_number() OVER (
-               PARTITION BY doc_id ORDER BY n_hits DESC, cand_lang ASC) AS rk
-      FROM hits
-    ) WHERE rk = 1
+"""
+
+
+@query(
+    "lang_id",
+    oracle=f"""
+    WITH {_LANGID_CHAIN_SQL}
+    SELECT doc_id, true_lang, pred_lang, n_hits FROM preds
     """,
 )
 def lang_id_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1116,43 +1129,8 @@ _N_HYBRID_QUERIES = 1 + max(q for q, _ in BM25_MULTI_QUERIES)
         FROM per_q
       ) WHERE r <= {BM25_MULTI_TOPK}
     ),
-    ev AS (
-      SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
-             generate_subscripts(embedding, 1) - 1 AS d
-      FROM embeddings
-    ),
-    -- exact scaled-long dots/norms (the ann_srp_topk scoring chain:
-    -- float32 products are exact in double, power-of-two scaling and
-    -- floor are exact, long sums are exact and associative) so the
-    -- Spark leg runs in whole-stage codegen instead of interpreted
-    -- per-row array lambdas — measured 7x on this leg at sf1.0
-    nrms AS (
-      SELECT vec_id,
-             sqrt(CAST(SUM(CAST(FLOOR((x * x) * 1099511627776) AS BIGINT))
-                       AS DOUBLE) / 1099511627776) AS nrm
-      FROM ev GROUP BY vec_id
-    ),
-    vdots AS (
-      SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
-             CAST(SUM(CAST(FLOOR((a.x * b.x) * 1099511627776) AS BIGINT))
-                  AS DOUBLE) / 1099511627776 AS dp
-      FROM ev a
-      JOIN ev b ON a.d = b.d AND a.vec_id <> b.vec_id
-      WHERE a.vec_id < {_N_HYBRID_QUERIES}
-      GROUP BY a.vec_id, b.vec_id
-    ),
-    vq AS (
-      SELECT query_id, doc_id, r FROM (
-        SELECT d.query_id, d.doc_id,
-               row_number() OVER (
-                 PARTITION BY d.query_id
-                 ORDER BY d.dp / (qn.nrm * cn.nrm) DESC, d.doc_id ASC
-               ) AS r
-        FROM vdots d
-        JOIN nrms qn ON qn.vec_id = d.query_id
-        JOIN nrms cn ON cn.vec_id = d.doc_id
-      ) WHERE r <= {BM25_MULTI_TOPK}
-    ),
+    {scaled_cosine_ranks_ctes(_N_HYBRID_QUERIES, BM25_MULTI_TOPK)},
+    vq AS (SELECT query_id, doc_id, r FROM cosranks),
     fused AS (
       SELECT COALESCE(t.query_id, v.query_id) AS query_id,
              COALESCE(t.doc_id, v.doc_id) AS doc_id,
@@ -1201,46 +1179,13 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("score").desc(), F.col("doc_id").asc()
     )
     tq = t.select("query_id", "doc_id", F.row_number().over(wt).alias("tr"))
-    # Vector leg in the exploded scaled-long codegen shape (the
-    # ann_lsh_topk scoring chain): the per-row zip_with/aggregate dot
-    # evaluates INTERPRETED (~85 µs per 64-dim pair — 7 s of the
-    # sf1.0 leg); the explode trades one |Q|·N·dim broadcast join for
-    # whole-stage codegen with map-side combine.
-    from convoy_spark.operators.similarity import (
-        SCORE_SCALE,
-        exploded_vectors,
-    )
+    # Vector leg: the shared exploded scaled-long cosine ranker
+    # (operators/similarity.py::cosine_ranks_fast — the codegen form;
+    # the interpreted zip_with leg was 7 s of the sf1.0 wall).
+    from convoy_spark.operators.similarity import cosine_ranks_fast
 
-    ex = exploded_vectors(emb).localCheckpoint(eager=False)
-    scaled_sum = lambda c: (  # noqa: E731
-        F.sum(F.floor(c * F.lit(SCORE_SCALE))).cast("double")
-        / F.lit(SCORE_SCALE)
-    )
-    nrm = ex.groupBy("vec_id").agg(
-        F.sqrt(scaled_sum(F.col("x") * F.col("x"))).alias("nrm")
-    )
-    ea = ex.filter(F.col("vec_id") < _N_HYBRID_QUERIES).select(
-        F.col("vec_id").alias("query_id"), "d", F.col("x").alias("xa")
-    )
-    eb = ex.select(F.col("vec_id").alias("doc_id"), "d", F.col("x").alias("xb"))
-    vdots = (
-        eb.join(F.broadcast(ea), "d")
-        .filter(F.col("query_id") != F.col("doc_id"))
-        .groupBy("query_id", "doc_id")
-        .agg(scaled_sum(F.col("xa") * F.col("xb")).alias("dp"))
-    )
-    qn = nrm.select(F.col("vec_id").alias("query_id"), F.col("nrm").alias("_qn"))
-    cn = nrm.select(F.col("vec_id").alias("doc_id"), F.col("nrm").alias("_cn"))
-    wv = Window.partitionBy("query_id").orderBy(
-        (F.col("dp") / (F.col("_qn") * F.col("_cn"))).desc(),
-        F.col("doc_id").asc(),
-    )
-    vq = (
-        vdots.join(F.broadcast(qn), "query_id")
-        .join(cn, "doc_id")
-        .withColumn("vr", F.row_number().over(wv))
-        .filter(F.col("vr") <= BM25_MULTI_TOPK)
-        .select("query_id", "doc_id", "vr")
+    vq = cosine_ranks_fast(emb, _N_HYBRID_QUERIES, BM25_MULTI_TOPK).select(
+        "query_id", "doc_id", F.col("rank").alias("vr")
     )
     j = tq.join(vq, ["query_id", "doc_id"], "full_outer")
     rrf = F.coalesce(
@@ -1261,4 +1206,120 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= HYBRID_TOPK)
+    )
+
+
+@query(
+    "classifier_eval",
+    oracle=f"""
+    WITH {_LANGID_CHAIN_SQL},
+    conf AS (
+      SELECT true_lang, pred_lang, COUNT(*) AS n
+      FROM preds GROUP BY true_lang, pred_lang
+    ),
+    classes AS (
+      SELECT DISTINCT true_lang AS lang FROM conf
+      UNION
+      SELECT DISTINCT pred_lang FROM conf
+    ),
+    tp AS (
+      SELECT true_lang AS lang, n AS tp FROM conf
+      WHERE true_lang = pred_lang
+    ),
+    fp AS (
+      SELECT pred_lang AS lang, SUM(n) AS fp FROM conf
+      WHERE true_lang <> pred_lang GROUP BY pred_lang
+    ),
+    fn AS (
+      SELECT true_lang AS lang, SUM(n) AS fn FROM conf
+      WHERE true_lang <> pred_lang GROUP BY true_lang
+    ),
+    m AS (
+      SELECT c.lang,
+             CAST(COALESCE(tp.tp, 0) AS BIGINT) AS tp,
+             CAST(COALESCE(fp.fp, 0) AS BIGINT) AS fp,
+             CAST(COALESCE(fn.fn, 0) AS BIGINT) AS fn
+      FROM classes c
+      LEFT JOIN tp USING (lang)
+      LEFT JOIN fp USING (lang)
+      LEFT JOIN fn USING (lang)
+    )
+    SELECT lang, tp + fn AS support, tp, fp, fn,
+           CASE WHEN tp + fp = 0 THEN 0.0
+                ELSE CAST(tp AS DOUBLE) / (tp + fp) END AS precision,
+           CASE WHEN tp + fn = 0 THEN 0.0
+                ELSE CAST(tp AS DOUBLE) / (tp + fn) END AS recall,
+           CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0
+                ELSE 2.0 * CAST(tp AS DOUBLE) / (2 * tp + fp + fn) END AS f1
+    FROM m
+    """,
+)
+def classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation harness over the language-ID predictions
+    vs the corpus's true ``lang`` labels: per-class confusion counts
+    (tp/fp/fn), support, precision, recall and F1 — the quality
+    report every model-based curation filter ships with. F1 is the
+    single-expression form 2·tp/(2·tp+fp+fn) (one IEEE division)
+    rather than the p·r/(p+r) float chain, so every metric column is
+    engine-deterministic and value-hash-checked — an EVALUATION
+    REPORT with a full oracle, like retrieval_metrics.
+
+    Scale: the prediction leg is the in-window lang_id pipeline (one
+    corpus pass, broadcast profiles); everything here aggregates the
+    |langs|² confusion matrix — constant-size keyed aggregates and
+    outer joins, nothing corpus-proportional after the argmax."""
+    pred = langid_predict(load_table(spark, sf_dir, "documents"))
+    # the |langs|² confusion frame feeds four consumers below; without
+    # the barrier Catalyst re-derives the whole prediction pipeline
+    # per consumer (the shared-frame lesson)
+    conf = (
+        pred.groupBy("true_lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    classes = (
+        conf.select(F.col("true_lang").alias("lang"))
+        .union(conf.select("pred_lang"))
+        .distinct()
+    )
+    tp = conf.filter(F.col("true_lang") == F.col("pred_lang")).select(
+        F.col("true_lang").alias("lang"), F.col("n").alias("tp")
+    )
+    fp = (
+        conf.filter(F.col("true_lang") != F.col("pred_lang"))
+        .groupBy(F.col("pred_lang").alias("lang"))
+        .agg(F.sum("n").alias("fp"))
+    )
+    fn = (
+        conf.filter(F.col("true_lang") != F.col("pred_lang"))
+        .groupBy(F.col("true_lang").alias("lang"))
+        .agg(F.sum("n").alias("fn"))
+    )
+    m = (
+        classes.join(tp, "lang", "left")
+        .join(fp, "lang", "left")
+        .join(fn, "lang", "left")
+        .select(
+            "lang",
+            F.coalesce(F.col("tp"), F.lit(0)).cast("long").alias("tp"),
+            F.coalesce(F.col("fp"), F.lit(0)).cast("long").alias("fp"),
+            F.coalesce(F.col("fn"), F.lit(0)).cast("long").alias("fn"),
+        )
+    )
+    tpd = F.col("tp").cast("double")
+    return m.select(
+        "lang",
+        (F.col("tp") + F.col("fn")).alias("support"),
+        "tp",
+        "fp",
+        "fn",
+        F.when(F.col("tp") + F.col("fp") == 0, F.lit(0.0))
+        .otherwise(tpd / (F.col("tp") + F.col("fp")))
+        .alias("precision"),
+        F.when(F.col("tp") + F.col("fn") == 0, F.lit(0.0))
+        .otherwise(tpd / (F.col("tp") + F.col("fn")))
+        .alias("recall"),
+        F.when(2 * F.col("tp") + F.col("fp") + F.col("fn") == 0, F.lit(0.0))
+        .otherwise(F.lit(2.0) * tpd / (2 * F.col("tp") + F.col("fp") + F.col("fn")))
+        .alias("f1"),
     )

@@ -80,3 +80,50 @@ def test_pq_rerank_recall_vs_exact_l2(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.85, f"PQ re-rank recall collapsed: {recall:.2f}"
+
+
+def test_persisted_index_serves_search_identically(spark, tmp_path):
+    """write_pq_index → load_pq_index → ann_ivfpq_topk over the loaded
+    frames returns BIT-IDENTICAL results to the in-memory build (the
+    index is a pure deterministic artifact); the bucketed code/
+    assignment stores answer vec_id-keyed joins and aggregations
+    without a store-side exchange (the 100 TB search layout)."""
+    from pyspark.sql import functions as F
+
+    from convoy_spark.operators.pq import (
+        ann_ivfpq_topk,
+        load_pq_index,
+        write_pq_index,
+    )
+    from convoy_spark.operators.similarity import exploded_vectors  # noqa: F401
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 16)
+    want = sorted(
+        (r.query_id, r.corpus_id, r.adist, r.rank)
+        for r in ann_ivfpq_topk(q, emb, k=5).collect()
+    )
+    base = str(tmp_path / "pqindex")
+    write_pq_index(emb, base)
+    idx = load_pq_index(spark, base)
+    got = sorted(
+        (r.query_id, r.corpus_id, r.adist, r.rank)
+        for r in ann_ivfpq_topk(
+            q,
+            emb,
+            k=5,
+            pq_index=(idx["codebook"], idx["codes"], None),
+            coarse_index=(idx["centroids"], idx["assignment"]),
+        ).collect()
+    )
+    assert got == want
+
+    # bucketed layout: vec_id-keyed agg and join read co-located
+    # buckets — no Exchange anywhere in either plan
+    agg = idx["codes"].groupBy("vec_id").count()
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan, plan
+    assert "Exchange" not in plan, plan
+    joined = idx["codes"].hint("merge").join(idx["assignment"], "vec_id")
+    jplan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in jplan, jplan

@@ -204,3 +204,52 @@ def test_embed_quantize_int8_roundtrip(spark, duck):
         recon = mn + codes * (mx - mn) / 255.0
         step = (mx - mn) / 255.0
         assert np.abs(recon - v).max() <= step / 2 + 1e-12
+
+
+def test_retrieval_metrics_parity(spark, duck):
+    from tests.conftest import run_parity
+
+    run_parity(spark, duck, "retrieval_metrics")
+
+
+def test_retrieval_metrics_match_numpy(spark):
+    """Recompute precision@k / MRR / harmonic DCG / NDCG from a
+    brute-force numpy ranking and compare (float tolerance — numpy
+    sums in rank order, the engine sums decimal-exactly)."""
+    import numpy as np
+
+    from convoy_spark.queries import QUERIES
+    from convoy_spark.queries.similarity import RM_K, N_QUERIES
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    X = np.array(emb["embedding"].tolist(), dtype=np.float64)
+    labels = emb["label"].to_numpy()
+    ids = emb["vec_id"].to_numpy()
+    got = {
+        r.query_id: r
+        for r in QUERIES["retrieval_metrics"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert len(got) == N_QUERIES
+    norms = np.linalg.norm(X, axis=1)
+    for qi in range(N_QUERIES):
+        sim = X @ X[qi] / (norms * norms[qi])
+        sim[qi] = -np.inf
+        top = np.lexsort((ids, -sim))[:RM_K]
+        rel = (labels[top] == labels[qi]).astype(int)
+        n_rel = int(rel.sum())
+        mrr = 1.0 / (int(np.argmax(rel)) + 1) if n_rel else 0.0
+        dcg = float(sum(r / (i + 1) for i, r in enumerate(rel)))
+        idcg = float(sum(1.0 / i for i in range(1, n_rel + 1)))
+        ndcg = dcg / idcg if n_rel else 0.0
+        row = got[qi]
+        assert row.n_relevant == n_rel, (qi, row.n_relevant, n_rel)
+        assert abs(row.precision_at_k - n_rel / RM_K) < 1e-9
+        assert abs(row.mrr - mrr) < 1e-9
+        assert abs(row.dcg_h - dcg) < 1e-5
+        assert abs(row.ndcg_h - ndcg) < 1e-5

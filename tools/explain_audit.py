@@ -230,6 +230,10 @@ EXPECTATIONS = {
     # top-k within (group, salt) before the final per-group rank —
     # WindowGroupLimit on both), never a full per-group value sort
     "kmv_distinct_rollup": ["WindowGroupLimit", "HashAggregate"],
+    # retrieval metrics: the ranking leg is the shared codegen cosine
+    # chain (broadcast query side); the metric stage is keyed aggs
+    # over rank survivors only
+    "retrieval_metrics": ["BroadcastHashJoin", "WindowGroupLimit", "HashAggregate"],
 }
 
 
