@@ -74,6 +74,8 @@ BENCH_QUERIES = [
     "kmv_distinct_rollup",
     "retrieval_metrics",
     "classifier_eval",
+    "snapshot_diff",
+    "column_histogram",
     # the iterative-float showcase: Spark's checkpointed centered
     # frame beats DuckDB's repeated-CTE re-scan ~4.5× here
     "pca_top_component",

@@ -305,7 +305,12 @@ from convoy_spark.queries import (  # noqa: F401,E402
 # prediction leg IS the in-window lang_id pipeline (shared
 # _LANGID_CHAIN_SQL oracle fragment) and its metric stage is
 # constant-size joins — separability + accounting pytests +
-# emulator-checked.
+# emulator-checked; snapshot_diff is one pk-keyed full outer join
+# (in-window via hybrid_rrf_topk's fusion join) + a keyed rollup —
+# accounting pytest + emulator-checked (the key_skew_profile
+# no-proving-slot precedent); column_histogram likewise (one keyed
+# ntile window + keyed agg — the window_funcs/percentile_stats
+# machinery, equi-depth invariants pytest).
 _CHECK_WINDOW = [
     # §2.3/§2.8 aggregates + SQL front door (two_pass_mad is past the
     # window: A6/P13 two-pass MAD is proven by tree_metric_mad)

@@ -556,3 +556,133 @@ def resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
         F.last("bucket_value", ignorenulls=True).over(wf).alias("value_ffill"),
     )
+
+
+@query(
+    "snapshot_diff",
+    oracle="""
+    WITH a AS (
+      SELECT event_id, event_type, user_id, value FROM events
+      WHERE event_id % 10 <> 0
+    ),
+    b AS (
+      SELECT event_id, event_type, user_id,
+             CASE WHEN event_id % 5 = 0 THEN value + 1.0 ELSE value END
+               AS value
+      FROM events WHERE event_id % 7 <> 0
+    ),
+    d AS (
+      SELECT COALESCE(a.event_id, b.event_id) AS event_id,
+             COALESCE(a.event_type, b.event_type) AS event_type,
+             CASE
+               WHEN a.event_id IS NULL THEN 'added'
+               WHEN b.event_id IS NULL THEN 'removed'
+               WHEN a.event_type IS DISTINCT FROM b.event_type
+                 OR a.user_id IS DISTINCT FROM b.user_id
+                 OR a.value IS DISTINCT FROM b.value THEN 'changed'
+               ELSE 'unchanged'
+             END AS status
+      FROM a FULL OUTER JOIN b ON a.event_id = b.event_id
+    )
+    SELECT event_type, status, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(event_id) AS BIGINT) AS id_checksum
+    FROM d GROUP BY event_type, status
+    """,
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot diff — the table-audit primitive a warehouse runs
+    between two versions of the same table (the reference copies whole
+    tables between engines, `6_copy_tables_to_columnstore.py`; this is
+    the verification such a copy or any incremental load needs):
+    full outer join on the primary key, per-row status =
+    added / removed / changed / unchanged with NULL-SAFE column
+    comparison (``IS DISTINCT FROM`` ≡ Spark's ``eqNullSafe`` — a
+    column going NULL↔value must count as changed), rolled up per
+    (event_type, status) with an id checksum pinning WHICH rows, not
+    just how many. Snapshots are derived deterministically from the
+    events table (mod-arithmetic delete/update masks) so the query is
+    self-contained and fully value-hash-checked.
+
+    Scale: ONE full outer join keyed on the pk — co-locate with
+    bucketed snapshots (operators/scale.py::write_bucketed) and it
+    runs exchange-free; the rollup is a map-side-combined keyed agg.
+    Never a row-by-row driver compare."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    a = ev.filter(F.col("event_id") % 10 != 0)
+    b = ev.filter(F.col("event_id") % 7 != 0).withColumn(
+        "value",
+        F.when(F.col("event_id") % 5 == 0, F.col("value") + 1.0).otherwise(
+            F.col("value")
+        ),
+    )
+    an = a.select([F.col(c).alias(f"a_{c}") for c in a.columns])
+    bn = b.select([F.col(c).alias(f"b_{c}") for c in b.columns])
+    d = an.join(bn, an["a_event_id"] == bn["b_event_id"], "full_outer").select(
+        F.coalesce("a_event_id", "b_event_id").alias("event_id"),
+        F.coalesce("a_event_type", "b_event_type").alias("event_type"),
+        F.when(F.col("a_event_id").isNull(), F.lit("added"))
+        .when(F.col("b_event_id").isNull(), F.lit("removed"))
+        .when(
+            ~F.col("a_event_type").eqNullSafe(F.col("b_event_type"))
+            | ~F.col("a_user_id").eqNullSafe(F.col("b_user_id"))
+            | ~F.col("a_value").eqNullSafe(F.col("b_value")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )
+    return d.groupBy("event_type", "status").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("event_id").cast("long").alias("id_checksum"),
+    )
+
+
+HIST_BUCKETS = 8
+
+
+@query(
+    "column_histogram",
+    oracle=f"""
+    SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(value) AS lo, MAX(value) AS hi
+    FROM (
+      SELECT event_type, value,
+             ntile({HIST_BUCKETS}) OVER (
+               PARTITION BY event_type ORDER BY value, event_id
+             ) AS bucket
+      FROM events
+    )
+    GROUP BY event_type, bucket
+    """,
+)
+def column_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram per group ({HIST_BUCKETS} buckets of
+    equal row count, boundaries = observed values) — the ANALYZE
+    artifact optimizers use for selectivity, completing
+    `column_profile`'s stats family. ntile ties break on event_id so
+    bucket assignment is engine-deterministic; lo/hi are SELECTED
+    values (no arithmetic), so every column hash-checks.
+
+    Scale note: exact ntile sorts within each group's partition —
+    fine when groups are plentiful, a straggler when one group holds
+    the corpus. At 100 TB swap boundaries to the mergeable quantile
+    sketch (approx_percentile_rollup's path) and keep this exact form
+    as its differential twin; the sketch's bucket COUNTS then come
+    from one broadcast range join."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    return (
+        events.select(
+            "event_type", "value", F.ntile(HIST_BUCKETS).over(w).alias("bucket")
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )

@@ -149,8 +149,48 @@ def batch_codes(
     )
 
 
+def adc_search_over_store(
+    spark: SparkSession,
+    state_dir: str,
+    queries: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """ADC top-k straight off the persisted store: the frozen codebook
+    + the streamed code table ARE the index — a query never touches
+    the original vectors. Because encoding is deterministic, results
+    are bit-identical to searching a batch-built index over the same
+    corpus (tested). Returns (query_id, corpus_id, adist, rank)."""
+    from convoy_spark.operators.pq import (
+        _sub_exploded,
+        _topk_by_adist,
+        adc_table,
+    )
+    from convoy_spark.operators.similarity import SCORE_SCALE
+
+    cb, ds = _load_codebook(spark, state_dir)
+    codes = encoded_codes(spark, state_dir)
+    q_ex = _sub_exploded(queries, ds, "embedding", "vec_id")
+    dtab = adc_table(q_ex, cb)
+    scored = (
+        codes.join(
+            F.broadcast(dtab),
+            (codes["sub"] == dtab["sub"]) & (codes["code"] == dtab["cell"]),
+        )
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", F.col("vec_id").alias("corpus_id"))
+        .agg(
+            (
+                F.sum(F.floor(F.col("dd") * F.lit(SCORE_SCALE))).cast("double")
+                / F.lit(SCORE_SCALE)
+            ).alias("adist")
+        )
+    )
+    return _topk_by_adist(scored, k)
+
+
 __all__ = [
     "CODES_SCHEMA",
+    "adc_search_over_store",
     "apply_pqencode_batch",
     "batch_codes",
     "encoded_codes",

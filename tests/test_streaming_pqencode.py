@@ -89,3 +89,31 @@ def test_streamed_codes_serve_adc_search(spark, tmp_path):
     got = _rows(encoded_codes(spark, state))
     _, codes, _ = pq_codebooks(emb)
     assert got == _rows(codes)
+
+
+def test_adc_search_over_streamed_store(spark, tmp_path):
+    """Searching the streamed store returns BIT-IDENTICAL top-k to
+    the batch-built flat index over the same corpus — the store, not
+    the vectors, is the search asset."""
+    from convoy_spark.operators.pq import ann_pq_adc_topk
+    from convoy_spark.streaming.pqencode import adc_search_over_store
+
+    emb = _emb(spark)
+    state = str(tmp_path / "state")
+    freeze_codebook(emb, state)
+    for i, (lo, hi) in enumerate([(0, 200), (200, 10**9)]):
+        apply_pqencode_batch(
+            emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)),
+            state,
+            batch_tag=f"t-{i}",
+        )
+    q = emb.filter(F.col("vec_id") < 8)
+    want = sorted(
+        (r.query_id, r.corpus_id, r.adist, r.rank)
+        for r in ann_pq_adc_topk(q, emb, k=5).collect()
+    )
+    got = sorted(
+        (r.query_id, r.corpus_id, r.adist, r.rank)
+        for r in adc_search_over_store(spark, state, q, k=5).collect()
+    )
+    assert got == want

@@ -130,3 +130,77 @@ def test_resample_ffill_pandas_reference(spark):
             prior = e[e.hour <= r.grid_ts]
             assert not prior.empty
             assert r.value_ffill == prior.value.iloc[-1]
+
+
+def test_snapshot_diff_parity(spark, duck):
+    from tests.conftest import run_parity
+
+    run_parity(spark, duck, "snapshot_diff")
+
+
+def test_snapshot_diff_accounting(spark):
+    """Status accounting recomputed from the mod masks: removed =
+    rows in A only (id%10!=0 and id%7==0), added = B only, changed =
+    both sides with id%5==0 (the value bump) — and every A∪B row is
+    classified exactly once."""
+    from pyspark.sql import functions as F
+
+    from convoy_spark.queries import QUERIES
+    from convoy_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ids = [
+        r.event_id
+        for r in load_table(spark, sf, "events").select("event_id").collect()
+    ]
+    in_a = {i for i in ids if i % 10 != 0}
+    in_b = {i for i in ids if i % 7 != 0}
+    want = {
+        "added": len(in_b - in_a),
+        "removed": len(in_a - in_b),
+        "changed": len({i for i in in_a & in_b if i % 5 == 0}),
+        "unchanged": len({i for i in in_a & in_b if i % 5 != 0}),
+    }
+    rows = QUERIES["snapshot_diff"](spark, sf).collect()
+    got = {}
+    for r in rows:
+        got[r.status] = got.get(r.status, 0) + r.n
+    assert got == {k: v for k, v in want.items() if v}
+    assert sum(got.values()) == len(in_a | in_b)
+
+
+def test_column_histogram_parity(spark, duck):
+    from tests.conftest import run_parity
+
+    run_parity(spark, duck, "column_histogram")
+
+
+def test_column_histogram_equi_depth(spark):
+    """Per group: bucket counts differ by at most 1 (ntile contract),
+    Σn == group size, and bucket value ranges are non-overlapping and
+    ordered (lo_{b+1} >= hi_b)."""
+    from collections import defaultdict
+
+    from convoy_spark.queries import QUERIES
+    from convoy_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["column_histogram"](spark, sf).collect()
+    sizes = {
+        r.event_type: r.n
+        for r in load_table(spark, sf, "events")
+        .groupBy("event_type")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    by_g = defaultdict(list)
+    for r in rows:
+        by_g[r.event_type].append(r)
+    for g, rs in by_g.items():
+        rs.sort(key=lambda r: r.bucket)
+        counts = [r.n for r in rs]
+        assert max(counts) - min(counts) <= 1, (g, counts)
+        assert sum(counts) == sizes[g]
+        for a, b in zip(rs, rs[1:]):
+            assert b.lo >= a.hi or abs(b.lo - a.hi) < 1e-12, (g, a, b)
