@@ -90,32 +90,89 @@ def _sub_exploded(
     )
 
 
-def _assign(ex: DataFrame, cent: DataFrame) -> DataFrame:
+# Corpus-size threshold for the pivoted assign. Measured builds
+# (quiet host): the wide plan has a ~24 s FIXED floor (ks-column
+# codegen compile + pivot stages per Lloyd round) and near-flat
+# compute (24.1 s at 20k vectors, 24.5 s at 60k), while the
+# row-shaped plan is linear in the corpus (10.5 s at 2k, 18.8 s at
+# 20k, ~43 s at 60k) — crossover ≈ 40k vectors, and at real scale
+# the ks× shuffle-input saving makes wide the only sane shape. Both
+# shapes produce BIT-IDENTICAL codes (same per-(vec,sub,cell) long
+# sums, same (dist, cell) argmin), so this is a pure physical-plan
+# choice — the AQE spirit, decided from one metadata-cheap count.
+PQ_WIDE_MIN_ROWS = 40_000
+
+
+def _assign(
+    ex: DataFrame, cent: DataFrame, ks: int = PQ_KS, wide: bool = False
+) -> DataFrame:
     """(vec_id, sub, code) — per-subspace nearest-centroid argmin with
     the deterministic (dist, cell) tiebreak.
 
-    The N·ks distance fan-out is the hot stage of Lloyd's algorithm,
-    so the squared-distance sum runs as floor-scaled LONGs
-    (similarity.SCORE_SCALE — each (x−m)² is one deterministic double
-    op, power-of-two scaling and floor are exact, long sums are exact
-    and associative), not DECIMAL: same bit-for-bit oracle parity,
-    ~10× cheaper per row (the measured decimal-agg tax, see
-    operators/similarity.py SCORE_SCALE note). Argmin compares the raw
-    longs — no division back needed for a comparison."""
-    dist = (
-        ex.join(F.broadcast(cent), ["sub", "dsub"])
-        .groupBy("vec_id", "sub", "cell")
-        .agg(
-            F.sum(
-                F.floor(
-                    ((F.col("x") - F.col("m")) * (F.col("x") - F.col("m")))
-                    * F.lit(SCORE_SCALE)
-                )
-            ).alias("dd")
+    Distances are floor-scaled LONG sums (similarity.SCORE_SCALE —
+    each (x−m)² is one deterministic double op, scaling and floor are
+    exact, long sums exact and associative), so both physical shapes
+    below yield identical longs and the row-shaped SQL oracle covers
+    either:
+
+    - ``wide=False`` (small corpora): the codebook broadcast fans each
+      exploded row out ×ks into a (vec, sub, cell)-keyed aggregate —
+      more shuffle input, trivially small plans.
+    - ``wide=True`` (the 100 TB shape, chosen by PQ_WIDE_MIN_ROWS):
+      the PIVOTED codebook (the srp_signatures comps_wide lesson)
+      broadcasts one row per (sub, dsub) carrying all ``ks``
+      components; the join fans out ×1, one groupBy(vec, sub) feeds
+      ks sum columns with map-side combine, and the argmin is a fold
+      of ks (dd, cell) struct comparisons in codegen. A cell emptied
+      by a Lloyd round yields NULL columns, excluded via a +inf
+      sentinel (the row form simply lacks those candidate rows)."""
+    if not wide:
+        dist = (
+            ex.join(F.broadcast(cent), ["sub", "dsub"])
+            .groupBy("vec_id", "sub", "cell")
+            .agg(
+                F.sum(
+                    F.floor(
+                        ((F.col("x") - F.col("m")) * (F.col("x") - F.col("m")))
+                        * F.lit(SCORE_SCALE)
+                    )
+                ).alias("dd")
+            )
+        )
+        return dist.groupBy("vec_id", "sub").agg(
+            F.min(F.struct(F.col("dd"), F.col("cell")))
+            .getField("cell")
+            .alias("code")
+        )
+    cw = F.broadcast(
+        cent.groupBy("sub", "dsub")
+        .pivot("cell", list(range(ks)))
+        .agg(F.first("m"))
+        .select(
+            "sub", "dsub", *[F.col(str(c)).alias(f"m{c}") for c in range(ks)]
         )
     )
-    return dist.groupBy("vec_id", "sub").agg(
-        F.min(F.struct(F.col("dd"), F.col("cell"))).getField("cell").alias("code")
+    dd = ex.join(cw, ["sub", "dsub"]).groupBy("vec_id", "sub").agg(
+        *[
+            F.sum(
+                F.floor(
+                    ((F.col("x") - F.col(f"m{c}")) * (F.col("x") - F.col(f"m{c}")))
+                    * F.lit(SCORE_SCALE)
+                )
+            ).alias(f"dd{c}")
+            for c in range(ks)
+        ]
+    )
+    sentinel = F.lit(1 << 62).cast("long")
+    cands = [
+        F.struct(
+            F.coalesce(F.col(f"dd{c}"), sentinel).alias("dd"),
+            F.lit(c).cast("int").alias("cell"),
+        )
+        for c in range(ks)
+    ]
+    return dd.select(
+        "vec_id", "sub", F.least(*cands).getField("cell").alias("code")
     )
 
 
@@ -158,6 +215,7 @@ def pq_codebooks(
     """
     dim = _infer_dim(corpus, vec_col)
     ds = dim // n_sub
+    wide = corpus.count() >= PQ_WIDE_MIN_ROWS  # physical-shape choice
     ex = _sub_exploded(corpus, ds, vec_col, id_col).localCheckpoint(eager=False)
     seeds = (
         corpus.select(F.col(id_col).alias("vec_id"))
@@ -172,9 +230,14 @@ def pq_codebooks(
         "sub", "cell", "dsub", F.col("x").alias("m")
     )
     for _ in range(iters):
-        cent = _update(_assign(ex, cent), ex)
-    cent = cent.localCheckpoint(eager=False)
-    codes = _assign(ex, cent).localCheckpoint(eager=False)
+        # Per-round checkpoint on the TINY centroid frame truncates
+        # the loop lineage (the materialization it triggers is the
+        # round's own compute, paid exactly once either way); the
+        # frame is n_sub*ks*ds rows.
+        cent = _update(_assign(ex, cent, ks, wide), ex).localCheckpoint(
+            eager=False
+        )
+    codes = _assign(ex, cent, ks, wide).localCheckpoint(eager=False)
     return cent, codes, ex
 
 

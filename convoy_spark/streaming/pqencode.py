@@ -67,10 +67,12 @@ def freeze_codebook(
     )
 
 
-def _load_codebook(spark: SparkSession, state_dir: str) -> tuple[DataFrame, int]:
+def _load_codebook(
+    spark: SparkSession, state_dir: str
+) -> tuple[DataFrame, int, int]:
     cb = spark.read.parquet(os.path.join(state_dir, "codebook"))
-    ds = cb.agg(F.max("dsub")).first()[0] + 1  # bounded scalar probe
-    return cb, ds
+    row = cb.agg(F.max("dsub"), F.max("cell")).first()  # bounded probe
+    return cb, row[0] + 1, row[1] + 1
 
 
 def apply_pqencode_batch(
@@ -82,8 +84,8 @@ def apply_pqencode_batch(
     per logical batch ACROSS drains — the runner namespaces the epoch
     id by a checkpoint-dir hash (streaming/embstats.py contract)."""
     spark = batch.sparkSession
-    cb, ds = _load_codebook(spark, state_dir)
-    codes = _assign(_sub_exploded(batch, ds, "embedding", "vec_id"), cb)
+    cb, ds, ks = _load_codebook(spark, state_dir)
+    codes = _assign(_sub_exploded(batch, ds, "embedding", "vec_id"), cb, ks)
     codes.select(
         "vec_id", F.col("sub").cast("int"), F.col("code").cast("int")
     ).write.mode("overwrite").parquet(
@@ -143,8 +145,10 @@ def batch_codes(
     """The one-pass batch twin of :func:`encoded_codes`: encode the
     whole corpus against the same frozen codebook — stream == batch
     bit-for-bit."""
-    cb, ds = _load_codebook(spark, state_dir)
-    return _assign(_sub_exploded(corpus, ds, "embedding", "vec_id"), cb).select(
+    cb, ds, ks = _load_codebook(spark, state_dir)
+    return _assign(
+        _sub_exploded(corpus, ds, "embedding", "vec_id"), cb, ks
+    ).select(
         "vec_id", F.col("sub").cast("int"), F.col("code").cast("int")
     )
 
@@ -167,7 +171,7 @@ def adc_search_over_store(
     )
     from convoy_spark.operators.similarity import SCORE_SCALE
 
-    cb, ds = _load_codebook(spark, state_dir)
+    cb, ds, _ks = _load_codebook(spark, state_dir)
     codes = encoded_codes(spark, state_dir)
     q_ex = _sub_exploded(queries, ds, "embedding", "vec_id")
     dtab = adc_table(q_ex, cb)
