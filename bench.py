@@ -34,6 +34,9 @@ BENCH_QUERIES = [
     "token_stats",
     "text_quality",
     "exact_dedup",
+    # round-6 final: the FK-graph orphan/null audit (7 key-pruned
+    # left-join aggregates)
+    "fk_integrity_audit",
     "media_decode_meta",
     "asof_join",
     "closure_roots",
@@ -50,12 +53,18 @@ BENCH_QUERIES = [
     # scale path worth benchmarking.
     "tree_engagement",
     "lang_id",
+    # round-6 final: a-priori collocation mining (codegen pair
+    # expansion — no token self-join)
+    "token_cooccurrence",
     "pii_scrub",
     "repetition_filter",
     "tfidf_topterms",
     "winnow_fingerprints",
     "minhash_lsh_neardup",
     "simhash_neardup",
+    # round-6 final: the exact prefix-filtered set-similarity join —
+    # the lossless counterpart of the LSH path, same output contract
+    "setsim_prefix_join",
     "substring_dup_pairs",
     "dedup_clusters",
     # the remaining shared-LSH-build consumer (same amortization

@@ -148,6 +148,111 @@ def jaccard_pairs(
     )
 
 
+# Exact-Jaccard threshold for the prefix-filtered join, as a rational
+# (4/5 = 0.8) so ceil(t·n) is integer arithmetic on both engines —
+# float ceil(0.8·n) rounds up spuriously at n ≡ 0 (mod 5) (0.8·5 =
+# 4.000000000000001 in binary64), which would SHORTEN the prefix and
+# silently drop pairs.
+SETSIM_NUM = 4
+SETSIM_DEN = 5
+
+
+def setsim_prefix_join(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Exact set-similarity self-join via prefix filtering (the
+    All-Pairs/PPJoin candidate scheme of Bayardo et al. / Xiao et al.;
+    the MapReduce formulation is Vernica et al., SIGMOD'10): all doc
+    pairs with n-gram-shingle Jaccard ≥ 4/5, computed EXACTLY but
+    without the all-pairs shingle self-join of :func:`jaccard_pairs`.
+
+    The pruning identity: order every doc's shingle set by a global
+    total order (ascending document frequency, ties by hash — rare
+    shingles first, so prefixes land in the emptiest join buckets).
+    For J(A,B) ≥ t the overlap must reach α(x) = ceil(t·|x|) for each
+    side, and any pair with overlap ≥ α must share a token inside both
+    docs' first |x| − α(x) + 1 ordered tokens (pigeonhole on the
+    smallest common token). So joining only the PREFIXES — for t=0.8,
+    ~20% of each set, and the 20% with the rarest tokens — yields a
+    candidate superset, then one candidate-proportional join verifies
+    exact Jaccard. Lossless by construction; the catalog oracle is the
+    all-pairs form, so the driver check proves candidate completeness.
+
+    100 TB posture: df table is vocab-sized (one map-side-combined
+    agg); the prefix join's buckets are per rare-shingle, orders of
+    magnitude smaller than the full shingle join's; verification is
+    semi-join-pruned to candidate docs only (the round-5 LSH lesson).
+    The length filter (5·min ≥ 4·max) drops cross-size candidates
+    before the distinct."""
+    sh = shingle_hashes(docs, n)
+    df_tab = sh.groupBy("h").agg(F.count("*").alias("df"))
+    sets = (
+        sh.join(df_tab, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("df", "h"))).alias("toks"),
+            F.count("*").alias("n_sh"),
+        )
+    )
+    # alpha = ceil(4·n/5) = (4n + 4) div 5; prefix = n − alpha + 1
+    prefix_len = (
+        F.col("n_sh")
+        - F.floor((SETSIM_NUM * F.col("n_sh") + (SETSIM_DEN - 1)) / SETSIM_DEN)
+        + 1
+    ).cast("int")
+    pref = sets.select(
+        "doc_id",
+        "n_sh",
+        F.explode(F.slice("toks", F.lit(1), prefix_len)).alias("t"),
+    ).select("doc_id", "n_sh", F.col("t.h").alias("h"))
+    a = pref.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"), "h"
+    )
+    b = pref.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"), "h"
+    )
+    cand = (
+        a.join(b, "h")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (
+                SETSIM_DEN * F.least("na", "nb")
+                >= SETSIM_NUM * F.greatest("na", "nb")
+            )
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    shp = sh.join(ids, "doc_id", "left_semi")
+    common = (
+        cand.join(shp.withColumnsRenamed({"doc_id": "doc_a"}), "doc_a")
+        .join(shp.withColumnsRenamed({"doc_id": "doc_b"}), ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("c"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    union_sz = F.col("na") + F.col("nb") - F.col("c")
+    return (
+        common.join(
+            sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "na"}), "doc_a"
+        )
+        .join(
+            sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "nb"}), "doc_b"
+        )
+        .filter(SETSIM_DEN * F.col("c") >= SETSIM_NUM * union_sz)
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("c").cast("double") / union_sz.cast("double")).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
 def minhash_signatures(
     docs: DataFrame, num_hashes: int = NUM_HASHES, n: int = 3
 ) -> DataFrame:

@@ -385,6 +385,78 @@ def tfidf_top_terms(docs: DataFrame, k: int = TFIDF_TOP_TERMS) -> DataFrame:
     )
 
 
+COOC_MIN_PAIR = 5  # min docs containing both tokens (support)
+
+
+def token_cooccurrence(
+    docs: DataFrame, min_pair: int = COOC_MIN_PAIR
+) -> DataFrame:
+    """Collocation mining: token pairs co-occurring (document-level)
+    in ≥ ``min_pair`` docs AND more often than independence predicts —
+    lift = P(a,b)/(P(a)·P(b)) > 1, tested as the exact integer
+    cross-multiplication ``n_ab·N > n_a·n_b`` so the keep decision is
+    engine-deterministic (the anomaly_zscore division-free pattern);
+    the reported lift itself is one IEEE division of exact ints.
+
+    Plan, 100 TB first: (1) distinct (doc, token) + a vocab-sized df
+    agg; (2) a-priori prune — tokens with df < min_pair cannot appear
+    in a qualifying pair, so they are semi-joined away BEFORE any pair
+    is formed; (3) per-doc sorted token array, pair expansion as a
+    codegen array transform (no self-join: the doc's tokens never
+    leave the row until the explode), one map-side-combined count on
+    the pair key. Per-doc cost is k² on the pruned set with k bounded
+    by doc length — the standard frequent-pair-mining shape (AIS /
+    a-priori pass 2). No collect, no driver loop."""
+    toks = (
+        docs.select("doc_id", F.explode(_tokens()).alias("token"))
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    df_tab = toks.groupBy("token").agg(F.count("*").alias("n_t"))
+    frequent = df_tab.filter(F.col("n_t") >= min_pair)
+    n_docs = docs.select(F.count("*").alias("n_docs"))
+    sets = (
+        toks.join(frequent.select("token"), "token", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("token")).alias("ts"))
+    )
+    pair_expr = (
+        "flatten(transform(ts, (x, i) -> "
+        "transform(slice(ts, i + 2, size(ts) - i - 1), "
+        "y -> struct(x AS token_a, y AS token_b))))"
+    )
+    pairs = (
+        sets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.token_a", "p.token_b")
+        .groupBy("token_a", "token_b")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_pair)
+    )
+    return (
+        pairs.join(
+            frequent.withColumnsRenamed({"token": "token_a", "n_t": "n_a"}),
+            "token_a",
+        )
+        .join(
+            frequent.withColumnsRenamed({"token": "token_b", "n_t": "n_b"}),
+            "token_b",
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("n_ab") * F.col("n_docs") > F.col("n_a") * F.col("n_b"))
+        .select(
+            "token_a",
+            "token_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            (
+                (F.col("n_ab") * F.col("n_docs")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+    )
+
+
 def char_ngrams(docs: DataFrame, n: int = LANGID_NGRAM) -> DataFrame:
     """(doc_id, lang, gram) — all char n-grams of the lowered text.
 

@@ -292,6 +292,37 @@ from convoy_spark.queries import (  # noqa: F401,E402
 #                              rollup and broadcast-dim machinery;
 #                              one round driver-green, stays
 #                              emulator + invariant-pytest green).
+# Round-6 final additions (standing rule):
+#   IN : setsim_prefix_join  (exact set-similarity self-join via
+#                             All-Pairs/PPJoin prefix filtering — the
+#                             scalable EXACT near-dup path; the oracle
+#                             is the all-pairs form, so the driver
+#                             check proves pruning losslessness),
+#        token_cooccurrence  (a-priori frequent-pair / collocation
+#                             mining — codegen array pair expansion,
+#                             no self-join; integer-exact lift test),
+#        fk_integrity_audit  (referential-integrity DQ audit over the
+#                             full FK graph — the one-pass left-join
+#                             orphan/null profile; puts an anti-join-
+#                             shaped plan back in the window)
+#   OUT: repetition_filter   (repetition_signals runs VERBATIM inside
+#                             in-window corpus_funnel via the shared
+#                             helper, operators/textops.py — shared-by-
+#                             construction, the text_quality precedent;
+#                             stays emulator-green),
+#        winnow_fingerprints (its Horner-gram content-defined sampling
+#                             is in-window via substring_dup_pairs'
+#                             gram hashing, and the per-doc sliding
+#                             min-window selection is the keyed
+#                             running-window plan anomaly_zscore
+#                             proves; differential pytest vs a pure-
+#                             Python winnower stays, emulator-green),
+#        simhash_neardup     (the pigeonhole block equi-join is the
+#                             banded candidate plan in-window
+#                             minhash_lsh_neardup proves — band key ≡
+#                             bit-block key; the signature fold has a
+#                             naive-reference differential pytest and
+#                             stays emulator-green).
 # kmv_distinct_rollup, pq_adc_topk and retrieval_metrics deliberately
 # register PAST-window: the KMV sketch's exact-twin +
 # tolerance-boolean construction is the in-window
@@ -343,9 +374,8 @@ _CHECK_WINDOW = [
     "bm25_multi_query",
     # text analysis components
     "lang_id",
-    "winnow_fingerprints",
+    "token_cooccurrence",
     # round-3 text/quality flagships (rotated in r4 per standing rule)
-    "repetition_filter",
     "pii_scrub",
     "corpus_funnel",
     "model_quality_filter",
@@ -354,7 +384,7 @@ _CHECK_WINDOW = [
     # dedup + dataset-management components
     "exact_dedup",
     "minhash_lsh_neardup",
-    "simhash_neardup",
+    "setsim_prefix_join",
     "substring_dup_pairs",
     "span_dedup",
     "semantic_dedup",
@@ -383,6 +413,8 @@ _CHECK_WINDOW = [
     "zorder_layout",
     # entity resolution
     "fuzzy_name_pairs",
+    # warehouse data-quality audit (round-6 final)
+    "fk_integrity_audit",
     # product quantization + hybrid retrieval (round-6 late)
     "pq_rerank_topk",
     "ann_ivfpq_topk",

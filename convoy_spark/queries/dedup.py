@@ -30,10 +30,13 @@ from convoy_spark.operators.dedup import (
     substring_dup_pairs,
     LSH_ROWS,
     NUM_HASHES,
+    SETSIM_DEN,
+    SETSIM_NUM,
     exact_dedup_map,
     jaccard_pairs,
     minhash_lsh_neardup,
     minhash_signatures,
+    setsim_prefix_join,
     shingle_hashes,
     simhash_neardup,
 )
@@ -142,6 +145,34 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     verifier (quadratic on shared shingles; the LSH query below is the
     100 TB path)."""
     return jaccard_pairs(load_table(spark, sf_dir, "documents"), NEARDUP_J)
+
+
+@query(
+    "setsim_prefix_join",
+    oracle=f"""
+    WITH {SHINGLES_SQL},
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE {SETSIM_DEN} * c >= {SETSIM_NUM} * (sa.n + sb.n - c)
+    """,
+)
+def setsim_prefix_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard ≥ 0.8 pairs via prefix filtering
+    (operators/dedup.py::setsim_prefix_join) — the scalable EXACT
+    set-similarity join (All-Pairs/PPJoin/Vernica): only df-ordered
+    ~20% prefixes ever meet in the candidate join, then candidates are
+    verified exactly. The oracle is the all-pairs form with the same
+    integer threshold test, so the driver check proves the prefix
+    pruning is lossless (candidate completeness), not just precision."""
+    return setsim_prefix_join(load_table(spark, sf_dir, "documents"))
 
 
 @query(

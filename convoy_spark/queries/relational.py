@@ -227,3 +227,93 @@ def calendar_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.weekofyear("ts").alias("event_week"),
         F.hour("ts").alias("event_hour"),
     )
+
+
+# Referential-integrity audit edges: (edge label, child table, fk col,
+# parent table, pk col). The full TPC-H-ish FK graph of the testdata.
+_FK_EDGES = [
+    ("orders.o_custkey->customer", "orders", "o_custkey",
+     "customer", "c_custkey"),
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+     "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+     "supplier", "s_suppkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey",
+     "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+     "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey",
+     "region", "r_regionkey"),
+]
+
+# Parents small enough to broadcast at EVERY scale (fixed-cardinality
+# dims). customer/orders/part/supplier grow with SF: leave those joins
+# to AQE (shuffle-hash at 100 TB — the correct shape; a forced
+# broadcast would OOM the build side).
+_FK_ALWAYS_BROADCAST = {"nation", "region"}
+
+
+def fk_audit_edge(
+    child: DataFrame, fk: str, parent: DataFrame, pk: str, label: str
+) -> DataFrame:
+    """One-row integrity profile of a FK edge: total child rows, rows
+    with a NULL key, orphan rows (non-null key absent from the
+    parent), and distinct orphan key values. One left join against the
+    de-duplicated parent key column + one aggregate — no second pass,
+    no anti-join re-scan; column pruning reduces both scans to the key
+    column."""
+    hits = parent.select(F.col(pk).alias("fk")).distinct().withColumn(
+        "_hit", F.lit(1)
+    )
+    orphan = F.col("fk").isNotNull() & F.col("_hit").isNull()
+    return (
+        child.select(F.col(fk).alias("fk"))
+        .join(hits, "fk", "left")
+        .agg(
+            F.lit(label).alias("edge"),
+            F.count(F.lit(1)).alias("child_rows"),
+            F.count(F.when(F.col("fk").isNull(), 1)).alias("null_fk_rows"),
+            F.count(F.when(orphan, 1)).alias("orphan_rows"),
+            F.countDistinct(F.when(orphan, F.col("fk"))).alias("orphan_keys"),
+        )
+    )
+
+
+@query(
+    "fk_integrity_audit",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{label}' AS edge,
+           CAST(COUNT(*) AS BIGINT) AS child_rows,
+           CAST(COUNT(*) FILTER ({fk} IS NULL) AS BIGINT) AS null_fk_rows,
+           CAST(COUNT(*) FILTER ({fk} IS NOT NULL AND p.{pk} IS NULL)
+                AS BIGINT) AS orphan_rows,
+           CAST(COUNT(DISTINCT {fk})
+                  FILTER ({fk} IS NOT NULL AND p.{pk} IS NULL)
+                AS BIGINT) AS orphan_keys
+    FROM {child} c LEFT JOIN {parent} p ON c.{fk} = p.{pk}
+    """
+        for label, child, fk, parent, pk in _FK_EDGES
+    ),
+)
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse data-quality audit: every FK edge of the schema
+    profiled for NULL keys and orphans (the reference's implicit
+    integrity assumptions — e.g. `2_enrich_ur_conversation_ids.py`
+    joining tweets to conversations by id — made an explicit, checked
+    surface). One row per edge; 7 independent key-pruned left joins
+    unioned, each a single aggregate pass."""
+    frames = []
+    for label, child, fk, parent, pk in _FK_EDGES:
+        p = load_table(spark, sf_dir, parent)
+        if parent in _FK_ALWAYS_BROADCAST:
+            p = F.broadcast(p)
+        frames.append(
+            fk_audit_edge(load_table(spark, sf_dir, child), fk, p, pk, label)
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

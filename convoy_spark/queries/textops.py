@@ -13,6 +13,7 @@ from convoy_spark.functions.hashing import MERSENNE31, WS_SPLIT
 from convoy_spark.functions.numeric import sql_dsum
 from convoy_spark.queries.similarity import scaled_cosine_ranks_ctes
 from convoy_spark.operators.textops import (
+    COOC_MIN_PAIR,
     bm25_search,
     bm25_search_multi,
     bpe_encode_docs,
@@ -39,6 +40,7 @@ from convoy_spark.operators.textops import (
     repetition_signals,
     text_quality,
     tfidf_top_terms,
+    token_cooccurrence,
     token_stats,
     vocab_top_terms,
     winnow_fingerprints,
@@ -1323,3 +1325,43 @@ def classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(2.0) * tpd / (2 * F.col("tp") + F.col("fp") + F.col("fn")))
         .alias("f1"),
     )
+
+
+@query(
+    "token_cooccurrence",
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, w AS token
+      FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '{WS_SPLIT}')) AS w
+        FROM documents
+      )
+      WHERE w <> ''
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    dfr AS (SELECT token, COUNT(*) AS n_t FROM toks GROUP BY token),
+    pairs AS (
+      SELECT a.token AS token_a, b.token AS token_b, COUNT(*) AS n_ab
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.token < b.token
+      GROUP BY a.token, b.token
+      HAVING COUNT(*) >= {COOC_MIN_PAIR}
+    )
+    SELECT token_a, token_b, n_ab,
+           da.n_t AS n_a, db.n_t AS n_b,
+           CAST(n_ab * n_docs AS DOUBLE) / (da.n_t * db.n_t) AS lift
+    FROM pairs
+    JOIN dfr da ON da.token = token_a
+    JOIN dfr db ON db.token = token_b
+    CROSS JOIN n
+    WHERE n_ab * n_docs > da.n_t * db.n_t
+    """,
+)
+def token_cooccurrence_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining (operators/textops.py::token_cooccurrence):
+    document-level token pairs with support ≥ 5 and lift > 1, the
+    a-priori second pass. The Spark side prunes sub-support tokens
+    before pair expansion and never self-joins (codegen array pair
+    expansion); the oracle is the naive self-join form, so the check
+    proves the pruning lossless."""
+    return token_cooccurrence(load_table(spark, sf_dir, "documents"))

@@ -319,3 +319,36 @@ def test_span_dedup_partition_invariant(spark):
             b[k].spans_kept,
             b[k].spans_dropped,
         )
+
+
+def test_setsim_prefix_join_matches_allpairs(spark, docs):
+    # The prefix-filtered exact join must equal the all-pairs verifier
+    # at the same threshold — losslessness of the candidate pruning.
+    from convoy_spark.operators.dedup import setsim_prefix_join
+
+    want = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 12)
+        for r in jaccard_pairs(docs, min_jaccard=0.8).collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 12)
+        for r in setsim_prefix_join(docs).collect()
+    }
+    assert got == want
+    assert (1, 2) in got and got[(1, 2)] == 1.0
+
+
+def test_setsim_boundary_pair_inclusive(spark):
+    # Two 11-token docs differing in the last token: 9 shingles each,
+    # 8 shared -> J = 8/10 = 0.8 EXACTLY. The integer threshold
+    # arithmetic must keep the pair (a float ceil(0.8*n) formulation
+    # shortens the prefix at n % 5 == 0 and can drop it).
+    from convoy_spark.operators.dedup import setsim_prefix_join
+
+    a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11"
+    b = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w12"
+    docs = spark.createDataFrame([(1, a), (2, b)], DOCS_SCHEMA)
+    rows = setsim_prefix_join(docs).collect()
+    assert len(rows) == 1
+    assert rows[0].doc_a == 1 and rows[0].doc_b == 2
+    assert abs(rows[0].jaccard - 0.8) < 1e-12

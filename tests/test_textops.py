@@ -535,3 +535,42 @@ def test_classifier_eval_detects_separable_classes(spark):
         (r.true_lang, r.pred_lang): 1 for r in pred.collect()
     }
     assert all(t == p for t, p in conf), conf
+
+
+def test_token_cooccurrence_invariants(spark):
+    # Tiny constructed corpus: recompute support/df/lift in Python.
+    from convoy_spark.operators.textops import token_cooccurrence
+
+    corpus = [
+        (1, "a b c"),
+        (2, "a b"),
+        (3, "a b d"),
+        (4, "a c"),
+        (5, "b c"),
+        (6, "a b"),
+        (7, "d e"),
+        (8, "a b e"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    rows = token_cooccurrence(docs, min_pair=3).collect()
+    sets = {i: set(t.split()) for i, t in corpus}
+    n = len(corpus)
+
+    def n_both(x, y):
+        return sum(1 for s in sets.values() if x in s and y in s)
+
+    def df(x):
+        return sum(1 for s in sets.values() if x in s)
+
+    want = {}
+    vocab = sorted({t for s in sets.values() for t in s})
+    for i, x in enumerate(vocab):
+        for y in vocab[i + 1:]:
+            ab = n_both(x, y)
+            if ab >= 3 and ab * n > df(x) * df(y):
+                want[(x, y)] = (ab, df(x), df(y))
+    got = {(r.token_a, r.token_b): (r.n_ab, r.n_a, r.n_b) for r in rows}
+    assert got == want and ("a", "b") in got
+    for r in rows:
+        assert abs(r.lift - (r.n_ab * n) / (r.n_a * r.n_b)) < 1e-12
+        assert r.lift > 1.0

@@ -234,6 +234,31 @@ EXPECTATIONS = {
     # chain (broadcast query side); the metric stage is keyed aggs
     # over rank survivors only
     "retrieval_metrics": ["BroadcastHashJoin", "WindowGroupLimit", "HashAggregate"],
+    # prefix-filtered exact set-similarity join: per-doc ordered sets
+    # are an ObjectHashAggregate (collect_list) on the doc key; prefix
+    # explode behind Generate; verification is semi-join-pruned to
+    # candidate docs (LeftSemi) — and never a cartesian (probed at add
+    # time: 0 CartesianProduct, 0 SinglePartition)
+    "setsim_prefix_join": [
+        "ObjectHashAggregate",
+        "Generate",
+        "LeftSemi",
+        "ReadSchema: struct<doc_id:bigint,text:string>",
+    ],
+    # collocation mining: pair expansion is a codegen array transform
+    # behind Generate over the per-doc collect_set — the tokens never
+    # self-join; df/support tables ride broadcasts into the final
+    # projection; only (doc_id, text) read. The one SinglePartition
+    # exchange is the 1-row corpus-count scalar.
+    "token_cooccurrence": [
+        "ObjectHashAggregate",
+        "Generate",
+        "BroadcastHashJoin",
+        "ReadSchema: struct<doc_id:bigint,text:string>",
+    ],
+    # FK audit: 7 key-pruned left joins unioned, each one aggregate
+    # pass; fixed-cardinality dims broadcast
+    "fk_integrity_audit": ["Union", "BroadcastHashJoin", "HashAggregate"],
 }
 
 
