@@ -97,9 +97,13 @@ def doc_shingles(
             lambda i: F.array_join(F.slice(F.col("toks"), i, n), " "),
         ),
     ).otherwise(F.array())
-    return (
-        tokens.select("doc_id", F.explode(shingle_expr).alias("shingle"))
-        .distinct()
+    # Per-doc dedup happens ON the scan row (array_distinct before the
+    # explode): (doc_id, shingle) duplicates can only occur WITHIN a
+    # doc, so this is exactly equivalent to a post-explode .distinct()
+    # — minus the corpus-wide exchange the distinct costs (a measured
+    # 25% of the whole shingle build at sf1.0).
+    return tokens.select(
+        "doc_id", F.explode(F.array_distinct(shingle_expr)).alias("shingle")
     )
 
 
@@ -157,7 +161,9 @@ SETSIM_NUM = 4
 SETSIM_DEN = 5
 
 
-def setsim_prefix_join(docs: DataFrame, n: int = 3) -> DataFrame:
+def setsim_prefix_join(
+    docs: DataFrame, n: int = 3, checkpoint: bool = True
+) -> DataFrame:
     """Exact set-similarity self-join via prefix filtering (the
     All-Pairs/PPJoin candidate scheme of Bayardo et al. / Xiao et al.;
     the MapReduce formulation is Vernica et al., SIGMOD'10): all doc
@@ -178,13 +184,30 @@ def setsim_prefix_join(docs: DataFrame, n: int = 3) -> DataFrame:
 
     100 TB posture: df table is vocab-sized (one map-side-combined
     agg); the prefix join's buckets are per rare-shingle, orders of
-    magnitude smaller than the full shingle join's; verification is
-    semi-join-pruned to candidate docs only (the round-5 LSH lesson).
-    The length filter (5·min ≥ 4·max) drops cross-size candidates
-    before the distinct."""
-    sh = shingle_hashes(docs, n)
+    magnitude smaller than the full shingle join's; the length filter
+    (5·min ≥ 4·max) drops cross-size candidates before the distinct.
+    Verification is per-PAIR codegen array work: each candidate pair
+    joins the two docs' materialized shingle arrays and takes
+    ``size(array_intersect(...))`` — cost bounded by doc length per
+    candidate, zero pair×shingle shuffle. (The first formulation
+    verified via a cand⋈shingles equi-join — candidate-proportional
+    in ROWS but it shuffled |cand|·|doc| join tuples: 16 s of the
+    24 s total at sf1.0. The array form is the simhash/substring
+    per-row-verify pattern and measured ~1 s for identical output.)
+
+    The shingle frame is localCheckpointed once (the
+    minhash_lsh_neardup pattern below): the df table and the ordered
+    sets both read it, and the sets frame — which both verify sides
+    read — is checkpointed too. ``checkpoint=False`` exposes the full
+    lineage for plan audits (the heavy_hitters pattern)."""
+    ckpt = (
+        (lambda d: d.localCheckpoint(eager=False))
+        if checkpoint
+        else (lambda d: d)
+    )
+    sh = ckpt(shingle_hashes(docs, n))
     df_tab = sh.groupBy("h").agg(F.count("*").alias("df"))
-    sets = (
+    sets = ckpt(
         sh.join(df_tab, "h")
         .groupBy("doc_id")
         .agg(
@@ -221,27 +244,28 @@ def setsim_prefix_join(docs: DataFrame, n: int = 3) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    ids = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
+    harr = sets.select(
+        "doc_id", "n_sh", F.expr("transform(toks, t -> t.h)").alias("hs")
     )
-    shp = sh.join(ids, "doc_id", "left_semi")
-    common = (
-        cand.join(shp.withColumnsRenamed({"doc_id": "doc_a"}), "doc_a")
-        .join(shp.withColumnsRenamed({"doc_id": "doc_b"}), ["doc_b", "h"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("c"))
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     union_sz = F.col("na") + F.col("nb") - F.col("c")
     return (
-        common.join(
-            sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "na"}), "doc_a"
+        cand.join(
+            harr.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("n_sh").alias("na"),
+                F.col("hs").alias("ha"),
+            ),
+            "doc_a",
         )
         .join(
-            sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "nb"}), "doc_b"
+            harr.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("n_sh").alias("nb"),
+                F.col("hs").alias("hb"),
+            ),
+            "doc_b",
         )
+        .withColumn("c", F.size(F.array_intersect("ha", "hb")).cast("long"))
         .filter(SETSIM_DEN * F.col("c") >= SETSIM_NUM * union_sz)
         .select(
             "doc_a",

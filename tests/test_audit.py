@@ -25,3 +25,4 @@ def test_fk_audit_clean_edge(spark):
     parent = spark.createDataFrame([(10,), (20,)], "pk long")
     row = fk_audit_edge(child, "fk", parent, "pk", "e").collect()[0]
     assert (row.null_fk_rows, row.orphan_rows, row.orphan_keys) == (0, 0, 0)
+

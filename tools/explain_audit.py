@@ -236,25 +236,33 @@ EXPECTATIONS = {
     "retrieval_metrics": ["BroadcastHashJoin", "WindowGroupLimit", "HashAggregate"],
     # prefix-filtered exact set-similarity join: per-doc ordered sets
     # are an ObjectHashAggregate (collect_list) on the doc key; prefix
-    # explode behind Generate; verification is semi-join-pruned to
-    # candidate docs (LeftSemi) — and never a cartesian (probed at add
-    # time: 0 CartesianProduct, 0 SinglePartition)
+    # explode behind Generate; verification is per-PAIR codegen
+    # array_intersect over the materialized shingle arrays — never a
+    # pair×shingle join, never a cartesian (probed at add time:
+    # 0 CartesianProduct, 0 SinglePartition)
+    # (audited un-checkpointed via OVERRIDES — the shipped operator
+    # truncates lineage at the shingle and sets frames)
     "setsim_prefix_join": [
         "ObjectHashAggregate",
         "Generate",
-        "LeftSemi",
+        "array_intersect",
         "ReadSchema: struct<doc_id:bigint,text:string>",
     ],
-    # collocation mining: pair expansion is a codegen array transform
-    # behind Generate over the per-doc collect_set — the tokens never
-    # self-join; df/support tables ride broadcasts into the final
-    # projection; only (doc_id, text) read. The one SinglePartition
-    # exchange is the 1-row corpus-count scalar.
+    # collocation mining: the per-doc distinct sorted token set is
+    # pure array work ON the scan row (no tokenize shuffle, no
+    # collect_set exchange); pair expansion is a codegen array
+    # transform behind Generate; the only corpus-proportional
+    # exchanges are the two map-side-combined counting aggs; df
+    # tables ride broadcasts into the final projection; only
+    # (doc_id, text) read. The one SinglePartition exchange is the
+    # 1-row corpus-count scalar.
+    # (column pruning goes further than (doc_id, text): the pair
+    # pipeline never reads doc_id at all, so the scan is text-only)
     "token_cooccurrence": [
-        "ObjectHashAggregate",
         "Generate",
         "BroadcastHashJoin",
-        "ReadSchema: struct<doc_id:bigint,text:string>",
+        "HashAggregate",
+        "ReadSchema: struct<text:string>",
     ],
     # FK audit: 7 key-pruned left joins unioned, each one aggregate
     # pass; fixed-cardinality dims broadcast
@@ -295,9 +303,16 @@ def main() -> int:
 
     from convoy_spark.operators.heavyhitters import heavy_hitters as _hh
 
+    from convoy_spark.operators.dedup import setsim_prefix_join as _ssim
+
     OVERRIDES = {
         "minhash_lsh_neardup": lambda s, d: _mlsh(
             load_table(s, d, "documents"), min_jaccard=NEARDUP_J
+        ),
+        # audited un-checkpointed so the shingle/sets pipeline is
+        # visible behind the lineage barriers
+        "setsim_prefix_join": lambda s, d: _ssim(
+            load_table(s, d, "documents"), checkpoint=False
         ),
         "pagerank_scores": _pagerank_body,
         # audited un-checkpointed so the sketch stage is visible
