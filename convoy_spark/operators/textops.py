@@ -430,10 +430,20 @@ def token_cooccurrence(
         .agg(F.count("*").alias("n_t"))
     )
     n_docs = docs.select(F.count("*").alias("n_docs"))
+    # Index-pair expansion: element_at per (i, j), never slice — a
+    # slice inside the outer transform COPIES the suffix array per
+    # outer element (O(k³) element copies per doc; measured 55× slower
+    # at sf3.0 for identical output).
+    # The size guard is load-bearing: sequence(0, -1) DESCENDS in
+    # Spark, so an empty/one-token doc would generate negative
+    # indices instead of no pairs.
     pair_expr = (
-        "flatten(transform(ts, (x, i) -> "
-        "transform(slice(ts, i + 2, size(ts) - i - 1), "
-        "y -> struct(x AS token_a, y AS token_b))))"
+        "CASE WHEN size(ts) >= 2 THEN "
+        "flatten(transform(sequence(0, size(ts) - 2), i -> "
+        "transform(sequence(i + 1, size(ts) - 1), j -> "
+        "struct(element_at(ts, i + 1) AS token_a, "
+        "element_at(ts, j + 1) AS token_b)))) "
+        "ELSE array() END"
     )
     pairs = (
         sets.select(F.explode(F.expr(pair_expr)).alias("p"))
