@@ -121,6 +121,9 @@ BENCH_QUERIES = [
     "curriculum_order",
     "zorder_layout",
     "cohort_retention",
+    # round-6 final: multi-step funnel conversion over the event
+    # stream (keyed min-agg chain, monotonically shrinking frames)
+    "event_funnel_conversion",
     "fuzzy_name_pairs",
     # round-6 temporal-warehouse family: SCD2 history, interval
     # consolidation, rolling anomaly flags, last-touch attribution,

@@ -186,3 +186,150 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "retention"
         ),
     )
+
+
+# Multi-step funnel definition: each later step must happen AFTER the
+# user's chosen previous-step event and within the step window.
+FUNNEL_STEPS = ["view", "click", "purchase"]
+FUNNEL_WINDOW_HOURS = 72
+
+
+def funnel_user_chain(events: DataFrame) -> DataFrame:
+    """Per-user earliest funnel chain over FUNNEL_STEPS: t1 = first
+    'view'; t_{i+1} = first step-(i+1) event at or after t_i and
+    within FUNNEL_WINDOW_HOURS of it (the standard greedy-earliest
+    funnel semantics — deterministic, order-independent, and exact
+    integer-microsecond timestamp comparisons throughout).
+
+    One user-keyed MIN aggregate + one user-keyed join per step; the
+    step frames shrink monotonically, so each later join is smaller
+    than the last. Every stage shares the user_id partitioning — at
+    scale this is k keyed exchanges over monotonically shrinking
+    frames, never a window over the full event stream."""
+    e = events.select("user_id", "event_type", "ts")
+    chain = (
+        e.filter(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    for i, step in enumerate(FUNNEL_STEPS[1:], start=2):
+        prev = f"t{i - 1}"
+        chain = (
+            e.filter(F.col("event_type") == step)
+            .join(chain.select("user_id", F.col(prev).alias("_p")), "user_id")
+            .filter(
+                (F.col("ts") >= F.col("_p"))
+                & (
+                    F.col("ts")
+                    <= F.col("_p")
+                    + F.expr(f"INTERVAL {FUNNEL_WINDOW_HOURS} HOURS")
+                )
+            )
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(f"t{i}"))
+        )
+    return chain  # users who completed the LAST step (t_k = its ts)
+
+
+@query(
+    "event_funnel_conversion",
+    oracle=f"""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(ts) AS t2
+      FROM events e JOIN s1 USING (user_id)
+      WHERE event_type = '{FUNNEL_STEPS[1]}'
+        AND ts >= t1 AND ts <= t1 + INTERVAL {FUNNEL_WINDOW_HOURS} HOUR
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(ts) AS t3
+      FROM events e JOIN s2 USING (user_id)
+      WHERE event_type = '{FUNNEL_STEPS[2]}'
+        AND ts >= t2 AND ts <= t2 + INTERVAL {FUNNEL_WINDOW_HOURS} HOUR
+      GROUP BY e.user_id
+    ),
+    n AS (
+      SELECT (SELECT COUNT(*) FROM s1) AS n1,
+             (SELECT COUNT(*) FROM s2) AS n2,
+             (SELECT COUNT(*) FROM s3) AS n3
+    )
+    SELECT * FROM (
+      SELECT 1 AS step, '{FUNNEL_STEPS[0]}' AS step_name,
+             CAST(n1 AS BIGINT) AS n_users, CAST(1.0 AS DOUBLE) AS conv_from_prev
+      FROM n
+      UNION ALL
+      SELECT 2, '{FUNNEL_STEPS[1]}', CAST(n2 AS BIGINT),
+             CASE WHEN n1 = 0 THEN CAST(0.0 AS DOUBLE)
+                  ELSE CAST(n2 AS DOUBLE) / n1 END
+      FROM n
+      UNION ALL
+      SELECT 3, '{FUNNEL_STEPS[2]}', CAST(n3 AS BIGINT),
+             CASE WHEN n2 = 0 THEN CAST(0.0 AS DOUBLE)
+                  ELSE CAST(n3 AS DOUBLE) / n2 END
+      FROM n
+    )
+    """,
+)
+def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-step funnel conversion (view → click → purchase, each
+    step within 72 h of the previous — the product-analytics staple
+    the reference's conversation tooling implies but never had):
+    per-user greedy-earliest chains (funnel_user_chain), rolled up to
+    per-step reached-user counts and step-over-step conversion rates
+    (one IEEE division of exact longs). Registers PAST-window by the
+    key_skew_profile precedent: every plan shape here — user-keyed
+    min aggregate, time-range-filtered keyed join, scalar rollup —
+    is in-window via flagship/asof_join/interval_merge; the chain
+    semantics are pinned by a constructed-sequence pytest and the
+    emulator hash."""
+    events = load_table(spark, sf_dir, "events")
+    e = events.select("user_id", "event_type", "ts")
+    s1 = (
+        e.filter(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    chains = [s1]
+    cur = s1
+    for i, step in enumerate(FUNNEL_STEPS[1:], start=2):
+        cur = (
+            e.filter(F.col("event_type") == step)
+            .join(
+                cur.select("user_id", F.col(f"t{i - 1}").alias("_p")),
+                "user_id",
+            )
+            .filter(
+                (F.col("ts") >= F.col("_p"))
+                & (
+                    F.col("ts")
+                    <= F.col("_p")
+                    + F.expr(f"INTERVAL {FUNNEL_WINDOW_HOURS} HOURS")
+                )
+            )
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(f"t{i}"))
+        )
+        chains.append(cur)
+    counts = None
+    for i, c in enumerate(chains, start=1):
+        cnt = c.agg(F.count(F.lit(1)).alias(f"n{i}"))
+        counts = cnt if counts is None else counts.crossJoin(cnt)
+    rows = []
+    for i, step in enumerate(FUNNEL_STEPS, start=1):
+        conv = (
+            "CAST(1.0 AS DOUBLE)"
+            if i == 1
+            else (
+                f"CASE WHEN n{i - 1} = 0 THEN CAST(0.0 AS DOUBLE) "
+                f"ELSE CAST(n{i} AS DOUBLE) / n{i - 1} END"
+            )
+        )
+        rows.append(f"{i}, '{step}', n{i}, {conv}")
+    return counts.selectExpr(
+        f"stack({len(FUNNEL_STEPS)}, {', '.join(rows)}) AS "
+        "(step, step_name, n_users, conv_from_prev)"
+    )

@@ -204,3 +204,34 @@ def test_column_histogram_equi_depth(spark):
         assert sum(counts) == sizes[g]
         for a, b in zip(rs, rs[1:]):
             assert b.lo >= a.hi or abs(b.lo - a.hi) < 1e-12, (g, a, b)
+
+
+def test_funnel_chain_semantics(spark):
+    # Constructed sequences: greedy-earliest chain, window exclusion,
+    # order requirement.
+    from datetime import datetime
+
+    from convoy_spark.queries.eventwin import funnel_user_chain
+
+    def t(day, hour=0):
+        return datetime(2024, 1, day, hour)
+
+    rows = [
+        # user 1: clean chain view(d1) -> click(d2) -> purchase(d3)
+        (1, "view", t(1)), (1, "click", t(2)), (1, "purchase", t(3)),
+        # user 2: click BEFORE view only -> chain stops at view
+        (2, "click", t(1)), (2, "view", t(2)),
+        # user 3: click 100h after view (outside the 72h window)
+        (3, "view", t(1)), (3, "click", t(5, 5)),
+        # user 4: two views; the EARLIEST anchors the window, so the
+        # click at d4 is within 72h of view d2 but NOT of view d1
+        (4, "view", t(1)), (4, "view", t(2)), (4, "click", t(4, 12)),
+        # user 5: purchase without click -> stops after view
+        (5, "view", t(1)), (5, "purchase", t(2)),
+    ]
+    events = spark.createDataFrame(
+        [(i, ts, u, et, 0.0) for i, (u, et, ts) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    done = {r.user_id for r in funnel_user_chain(events).collect()}
+    assert done == {1}  # only user 1 completes view->click->purchase
