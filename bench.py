@@ -125,6 +125,9 @@ BENCH_QUERIES = [
     # stream (keyed min-agg chain, monotonically shrinking frames)
     "event_funnel_conversion",
     "fuzzy_name_pairs",
+    # round-6 final: the heuristic ER blocking pass (range_rank +
+    # offset join — (w-1)·n candidates regardless of skew)
+    "sorted_neighborhood_pairs",
     # round-6 temporal-warehouse family: SCD2 history, interval
     # consolidation, rolling anomaly flags, last-touch attribution,
     # ANALYZE-style column stats

@@ -172,3 +172,45 @@ def zorder_bucket_stats(
         F.min(c2).alias(f"min_{c2}"),
         F.max(c2).alias(f"max_{c2}"),
     )
+
+
+def range_rank(
+    df: DataFrame,
+    key_cols: list[str],
+    out_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``df`` + ``out_col`` = the 1-based GLOBAL rank of each row in
+    ``key_cols`` order — without a single-task global sort.
+
+    ``Window.orderBy(key)`` with no partitionBy funnels the whole
+    table through one task; ``block_prefix_sum`` needs a NUMERIC
+    order column to derive block ids. This is the string-key (or
+    any-key) form: repartitionByRange puts each partition in a
+    disjoint key range, a window per partition computes the local
+    row_number, and the exclusive prefix of per-partition counts
+    (a partition-count-sized frame) broadcasts back as offsets.
+
+    The rank is DETERMINISTIC for unique keys even though the range
+    boundaries are sampled (and therefore are not): a row's global
+    rank is its position in the total order, independent of where
+    the partition cuts land. Non-unique keys get a nondeterministic
+    tie order — pass a tiebreaking column in ``key_cols``."""
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    keyed = df.repartitionByRange(n, *[F.col(c) for c in key_cols])
+    keyed = keyed.withColumn("_pid", F.expr("spark_partition_id()"))
+    from pyspark.sql import Window
+
+    w_in = Window.partitionBy("_pid").orderBy(*key_cols)
+    within = keyed.withColumn("_rn", F.row_number().over(w_in))
+    counts = keyed.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    w_p = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_cnt").over(w_p), F.lit(0)).alias("_off")
+    )
+    return (
+        within.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, (F.col("_rn") + F.col("_off")).cast("long"))
+        .drop("_pid", "_rn", "_off")
+    )

@@ -1114,3 +1114,42 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_name").alias("name")
     )
     return fuzzy_pairs_dist1(cust)
+
+
+@query(
+    "sorted_neighborhood_pairs",
+    oracle="""
+    WITH c AS (
+      SELECT DISTINCT c_name AS n FROM customer WHERE c_name IS NOT NULL
+    ),
+    r1 AS (SELECT n, row_number() OVER (ORDER BY n) AS r FROM c),
+    r2 AS (SELECT n, row_number() OVER (ORDER BY reverse(n)) AS r FROM c),
+    cand AS (
+      SELECT least(a.n, b.n) AS name_a, greatest(a.n, b.n) AS name_b
+      FROM r1 a JOIN r1 b ON b.r > a.r AND b.r <= a.r + 3
+      UNION
+      SELECT least(a.n, b.n), greatest(a.n, b.n)
+      FROM r2 a JOIN r2 b ON b.r > a.r AND b.r <= a.r + 3
+    )
+    SELECT name_a, name_b,
+           CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+    FROM cand
+    WHERE levenshtein(name_a, name_b) <= 1
+    """,
+)
+def sorted_neighborhood_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pass sorted-neighborhood ER blocking over customer names
+    (operators/dedup.py::sorted_neighborhood_pairs): forward + reversed
+    sort keys, window 4, exact Levenshtein ≤ 1 verify. The oracle
+    mirrors the rank-window DEFINITION (SNM is deliberately heuristic;
+    completeness proving is fuzzy_name_pairs' all-pairs job) — what
+    the check pins is that the distributed range_rank + offset join
+    computes exactly the ranks a global ORDER BY defines."""
+    from convoy_spark.operators.dedup import sorted_neighborhood_pairs
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name")
+    )
+    return sorted_neighborhood_pairs(cust).withColumn(
+        "dist", F.col("dist").cast("long")
+    )

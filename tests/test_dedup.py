@@ -352,3 +352,40 @@ def test_setsim_boundary_pair_inclusive(spark):
     assert len(rows) == 1
     assert rows[0].doc_a == 1 and rows[0].doc_b == 2
     assert abs(rows[0].jaccard - 0.8) < 1e-12
+
+
+def test_sorted_neighborhood_window_semantics(spark):
+    # Brute-force reference: pairs at levenshtein <= 1 that are within
+    # window-1 rank distance in the forward OR reversed ordering.
+    from convoy_spark.operators.dedup import SNM_WINDOW, sorted_neighborhood_pairs
+
+    names = [
+        "alpha", "alphb", "beta", "betb", "gamma", "gamm", "delta",
+        "xelta", "omega", "omegb", "zzz",
+    ]
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    got = {(r.name_a, r.name_b) for r in sorted_neighborhood_pairs(df).collect()}
+
+    def lev(a, b):
+        import functools
+
+        @functools.lru_cache(None)
+        def d(i, j):
+            if i == 0 or j == 0:
+                return i + j
+            return min(
+                d(i - 1, j) + 1,
+                d(i, j - 1) + 1,
+                d(i - 1, j - 1) + (a[i - 1] != b[j - 1]),
+            )
+        return d(len(a), len(b))
+
+    want = set()
+    for key in (lambda n: n, lambda n: n[::-1]):
+        order = sorted(names, key=key)
+        rank = {n: i for i, n in enumerate(order)}
+        for x in names:
+            for y in names:
+                if x < y and abs(rank[x] - rank[y]) < SNM_WINDOW and lev(x, y) <= 1:
+                    want.add((x, y))
+    assert got == want and ("alpha", "alphb") in got

@@ -69,3 +69,16 @@ def test_salted_rejects_non_decomposable(spark):
     events = load_table(spark, SF_DIR, "events")
     with pytest.raises(ValueError):
         salted_agg(events, "user_id", [("value", "median")])
+
+
+def test_range_rank_matches_global_order(spark):
+    from convoy_spark.operators.scale import range_rank
+
+    import random
+    rnd = random.Random(7)
+    names = [f"item-{rnd.randrange(10**9):09d}" for _ in range(500)]
+    names = list(dict.fromkeys(names))
+    df = spark.createDataFrame([(n,) for n in names], "k string")
+    got = {r.k: r.rank for r in range_rank(df, ["k"], out_col="rank").collect()}
+    want = {n: i + 1 for i, n in enumerate(sorted(names))}
+    assert got == want

@@ -267,6 +267,25 @@ EXPECTATIONS = {
     # FK audit: 7 key-pruned left joins unioned, each one aggregate
     # pass; fixed-cardinality dims broadcast
     "fk_integrity_audit": ["Union", "BroadcastHashJoin", "HashAggregate"],
+    # sorted-neighborhood ER blocking: the global name rank is
+    # range_rank — a RANGE exchange + per-partition row_number window
+    # (never an unpartitioned global sort over the data; the one
+    # SinglePartition window is the partition-count-sized offsets
+    # frame); window offsets behind Generate; exact verify in codegen
+    "sorted_neighborhood_pairs": [
+        "rangepartitioning(",
+        "Window",
+        "Generate",
+        "levenshtein",
+    ],
+    # event funnel: every step is a user-keyed min aggregate + keyed
+    # range-filtered join on the SAME user_id partitioning; the final
+    # 3-row rollup rides broadcast scalar counts
+    "event_funnel_conversion": [
+        "hashpartitioning(user_id",
+        "HashAggregate",
+        "BroadcastNestedLoopJoin",
+    ],
 }
 
 
