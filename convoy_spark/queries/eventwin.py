@@ -287,7 +287,14 @@ def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics are pinned by a constructed-sequence pytest and the
     emulator hash."""
     events = load_table(spark, sf_dir, "events")
-    e = events.select("user_id", "event_type", "ts")
+    return funnel_rollup(events.select("user_id", "event_type", "ts"))
+
+
+def funnel_rollup(e: DataFrame) -> DataFrame:
+    """The funnel summary over a (user_id, event_type, ts) frame —
+    shared by the catalog query above and the streaming store twin
+    (streaming/eventfunnel.py), so the chain + rollup logic cannot
+    drift between them."""
     s1 = (
         e.filter(F.col("event_type") == FUNNEL_STEPS[0])
         .groupBy("user_id")
