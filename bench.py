@@ -39,6 +39,11 @@ BENCH_QUERIES = [
     "fk_integrity_audit",
     "media_decode_meta",
     "asof_join",
+    # round-6 final: the six-table star join (Q5 shape) and the
+    # top-k unshipped-orders join (Q3 shape) — multi-way join
+    # ordering + pushdown showcases
+    "local_supplier_volume",
+    "shipping_priority",
     "closure_roots",
     "tree_stats",
     # the OTHER shared-tree-build consumers, so the build's

@@ -230,3 +230,126 @@ def multiway_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "local_supplier_volume",
+    oracle=f"""
+    SELECT n_name AS nation_name,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape — the six-table star join the catalog's other
+    join queries don't exercise: lineitem ⋈ orders ⋈ customer ⋈
+    supplier ⋈ nation ⋈ region with a same-nation customer/supplier
+    equality and a pushed-down date+region selection. What this pins
+    is Catalyst's multi-way join ORDERING: the region/nation filters
+    prune supplier before the fact join, both date bounds reach the
+    orders scan (PushedFilters), and every dim rides a broadcast —
+    the fact table shuffles only for the orders⋈lineitem equi-join.
+    Past-window by the key_skew precedent (every shape is in-window
+    via flagship/broadcast_dim_rollup/semi machinery); decimal-exact
+    revenue."""
+    region = F.broadcast(
+        load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    )
+    nation = F.broadcast(
+        load_table(spark, sf_dir, "nation").join(
+            region, F.col("n_regionkey") == F.col("r_regionkey")
+        )
+    )
+    supplier = F.broadcast(
+        load_table(spark, sf_dir, "supplier").join(
+            nation, F.col("s_nationkey") == F.col("n_nationkey")
+        )
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        li.join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            customer,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "shipping_priority",
+    oracle=f"""
+    SELECT o_orderkey AS order_id,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1998-06-01'
+      AND l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape — top-10 highest-revenue unshipped orders in a
+    market segment: segment filter semi-prunes orders via the
+    customer dim, both date predicates push into their scans, one
+    keyed aggregation, and the top-10 is TakeOrderedAndProject
+    (distributed per-partition top-k, never a global sort). Ordering
+    made deterministic by the decimal-exact revenue + o_orderkey
+    tiebreak, so the LIMIT is hash-checkable. Past-window (same
+    precedent as local_supplier_volume)."""
+    customer = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            customer.select("c_custkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_semi",
+        )
+        .groupBy(
+            F.col("o_orderkey").alias("order_id"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("order_id").asc())
+        .limit(10)
+    )

@@ -286,6 +286,20 @@ EXPECTATIONS = {
         "HashAggregate",
         "BroadcastNestedLoopJoin",
     ],
+    # Q5-shape star join: both date bounds must reach the orders
+    # scan; every dim rides a broadcast
+    "local_supplier_volume": [
+        "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate",
+        "BroadcastHashJoin",
+        "HashAggregate",
+    ],
+    # Q3-shape top-k: the limit must be a distributed top-k, never a
+    # global sort; the segment filter prunes via a semi join
+    "shipping_priority": [
+        "TakeOrderedAndProject",
+        "LeftSemi",
+        "PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate",
+    ],
 }
 
 
