@@ -39,7 +39,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from convoy_spark.functions.hashing import WS_SPLIT
+from convoy_spark.functions.hashing import WS_SPLIT, hash60
 
 # 1/K is the heaviness threshold; m the per-partition summary size.
 HH_K = 2000
@@ -130,4 +130,109 @@ def heavy_hitters(
         counts.crossJoin(F.broadcast(total))
         .where(F.col("freq") * F.lit(int(k_inv)) > F.col("n_total"))
         .select("token", "freq")
+    )
+
+
+# Count-Min sketch geometry: d independent rows of w counters.
+# ε = e/w ≈ 0.0027, δ = e^-d ≈ 0.018 — point-estimate error ≤ εN
+# with probability 1−δ. Small enough to be a real sketch, large
+# enough that the tolerance test below is non-vacuous at sf0.01.
+CM_DEPTH = 4
+CM_WIDTH = 1024
+
+
+def count_min_cells(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(row, bucket, c) — the Count-Min sketch (Cormode &
+    Muthukrishnan 2005) of the corpus token stream: for each token
+    OCCURRENCE, row i increments bucket ``perm_hash_i(hash60(token))
+    mod w``. The complement of the Misra-Gries pass above: MG answers
+    "which tokens are frequent", CM answers "how frequent is THIS
+    token" for any token, in d·w integers, mergeable by cell-wise sum
+    across partitions/batches/days by construction (the aggregation
+    IS the merge).
+
+    Plan: the d bucket ids are computed per occurrence as a codegen
+    array (no per-row Python, no d-way scan), exploded, then ONE
+    map-side-combined count on (row, bucket) — the shuffle carries at
+    most d·w rows per partition no matter the corpus size. Hashes are
+    the cross-engine family (hash60 → perm_hash), so the sketch —
+    and every estimate derived from it — is bit-identical in the
+    DuckDB oracle."""
+    from convoy_spark.functions.hashing import minhash_params, perm_hash
+
+    toks = _tokens_exploded(docs, text_col).select(
+        hash60(F.col("token")).alias("h")
+    )
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                (perm_hash(F.col("h"), F.lit(a), F.lit(b)) % CM_WIDTH).alias(
+                    "bucket"
+                ),
+            )
+            for i, a, b in minhash_params(CM_DEPTH)
+        ]
+    )
+    return (
+        toks.select(F.explode(cells).alias("c"))
+        .select("c.row", "c.bucket")
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def count_min_estimates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(token, exact, cm_estimate, overestimate, within_bound) — every
+    distinct token's exact occurrence count next to its Count-Min
+    point estimate (min over the d rows of the token's cells), plus
+    the sketch's two contracts as integer-exact booleans:
+    ``overestimate`` (CM never underestimates — must be true for ALL
+    rows) and ``within_bound`` (estimate ≤ exact + ceil(2N/w), the
+    standard εN bound with ε = 2/w — true w.h.p.; the testdata's
+    vocabulary is far below w, so here it holds everywhere and the
+    driver hash pins it). Probing every distinct token is
+    vocab-proportional — the probe-set form a production caller uses
+    is the same join against a chosen token table."""
+    from convoy_spark.functions.hashing import minhash_params, perm_hash
+
+    sketch = count_min_cells(docs, text_col)
+    exact = (
+        _tokens_exploded(docs, text_col)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact"))
+    )
+    n_total = exact.agg(F.sum("exact").alias("n_total"))
+    probes = exact.select(
+        "token", "exact", hash60(F.col("token")).alias("h")
+    )
+    est = None
+    for i, a, b in minhash_params(CM_DEPTH):
+        leg = (
+            probes.withColumn(
+                "bucket", perm_hash(F.col("h"), F.lit(a), F.lit(b)) % CM_WIDTH
+            )
+            .join(
+                F.broadcast(sketch.filter(F.col("row") == i)),
+                "bucket",
+            )
+            .select("token", "exact", F.col("c").alias(f"e{i}"))
+        )
+        est = leg if est is None else est.join(
+            leg.select("token", f"e{i}"), "token"
+        )
+    mins = F.least(*[F.col(f"e{i}") for i in range(CM_DEPTH)])
+    return (
+        est.withColumn("cm_estimate", mins)
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "token",
+            "exact",
+            "cm_estimate",
+            (F.col("cm_estimate") >= F.col("exact")).alias("overestimate"),
+            (
+                CM_WIDTH * (F.col("cm_estimate") - F.col("exact"))
+                <= 2 * F.col("n_total")
+            ).alias("within_bound"),
+        )
     )

@@ -1365,3 +1365,70 @@ def token_cooccurrence_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     expansion); the oracle is the naive self-join form, so the check
     proves the pruning lossless."""
     return token_cooccurrence(load_table(spark, sf_dir, "documents"))
+
+
+def _cm_oracle() -> str:
+    from convoy_spark.functions.hashing import (
+        minhash_params,
+        sql_hash60,
+        sql_perm_hash,
+    )
+    from convoy_spark.operators.heavyhitters import CM_DEPTH, CM_WIDTH
+
+    params = minhash_params(CM_DEPTH)
+    sk_legs = "\n      UNION ALL\n".join(
+        f"      SELECT {i} AS row,"
+        f" ({sql_perm_hash('h', str(a), str(b))}) % {CM_WIDTH} AS bucket,"
+        f" CAST(COUNT(*) AS BIGINT) AS c FROM occ GROUP BY bucket"
+        for i, a, b in params
+    )
+    est_joins = "\n    ".join(
+        f"JOIN sk s{i} ON s{i}.row = {i} AND s{i}.bucket ="
+        f" ({sql_perm_hash('hh.h', str(a), str(b))}) % {CM_WIDTH}"
+        for i, a, b in params
+    )
+    least = ", ".join(f"s{i}.c" for i, _, _ in params)
+    return f"""
+    WITH tk AS MATERIALIZED (
+      SELECT t AS token FROM (
+        SELECT unnest(string_split_regex(lower(text), '{WS_SPLIT}')) AS t
+        FROM documents
+      ) WHERE t <> ''
+    ),
+    ex AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS exact
+           FROM tk GROUP BY token),
+    tot AS (SELECT SUM(exact) AS n_total FROM ex),
+    occ AS (SELECT {sql_hash60('token')} AS h FROM tk),
+    hh AS (SELECT token, {sql_hash60('token')} AS h FROM ex),
+    sk AS (
+{sk_legs}
+    )
+    SELECT hh.token, ex.exact,
+           least({least}) AS cm_estimate,
+           least({least}) >= ex.exact AS overestimate,
+           {CM_WIDTH} * (least({least}) - ex.exact) <= 2 * tot.n_total
+             AS within_bound
+    FROM hh
+    JOIN ex USING (token)
+    {est_joins}
+    CROSS JOIN tot
+    """
+
+
+@query("count_min_freq", oracle=_cm_oracle())
+def count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch point-frequency estimates
+    (operators/heavyhitters.py::count_min_estimates): every distinct
+    token's exact count next to its d=4/w=1024 sketch estimate, with
+    the sketch's never-underestimates and εN-bound contracts as
+    integer-exact booleans the driver hash pins. The cell build and
+    the estimates are the cross-engine hash family, so even the
+    sketch CONTENT is bit-identical in this oracle. Complements
+    in-window heavy_hitters (MG = which tokens are frequent; CM = how
+    frequent is any given token) — registers past-window by the
+    kmv_distinct_rollup precedent (the exact-twin + tolerance-boolean
+    sketch construction is in-window via approx_percentile_rollup;
+    the keyed-agg/broadcast plan shapes throughout are in-window)."""
+    from convoy_spark.operators.heavyhitters import count_min_estimates
+
+    return count_min_estimates(load_table(spark, sf_dir, "documents"))

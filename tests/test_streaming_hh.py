@@ -101,3 +101,20 @@ def test_replay_idempotent(spark, tmp_path):
 def test_empty_state_empty_view(spark, tmp_path):
     out = heavy_hitters_over_stream(spark, str(tmp_path / "none"), K)
     assert out.count() == 0
+
+
+def test_count_min_never_underestimates_under_collisions(spark):
+    # 3000 distinct tokens >> 1024 buckets forces collisions: the
+    # estimate must never drop below exact, and collisions must show
+    # up as strict overestimates somewhere.
+    from convoy_spark.operators.heavyhitters import count_min_estimates
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i % 7} filler{i % 3000}") for i in range(3000)],
+        "doc_id long, text string",
+    )
+    pdf = count_min_estimates(docs).toPandas()
+    assert len(pdf) > 1024
+    assert bool(pdf.overestimate.all())
+    assert int((pdf.cm_estimate > pdf.exact).sum()) > 0
+    assert int(pdf.cm_estimate.min()) >= 1
