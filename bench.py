@@ -120,6 +120,9 @@ BENCH_QUERIES = [
     "pagerank_scores",
     "triangle_part_counts",
     "heavy_hitters",
+    # round-6 final: Count-Min point-frequency sketch (d·w mergeable
+    # integers; shuffle is sketch-sized at any corpus size)
+    "count_min_freq",
     # round-6 tail: weighted draw, curriculum interleave, Z-order
     # envelope, cohort retention, FastSS fuzzy join
     "weighted_sample",
