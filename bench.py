@@ -132,6 +132,9 @@ BENCH_QUERIES = [
     # round-6 final: multi-step funnel conversion over the event
     # stream (keyed min-agg chain, monotonically shrinking frames)
     "event_funnel_conversion",
+    # round-6 final: first-order Markov transition matrix (one keyed
+    # lag window + two keyed aggs)
+    "event_transitions",
     "fuzzy_name_pairs",
     # round-6 final: the heuristic ER blocking pass (range_rank +
     # offset join — (w-1)·n candidates regardless of skew)

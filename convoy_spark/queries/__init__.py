@@ -342,6 +342,18 @@ from convoy_spark.queries import (  # noqa: F401,E402
 # no-proving-slot precedent); column_histogram likewise (one keyed
 # ntile window + keyed agg — the window_funcs/percentile_stats
 # machinery, equi-depth invariants pytest).
+# Round-6 closing-session past-window registrations (each takes no
+# proving slot by the key_skew_profile / kmv precedents; sibling
+# proofs in the docstrings): event_funnel_conversion (user-keyed min
+# aggs + range-filtered keyed joins — flagship/asof/interval shapes),
+# sorted_neighborhood_pairs (rank-window DEFINITION oracle; the
+# range_rank exchange + per-partition window is pack_sequences' block
+# scan family; exact verify = fuzzy_name_pairs' levenshtein),
+# local_supplier_volume / shipping_priority (broadcast-dim star join +
+# TakeOrderedAndProject — broadcast_dim_rollup/top-k tails in-window),
+# count_min_freq (exact-twin + tolerance-boolean sketch construction
+# in-window via approx_percentile_rollup; keyed-agg/broadcast plans
+# throughout).
 _CHECK_WINDOW = [
     # §2.3/§2.8 aggregates + SQL front door (two_pass_mad is past the
     # window: A6/P13 two-pass MAD is proven by tree_metric_mad)

@@ -340,3 +340,59 @@ def funnel_rollup(e: DataFrame) -> DataFrame:
         f"stack({len(FUNNEL_STEPS)}, {', '.join(rows)}) AS "
         "(step, step_name, n_users, conv_from_prev)"
     )
+
+
+@query(
+    "event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT prev_type, event_type AS next_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ),
+    outs AS (
+      SELECT prev_type, SUM(n) AS n_out FROM pairs GROUP BY prev_type
+    )
+    SELECT p.prev_type, p.next_type, p.n,
+           CAST(p.n AS DOUBLE) / o.n_out AS p_next
+    FROM pairs p JOIN outs o USING (prev_type)
+    """,
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the event stream
+    (path analysis: which action follows which): per-user
+    consecutive-event bigrams via ONE keyed lag window
+    (deterministic (ts, event_id) ordering), counted with map-side
+    combine, row-normalized to exact-division transition
+    probabilities. |event_types|² output regardless of stream size.
+    Past-window: the keyed lag window is in-window machinery
+    (scd2_snapshot's change-detect lag, lag_lead_delta emulator-green
+    since round 3); the rollup is two keyed aggs."""
+    events = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    pairs = (
+        seq.groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    outs = pairs.groupBy("prev_type").agg(F.sum("n").alias("n_out"))
+    return pairs.join(F.broadcast(outs), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.col("n_out")).alias("p_next"),
+    )
