@@ -27,6 +27,9 @@ from convoy_spark.session import get_spark
 BENCH_QUERIES = [
     "pricing_summary",
     "flagship_conversation_rollup",
+    # round-6 final: incremental-view-maintenance merge (base+delta
+    # partials vs the oracle's full recompute)
+    "ivm_rollup_merge",
     "singleton_groups",
     "semi_join_filter",
     "calendar_projection",
