@@ -99,3 +99,23 @@ def compact_mixture_counts(spark: SparkSession, state_dir: str) -> int:
 
 
 __all__ = ["compact_embstats", "compact_mixture_counts"]
+
+
+def compact_ivm_partials(spark: SparkSession, state_dir: str) -> int:
+    """Compact the streaming-IVM partials store: replace all per-batch
+    delta partitions with their single merged partial table — valid
+    because the merged view IS a partial of the same schema
+    (streaming/ivm.py::view_over_store re-narrows; associativity is
+    pytest-proven). Returns the number of partial rows replaced; no-op
+    (0) on a missing store."""
+    from convoy_spark.streaming.ivm import load_partials_store, view_over_store
+
+    deltas_dir = os.path.join(state_dir, "partials")
+    if not os.path.isdir(deltas_dir):
+        return 0
+    n = load_partials_store(spark, state_dir).count()
+    merged = view_over_store(spark, state_dir)
+    tmp = os.path.join(state_dir, "_compact_tmp")
+    merged.write.mode("overwrite").parquet(tmp)
+    _swap_in(tmp, deltas_dir)
+    return n

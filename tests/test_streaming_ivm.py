@@ -60,3 +60,26 @@ def test_ivm_replay_idempotent(spark, tmp_path):
 
 def test_ivm_empty_store(spark, tmp_path):
     assert view_over_store(spark, str(tmp_path / "none")).count() == 0
+
+
+def test_ivm_compaction_preserves_view_bitwise(spark, tmp_path):
+    from convoy_spark.streaming.compact import compact_ivm_partials
+
+    li = _li(spark)
+    state = str(tmp_path / "state")
+    for i, (lo, hi) in enumerate([(0, 400), (400, 800), (800, 10**9)]):
+        apply_ivm_batch(
+            li.filter(
+                (F.col("l_orderkey") >= lo) & (F.col("l_orderkey") < hi)
+            ),
+            state,
+            batch_tag=f"t-{i}",
+        )
+    before = _rows(view_over_store(spark, state))
+    replaced = compact_ivm_partials(spark, state)
+    assert replaced > 0
+    after = _rows(view_over_store(spark, state))
+    assert after == before
+    # and further deltas still fold in after compaction
+    apply_ivm_batch(li.limit(0), state, batch_tag="t-post")
+    assert _rows(view_over_store(spark, state)) == before
