@@ -159,9 +159,41 @@ BENCH_QUERIES = [
 CONTENTION_LOAD = 4.0
 
 
+def _wait_for_quiet_host() -> float:
+    """Poll loadavg until the host is quiet (or the wait budget runs
+    out) before starting the timed section.
+
+    Round-5 AND round-6 driver bench runs both fired on a contended
+    host (loadavg 6.8 at r06 start) — every ratio in those artifacts
+    is inflated 3–6×. A short wait is cheaper than a wasted artifact;
+    if the budget expires we run anyway and the ``host_contended``
+    flag self-documents the number.
+    """
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_WAIT", "180"))
+    waited = 0.0
+    load = os.getloadavg()[0]
+    while load > CONTENTION_LOAD and waited < budget:
+        print(
+            f"bench: host busy (loadavg {load:.1f} > {CONTENTION_LOAD}); "
+            f"waiting ({waited:.0f}/{budget:.0f}s)...",
+            file=sys.stderr,
+        )
+        time.sleep(10)
+        waited += 10
+        load = os.getloadavg()[0]
+    if load > CONTENTION_LOAD:
+        print(
+            f"bench: WARNING — starting on a contended host "
+            f"(loadavg {load:.1f}); timings will be inflated and the "
+            "artifact will carry host_contended=true.",
+            file=sys.stderr,
+        )
+    return round(load, 2)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    loadavg_before = round(os.getloadavg()[0], 2)
+    loadavg_before = _wait_for_quiet_host()
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
@@ -269,15 +301,22 @@ def main() -> None:
     # (tests/test_numeric_profiles.py: profiles agree within float
     # tolerance).
     from convoy_spark.functions import numeric
+    from convoy_spark.queries import textops as _qtextops
 
     fast_timings: dict[str, float] = {}
     numeric.EXACT_DEFAULT = False
+    # model_quality_filter's deploy shape (round-6 verdict #5): xxhash64
+    # bucket hash instead of the md5 oracle-parity form — same plan,
+    # measured ~2× faster; recorded here so the artifact carries the
+    # production number next to the md5 engine-floor number.
+    _qtextops.MODEL_QUALITY_PRODUCTION = True
     try:
         for name in (
             "pricing_summary",
             "flagship_conversation_rollup",
             "pca_top_component",
             "pca_topk_components",
+            "model_quality_filter",
         ):
             if name not in QUERIES or name not in names:
                 continue
@@ -294,6 +333,7 @@ def main() -> None:
             fast_timings[name] = round(sorted(samples)[len(samples) // 2], 4)
     finally:
         numeric.EXACT_DEFAULT = True
+        _qtextops.MODEL_QUALITY_PRODUCTION = False
 
     total = round(sum(timings.values()), 4)
     # Shared-build family subtotals (build + every consumer in this
@@ -319,22 +359,60 @@ def main() -> None:
     # load so a contended artifact self-documents instead of silently
     # overstating every ratio.
     load1 = os.getloadavg()[0]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "fast_profile": fast_timings,
-                "families": families,
-                "loadavg_before": loadavg_before,
-                "loadavg_after": round(load1, 2),
-                "host_contended": loadavg_before > CONTENTION_LOAD,
-            }
-        )
+    full = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "fast_profile": fast_timings,
+        "families": families,
+        "loadavg_before": loadavg_before,
+        "loadavg_after": round(load1, 2),
+        "host_contended": loadavg_before > CONTENTION_LOAD,
+    }
+    # Full artifact: one line for grep-ability, plus a file copy so the
+    # complete per-query map survives even when a log captor truncates.
+    print(json.dumps(full))
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
     )
+    try:
+        with open(out_path, "w") as fh:
+            json.dump(full, fh, indent=1)
+    except OSError as exc:  # read-only cwd must not kill the run
+        print(f"bench: could not write {out_path}: {exc}", file=sys.stderr)
+    # Compact summary LAST (round-6 verdict #1): the driver records only
+    # the final ~2,000 characters of output, and the full line above
+    # outgrew that at 78 queries (BENCH_r06.json parsed:null). This line
+    # carries the contract fields plus the most expensive per-query
+    # timings and stays well under the capture limit, so the
+    # driver-visible artifact always ends in valid JSON.
+    top = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:12]
+    )
+    compact = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": top,
+        "n_queries": len(timings),
+        "queries_omitted": len(timings) - len(top),
+        "sf": sf,
+        "families": {f: v["total"] for f, v in families.items()},
+        "fast_profile": fast_timings,
+        "loadavg_before": loadavg_before,
+        "loadavg_after": round(load1, 2),
+        "host_contended": loadavg_before > CONTENTION_LOAD,
+        "full_artifact": out_path,
+    }
+    line = json.dumps(compact)
+    if len(line) > 1800:  # belt-and-braces: never outgrow the capture
+        compact["queries"] = {}
+        compact["fast_profile"] = {}
+        line = json.dumps(compact)
+    print(line)
     spark.stop()
 
 

@@ -41,6 +41,13 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 DEC = "decimal(18,6)"
+# Stored-partial type for mergeable rollups (IVM, streaming stores):
+# sums of DEC values widen per merge level, and an unbounded chain of
+# merges must keep ONE stable stored schema — so every merge re-narrows
+# to this. Single source of truth (round-6 ADVICE #4: this type used to
+# exist as string surgery in three hand-synced places, and a DEC
+# precision change would have silently broken stream==batch).
+DEC_MERGED = "decimal(28,6)"
 
 # Module default for the aggregation profile; see the contract note
 # above. Read at call time so tests (and embedding applications) can

@@ -196,7 +196,11 @@ def count_min_estimates(docs: DataFrame, text_col: str = "text") -> DataFrame:
     is the same join against a chosen token table."""
     from convoy_spark.functions.hashing import minhash_params, perm_hash
 
-    sketch = count_min_cells(docs, text_col)
+    # materialize the d·w-row sketch ONCE before slicing it into the
+    # per-depth broadcast legs below (round-6 ADVICE #3: without this
+    # the full tokenize+explode+agg pipeline re-executed CM_DEPTH
+    # times — the setsim/minhash shared-frame pattern applies here too)
+    sketch = count_min_cells(docs, text_col).localCheckpoint(eager=False)
     exact = (
         _tokens_exploded(docs, text_col)
         .groupBy("token")

@@ -200,6 +200,14 @@ def range_rank(
     n = num_partitions or spark.sparkContext.defaultParallelism
     keyed = df.repartitionByRange(n, *[F.col(c) for c in key_cols])
     keyed = keyed.withColumn("_pid", F.expr("spark_partition_id()"))
+    # Materialize the range exchange ONCE (round-6 ADVICE #5): the
+    # offsets aggregation and the row_number window below consume
+    # `keyed` as two plan subtrees, and _pid alignment between them
+    # must not depend on exchange reuse or the range sampler re-seeding
+    # identically under recomputation. The checkpoint pins one physical
+    # partitioning both consumers read (the repo's shared-frame
+    # pattern, operators/dedup.py:411).
+    keyed = keyed.localCheckpoint(eager=False)
     from pyspark.sql import Window
 
     w_in = Window.partitionBy("_pid").orderBy(*key_cols)

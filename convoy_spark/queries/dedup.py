@@ -1116,9 +1116,15 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_pairs_dist1(cust)
 
 
+from convoy_spark.operators.dedup import SNM_WINDOW  # noqa: E402
+
+
 @query(
     "sorted_neighborhood_pairs",
-    oracle="""
+    # the rank window is interpolated from the operator's own constant
+    # (round-6 ADVICE #2: a hardcoded `+ 3` would silently desync the
+    # oracle if SNM_WINDOW ever changed)
+    oracle=f"""
     WITH c AS (
       SELECT DISTINCT c_name AS n FROM customer WHERE c_name IS NOT NULL
     ),
@@ -1126,10 +1132,10 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     r2 AS (SELECT n, row_number() OVER (ORDER BY reverse(n)) AS r FROM c),
     cand AS (
       SELECT least(a.n, b.n) AS name_a, greatest(a.n, b.n) AS name_b
-      FROM r1 a JOIN r1 b ON b.r > a.r AND b.r <= a.r + 3
+      FROM r1 a JOIN r1 b ON b.r > a.r AND b.r <= a.r + {SNM_WINDOW - 1}
       UNION
       SELECT least(a.n, b.n), greatest(a.n, b.n)
-      FROM r2 a JOIN r2 b ON b.r > a.r AND b.r <= a.r + 3
+      FROM r2 a JOIN r2 b ON b.r > a.r AND b.r <= a.r + {SNM_WINDOW - 1}
     )
     SELECT name_a, name_b,
            CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist

@@ -194,24 +194,28 @@ FUNNEL_STEPS = ["view", "click", "purchase"]
 FUNNEL_WINDOW_HOURS = 72
 
 
-def funnel_user_chain(events: DataFrame) -> DataFrame:
-    """Per-user earliest funnel chain over FUNNEL_STEPS: t1 = first
-    'view'; t_{i+1} = first step-(i+1) event at or after t_i and
-    within FUNNEL_WINDOW_HOURS of it (the standard greedy-earliest
-    funnel semantics — deterministic, order-independent, and exact
-    integer-microsecond timestamp comparisons throughout).
+def funnel_step_frames(events: DataFrame) -> list[DataFrame]:
+    """One (user_id, t_i) frame per funnel step, greedy-earliest
+    semantics: t1 = first 'view'; t_{i+1} = first step-(i+1) event at
+    or after t_i and within FUNNEL_WINDOW_HOURS of it — deterministic,
+    order-independent, exact integer-microsecond comparisons.
 
-    One user-keyed MIN aggregate + one user-keyed join per step; the
-    step frames shrink monotonically, so each later join is smaller
-    than the last. Every stage shares the user_id partitioning — at
-    scale this is k keyed exchanges over monotonically shrinking
-    frames, never a window over the full event stream."""
+    THE shared chain builder (round-6 ADVICE #1): funnel_user_chain,
+    funnel_rollup (hence the catalog query AND the streaming twin) all
+    consume these frames, so the semantics pytest pins the code every
+    caller runs. One user-keyed MIN aggregate + one user-keyed join
+    per step; the step frames shrink monotonically, so each later
+    join is smaller than the last. Every stage shares the user_id
+    partitioning — at scale this is k keyed exchanges over
+    monotonically shrinking frames, never a window over the full
+    event stream."""
     e = events.select("user_id", "event_type", "ts")
     chain = (
         e.filter(F.col("event_type") == FUNNEL_STEPS[0])
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
     )
+    frames = [chain]
     for i, step in enumerate(FUNNEL_STEPS[1:], start=2):
         prev = f"t{i - 1}"
         chain = (
@@ -228,7 +232,15 @@ def funnel_user_chain(events: DataFrame) -> DataFrame:
             .groupBy("user_id")
             .agg(F.min("ts").alias(f"t{i}"))
         )
-    return chain  # users who completed the LAST step (t_k = its ts)
+        frames.append(chain)
+    return frames
+
+
+def funnel_user_chain(events: DataFrame) -> DataFrame:
+    """Per-user earliest funnel chain over FUNNEL_STEPS: the frame of
+    users who completed the LAST step (t_k = its ts). See
+    funnel_step_frames for semantics and the scale argument."""
+    return funnel_step_frames(events)[-1]
 
 
 @query(
@@ -293,34 +305,11 @@ def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 def funnel_rollup(e: DataFrame) -> DataFrame:
     """The funnel summary over a (user_id, event_type, ts) frame —
     shared by the catalog query above and the streaming store twin
-    (streaming/eventfunnel.py), so the chain + rollup logic cannot
-    drift between them."""
-    s1 = (
-        e.filter(F.col("event_type") == FUNNEL_STEPS[0])
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
-    )
-    chains = [s1]
-    cur = s1
-    for i, step in enumerate(FUNNEL_STEPS[1:], start=2):
-        cur = (
-            e.filter(F.col("event_type") == step)
-            .join(
-                cur.select("user_id", F.col(f"t{i - 1}").alias("_p")),
-                "user_id",
-            )
-            .filter(
-                (F.col("ts") >= F.col("_p"))
-                & (
-                    F.col("ts")
-                    <= F.col("_p")
-                    + F.expr(f"INTERVAL {FUNNEL_WINDOW_HOURS} HOURS")
-                )
-            )
-            .groupBy("user_id")
-            .agg(F.min("ts").alias(f"t{i}"))
-        )
-        chains.append(cur)
+    (streaming/eventfunnel.py). Built on funnel_step_frames (round-6
+    ADVICE #1: the chain logic used to be duplicated here verbatim;
+    now the constructed-sequence semantics pytest pins the code this
+    rollup actually runs)."""
+    chains = funnel_step_frames(e)
     counts = None
     for i, c in enumerate(chains, start=1):
         cnt = c.agg(F.count(F.lit(1)).alias(f"n{i}"))

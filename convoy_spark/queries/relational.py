@@ -377,15 +377,14 @@ def merge_rollup_partials(base: DataFrame, delta: DataFrame) -> DataFrame:
     maxes). This is the batch form of what every streaming module
     here does per micro-batch, and the cost is O(|view| + |delta|),
     never O(|fact|)."""
-    from convoy_spark.functions.numeric import DEC
+    from convoy_spark.functions.numeric import DEC_MERGED
 
     return base.unionByName(delta).groupBy("l_orderkey").agg(
         F.sum("n_items").cast("long").alias("n_items"),
-        # re-narrow to the partial type: decimal sums widen per merge
-        # level, and an unbounded chain of merges must keep ONE
-        # stable stored schema
-        F.sum("sum_qty").cast(DEC.replace("18", "28")).alias("sum_qty"),
-        F.sum("revenue").cast(DEC.replace("18", "28")).alias("revenue"),
+        # re-narrow to the shared stored-partial type (DEC_MERGED —
+        # see functions/numeric.py for why merges must not widen)
+        F.sum("sum_qty").cast(DEC_MERGED).alias("sum_qty"),
+        F.sum("revenue").cast(DEC_MERGED).alias("revenue"),
         F.min("first_ship").alias("first_ship"),
         F.max("last_ship").alias("last_ship"),
     )

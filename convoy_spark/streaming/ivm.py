@@ -40,6 +40,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+from convoy_spark.functions.numeric import DEC_MERGED
 from convoy_spark.queries.relational import rollup_partials
 
 LINEITEM_STREAM_SCHEMA = StructType(
@@ -59,8 +60,8 @@ LINEITEM_STREAM_SCHEMA = StructType(
 )
 
 PARTIALS_SCHEMA = (
-    "l_orderkey long, n_items long, sum_qty decimal(28,6),"
-    " revenue decimal(28,6), first_ship timestamp, last_ship timestamp"
+    f"l_orderkey long, n_items long, sum_qty {DEC_MERGED},"
+    f" revenue {DEC_MERGED}, first_ship timestamp, last_ship timestamp"
 )
 
 
@@ -119,8 +120,8 @@ def view_over_store(spark: SparkSession, state_dir: str) -> DataFrame:
     deltas = load_partials_store(spark, state_dir)
     return deltas.groupBy("l_orderkey").agg(
         F.sum("n_items").cast("long").alias("n_items"),
-        F.sum("sum_qty").cast("decimal(28,6)").alias("sum_qty"),
-        F.sum("revenue").cast("decimal(28,6)").alias("revenue"),
+        F.sum("sum_qty").cast(DEC_MERGED).alias("sum_qty"),
+        F.sum("revenue").cast(DEC_MERGED).alias("revenue"),
         F.min("first_ship").alias("first_ship"),
         F.max("last_ship").alias("last_ship"),
     )
