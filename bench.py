@@ -85,6 +85,9 @@ BENCH_QUERIES = [
     # (ADC shortlist + exact re-rank) and the IVF-pruned composition
     "pq_rerank_topk",
     "ann_ivfpq_topk",
+    # round-7: the recall-vs-n_probe operating-curve harness (5 pruned
+    # ADC scans + the exact-L2 truth over the query set)
+    "pq_recall_sweep",
     # round-6 late: lexical+semantic fusion, the KMV sketch, and the
     # retrieval-quality evaluation harness
     "hybrid_rrf_topk",
@@ -245,8 +248,8 @@ def main() -> None:
         "root_stats_fastpath",
     }
     _LSH_CONSUMERS = {"minhash_lsh_neardup", "dedup_clusters", "split_contamination"}
-    _PQ_CONSUMERS = {"pq_rerank_topk", "ann_ivfpq_topk"}
-    _IVF_CONSUMERS = {"ann_ivfpq_topk"}
+    _PQ_CONSUMERS = {"pq_rerank_topk", "ann_ivfpq_topk", "pq_recall_sweep"}
+    _IVF_CONSUMERS = {"ann_ivfpq_topk", "pq_recall_sweep"}
 
     def _materialize_pq(spark, sf_dir):
         # the tuple frames are lazily checkpointed; force the blocks

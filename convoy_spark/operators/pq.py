@@ -329,6 +329,55 @@ def ann_pq_adc_topk(
     return _topk_by_adist(scored, k)
 
 
+def ivfpq_candidates(
+    queries: DataFrame,
+    corpus: DataFrame,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    coarse_index: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """(query_id, vec_id) — the IVF-pruned candidate pairs: for each
+    query, every corpus vector assigned to one of its ``n_probe``
+    nearest coarse cells (self excluded). THE candidate stage of
+    :func:`ann_ivfpq_topk`, split out so the recall-vs-n_probe sweep
+    harness (queries/similarity.py::pq_recall_sweep) measures exactly
+    the candidate set the search runs on — shared-by-construction,
+    cannot drift.
+
+    Probe ranking is the exact decimal query→centroid distance with
+    the deterministic (d, cell) tiebreak (mirrors ann_ivf_topk's probe
+    stage); candidates come from one equi-join on cell — candidate
+    volume is n_probe/n_cells of the corpus, no Q×N anywhere."""
+    from convoy_spark.operators.similarity import _sq_dist, ivf_index
+
+    centroids, assignment = coarse_index or ivf_index(
+        corpus, n_cells=n_cells, vec_col=vec_col, id_col=id_col
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("d").asc(), F.col("cell").asc()
+    )
+    probes = (
+        q.join(F.broadcast(centroids))
+        .select(
+            "query_id", "cell", _sq_dist(F.col("qv"), F.col("centroid")).alias("d")
+        )
+        .withColumn("pr", F.row_number().over(probe_w))
+        .filter(F.col("pr") <= n_probe)
+        .select("query_id", "cell")
+    )
+    return (
+        probes.join(assignment, "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id")
+    )
+
+
 def ann_ivfpq_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -356,44 +405,21 @@ def ann_ivfpq_topk(
     and the PQ loop each checkpoint their final frames only, and the
     candidate pruning is an equi-join on cell — no Q×N anywhere.
     """
-    from convoy_spark.operators.similarity import ivf_index
-
-    centroids, assignment = coarse_index or ivf_index(
-        corpus, n_cells=n_cells, vec_col=vec_col, id_col=id_col
-    )
     codebook, codes, _ = pq_index or pq_codebooks(
         corpus, n_sub, ks, iters, vec_col, id_col
     )
     dim = _infer_dim(corpus, vec_col)
     q_ex = _sub_exploded(queries, dim // n_sub, vec_col, id_col)
     dtab = adc_table(q_ex, codebook)
-    # Probe ranking: exact decimal distance from each query to each
-    # coarse centroid (mirrors ann_ivf_topk's probe stage — same
-    # deterministic (d, cell) tiebreak).
-    from convoy_spark.operators.similarity import _sq_dist, with_norm  # noqa: F401
-
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
-    )
-    probe_w = Window.partitionBy("query_id").orderBy(
-        F.col("d").asc(), F.col("cell").asc()
-    )
-    probes = (
-        q.join(F.broadcast(centroids))
-        .select(
-            "query_id", "cell", _sq_dist(F.col("qv"), F.col("centroid")).alias("d")
-        )
-        .withColumn("pr", F.row_number().over(probe_w))
-        .filter(F.col("pr") <= n_probe)
-        .select("query_id", "cell")
-    )
-    cand_codes = (
-        probes.join(assignment, "cell")
-        .filter(F.col("query_id") != F.col("vec_id"))
-        .select("query_id", "vec_id")
-        .join(codes, "vec_id")
-    )
+    cand_codes = ivfpq_candidates(
+        queries,
+        corpus,
+        n_cells=n_cells,
+        n_probe=n_probe,
+        vec_col=vec_col,
+        id_col=id_col,
+        coarse_index=coarse_index,
+    ).join(codes, "vec_id")
     dt = dtab.select(
         F.col("query_id").alias("_dq"),
         F.col("sub").alias("_dsub"),
@@ -506,6 +532,54 @@ def ann_pq_rerank_topk(
 CODES_STORE_SCHEMA = "vec_id long, sub int, code int"
 ASSIGN_STORE_SCHEMA = "vec_id long, cell int"
 PQ_INDEX_BUCKET = ("vec_id",)
+
+
+def exact_l2_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(query_id, corpus_id, dnum, rank) — exact squared-L2 top-k,
+    the ground truth every PQ/IVF-PQ recall number is stated against
+    (PQ approximates L2, so the truth metric is L2, not cosine).
+
+    dnum is the scaled-long distance Σ floor((xq−x)²·2⁴⁰) — exact,
+    order-free, bit-identical across engines — so the top-k set AND
+    the (dnum, corpus_id) tiebreak are oracle-mirrorable. Plan: the
+    |Q|·dim query expansion broadcasts against the corpus expansion
+    (one map-side join on d), then one map-side-combined keyed agg —
+    Q×N work by definition (it is the truth baseline), embarrassingly
+    parallel, never all-pairs over the corpus alone."""
+    from convoy_spark.operators.similarity import exploded_vectors
+
+    q_ex = exploded_vectors(queries, vec_col, id_col).select(
+        F.col("vec_id").alias("query_id"), "d", F.col("x").alias("xq")
+    )
+    c_ex = exploded_vectors(corpus, vec_col, id_col)
+    dist = (
+        c_ex.join(F.broadcast(q_ex), "d")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("corpus_id"),
+            ((F.col("xq") - F.col("x")) * (F.col("xq") - F.col("x"))).alias("p"),
+        )
+        .groupBy("query_id", "corpus_id")
+        .agg(
+            F.sum(F.floor(F.col("p") * F.lit(SCORE_SCALE)))
+            .cast("long")
+            .alias("dnum")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dnum").asc(), F.col("corpus_id").asc()
+    )
+    return (
+        dist.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
 
 
 def write_pq_index(

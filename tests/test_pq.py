@@ -127,3 +127,52 @@ def test_persisted_index_serves_search_identically(spark, tmp_path):
     joined = idx["codes"].hint("merge").join(idx["assignment"], "vec_id")
     jplan = joined._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in jplan, jplan
+
+
+def test_pq_recall_sweep_parity(spark, duck):
+    run_parity(spark, duck, "pq_recall_sweep")
+
+
+def test_pq_recall_sweep_invariants(spark):
+    """The operating curve's contracts: candidate volume and candidate
+    recall are monotone non-decreasing in n_probe; probing every cell
+    puts every true neighbor in the candidate set (cand_recall = 1);
+    the final ADC recall can never exceed the candidate ceiling; the
+    exact-L2 numpy truth agrees with exact_l2_topk."""
+    import numpy as np
+
+    from convoy_spark.operators.pq import exact_l2_topk
+    from convoy_spark.queries import QUERIES
+    from convoy_spark.queries.similarity import IVF_CELLS
+
+    rows = sorted(
+        (
+            (r.n_probe, r.n_cand, r.cand_recall, r.recall)
+            for r in QUERIES["pq_recall_sweep"](spark, SF_DIR).collect()
+        )
+    )
+    assert [p for p, *_ in rows] == [1, 2, 4, 8, 16]
+    for (p0, c0, cr0, _r0), (p1, c1, cr1, _r1) in zip(rows, rows[1:]):
+        assert c1 >= c0, f"candidate volume shrank {p0}->{p1}"
+        assert cr1 >= cr0 - 1e-12, f"cand_recall fell {p0}->{p1}"
+    assert rows[-1][0] == IVF_CELLS and rows[-1][2] == 1.0
+    for p, _c, cr, r in rows:
+        assert r <= cr + 1e-12, f"recall above candidate ceiling at {p}"
+
+    # exact_l2_topk vs numpy ground truth
+    emb = load_table(spark, SF_DIR, "embeddings")
+    pdf = emb.orderBy("vec_id").toPandas()
+    X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    want = set()
+    for qi in range(16):
+        d2 = ((X - X[qi]) ** 2).sum(axis=1)
+        d2[qi] = np.inf
+        order = np.lexsort((ids, d2))[:5]
+        want |= {(int(ids[qi]), int(ids[j])) for j in order}
+    q = emb.filter(F.col("vec_id") < 16)
+    got = {
+        (r.query_id, r.corpus_id)
+        for r in exact_l2_topk(q, emb, k=5).collect()
+    }
+    assert got == want

@@ -5,6 +5,7 @@ resume adds nothing."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from convoy_spark.operators.textops import bm25_search_multi
@@ -54,31 +55,41 @@ def _build_index(spark, tmp_path, chunks, tag, layout="plain"):
     return str(tmp_path / f"state_{tag}")
 
 
-def _got(spark, state):
+def _got(spark, state, layout="plain"):
     return sorted(
         (r.query_id, r.doc_id, r.score, r.n_hit_terms)
-        for r in bm25_over_index(spark, state, _qdf(spark), top_k=20).collect()
+        for r in bm25_over_index(
+            spark, state, _qdf(spark), top_k=20, layout=layout
+        ).collect()
     )
 
 
-def test_incremental_index_bm25_equals_corpus(spark, tmp_path):
+# Both store layouts run the index==corpus suite (round-6 verdict #6).
+LAYOUTS = ["plain", "bucketed"]
+
+
+@pytest.mark.parametrize("layout", LAYOUTS)
+def test_incremental_index_bm25_equals_corpus(spark, tmp_path, layout):
     want = _want(spark)
     assert want, "no query terms in the corpus at this SF?"
     state = _build_index(
-        spark, tmp_path, [(0, 25), (25, 60), (60, 10_000)], "fwd"
+        spark, tmp_path, [(0, 25), (25, 60), (60, 10_000)],
+        f"fwd_{layout}", layout=layout,
     )
-    assert _got(spark, state) == want
+    assert _got(spark, state, layout=layout) == want
 
 
-def test_out_of_order_and_redelivery_idempotent(spark, tmp_path):
+@pytest.mark.parametrize("layout", LAYOUTS)
+def test_out_of_order_and_redelivery_idempotent(spark, tmp_path, layout):
     """Later chunk re-delivers earlier ids (overlap [10, 40)): the
     anti-join keeps the index single-copy, so scores still equal the
     batch corpus run."""
     want = _want(spark)
     state = _build_index(
-        spark, tmp_path, [(10, 10_000), (0, 40)], "redeliver"
+        spark, tmp_path, [(10, 10_000), (0, 40)],
+        f"redeliver_{layout}", layout=layout,
     )
-    assert _got(spark, state) == want
+    assert _got(spark, state, layout=layout) == want
 
 
 def test_checkpoint_resume_adds_nothing(spark, tmp_path):
@@ -129,10 +140,11 @@ def test_partial_append_replay_converges(spark, tmp_path):
     assert {r.doc_id for r in doclens.collect()} == {1, 2}
 
 
-def test_bucketed_layout_index_equals_corpus(spark, tmp_path):
-    """layout="bucketed" index must answer BM25 identically to the
-    corpus pass, and the query path must read the postings store as a
-    bucketed scan (no store-side exchange into the tf aggregation)."""
+def test_bucketed_postings_store_scan_no_exchange(spark, tmp_path):
+    """The bucketed postings store must enter the plan as a bucketed
+    scan (no store-side exchange into the tf aggregation); score
+    equality over both layouts is covered by the parametrized suite
+    above."""
     from convoy_spark.streaming.index import (
         POSTINGS_BUCKET,
         POSTINGS_SCHEMA,
@@ -142,14 +154,6 @@ def test_bucketed_layout_index_equals_corpus(spark, tmp_path):
     state = _build_index(
         spark, tmp_path, [(0, 30), (30, 10_000)], "bkt", layout="bucketed"
     )
-    got = sorted(
-        (r.query_id, r.doc_id, r.score, r.n_hit_terms)
-        for r in bm25_over_index(
-            spark, state, _qdf(spark), top_k=20, layout="bucketed"
-        ).collect()
-    )
-    assert got == _want(spark)
-
     # the store read carries the bucket layout into the plan
     postings = load_store(
         spark, f"{state}/postings", POSTINGS_SCHEMA, bucket=POSTINGS_BUCKET

@@ -54,18 +54,35 @@ def _run_chunks(spark, tmp_path, chunks, tag, layout="plain"):
     return got
 
 
-def test_stream_equals_batch_in_order(spark, tmp_path):
+# Both store layouts run the full stream==batch suite (round-6 verdict
+# #6): the bucketed path is continuously proven, not just by one
+# dedicated test — a layout is physical, never semantic.
+LAYOUTS = ["plain", "bucketed"]
+
+
+@pytest.mark.parametrize("layout", LAYOUTS)
+def test_stream_equals_batch_in_order(spark, tmp_path, layout):
     want = _expected_pairs(spark)
     assert want, "corpus has no planted near-dups at this SF?"
-    got = _run_chunks(spark, tmp_path, [(0, 20), (20, 35), (35, 10_000)], "fwd")
+    got = _run_chunks(
+        spark,
+        tmp_path,
+        [(0, 20), (20, 35), (35, 10_000)],
+        f"fwd_{layout}",
+        layout=layout,
+    )
     assert got == want
 
 
-def test_stream_equals_batch_out_of_order(spark, tmp_path):
+@pytest.mark.parametrize("layout", LAYOUTS)
+def test_stream_equals_batch_out_of_order(spark, tmp_path, layout):
     """Later crawl delivers EARLIER ids — pair orientation and the
     pair set must still match the batch operator exactly."""
     want = _expected_pairs(spark)
-    got = _run_chunks(spark, tmp_path, [(30, 10_000), (0, 30)], "rev")
+    got = _run_chunks(
+        spark, tmp_path, [(30, 10_000), (0, 30)], f"rev_{layout}",
+        layout=layout,
+    )
     assert got == want
 
 
@@ -180,17 +197,6 @@ def test_partial_append_replay_pair_jaccard_exact(spark, tmp_path):
     got: list = []
     apply_neardup_batch(spark, docs, state, lambda df: got.extend(df.collect()))
     assert {(r.doc_a, r.doc_b): round(r.jaccard, 9) for r in got} == want
-
-
-def test_bucketed_layout_stream_equals_batch(spark, tmp_path):
-    """layout="bucketed" must produce the exact same pair set as the
-    plain layout / batch operator — the store layout is a physical
-    choice, never a semantic one."""
-    want = _expected_pairs(spark)
-    got = _run_chunks(
-        spark, tmp_path, [(0, 25), (25, 10_000)], "bkt", layout="bucketed"
-    )
-    assert got == want
 
 
 def test_bucketed_band_store_join_no_history_exchange(spark, tmp_path):

@@ -6,6 +6,7 @@ resume emits nothing."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from convoy_spark.operators.dedup import substring_dup_pairs
@@ -63,17 +64,28 @@ def test_single_batch_drain_equals_batch(spark, tmp_path):
     assert got == want
 
 
-def test_stream_equals_batch_chunked(spark, tmp_path):
+# Both store layouts run the stream==batch suite (round-6 verdict #6):
+# the bucketed path is continuously proven, not by one dedicated test.
+LAYOUTS = ["plain", "bucketed"]
+
+
+@pytest.mark.parametrize("layout", LAYOUTS)
+def test_stream_equals_batch_chunked(spark, tmp_path, layout):
     want = _expected_pairs(spark)
     got = _run_chunks(
-        spark, tmp_path, [(0, 20), (20, 35), (35, 10_000)], "fwd"
+        spark, tmp_path, [(0, 20), (20, 35), (35, 10_000)],
+        f"fwd_{layout}", layout=layout,
     )
     assert got == want
 
 
-def test_stream_equals_batch_out_of_order(spark, tmp_path):
+@pytest.mark.parametrize("layout", LAYOUTS)
+def test_stream_equals_batch_out_of_order(spark, tmp_path, layout):
     want = _expected_pairs(spark)
-    got = _run_chunks(spark, tmp_path, [(30, 10_000), (0, 30)], "rev")
+    got = _run_chunks(
+        spark, tmp_path, [(30, 10_000), (0, 30)], f"rev_{layout}",
+        layout=layout,
+    )
     assert got == want
 
 
@@ -140,13 +152,3 @@ def test_checkpoint_resume_emits_nothing(spark, tmp_path):
         lambda df: second.extend(df.collect()),
     )
     assert second == []
-
-
-def test_bucketed_layout_stream_equals_batch(spark, tmp_path):
-    """layout="bucketed" must emit exactly the plain-layout / batch
-    pair set — the store layout is physical, never semantic."""
-    want = _expected_pairs(spark)
-    got = _run_chunks(
-        spark, tmp_path, [(0, 40), (40, 10_000)], "bkt", layout="bucketed"
-    )
-    assert got == want
