@@ -73,6 +73,9 @@ BENCH_QUERIES = [
     # round-6 final: the exact prefix-filtered set-similarity join —
     # the lossless counterpart of the LSH path, same output contract
     "setsim_prefix_join",
+    # round-7: the banding operating-curve harness (one signature
+    # pass + 5 band-key derivations + the exact truth via setsim)
+    "lsh_band_sweep",
     "substring_dup_pairs",
     "dedup_clusters",
     # the remaining shared-LSH-build consumer (same amortization
@@ -88,6 +91,11 @@ BENCH_QUERIES = [
     # round-7: the recall-vs-n_probe operating-curve harness (5 pruned
     # ADC scans + the exact-L2 truth over the query set)
     "pq_recall_sweep",
+    # round-7: ANCE-style hard-negative mining off the ADC shortlist,
+    # and the OPQ-style balanced-permutation A/B (trains a second
+    # quantizer — deliberately NOT a shared-index consumer)
+    "hard_negative_mine",
+    "pq_opq_compare",
     # round-6 late: lexical+semantic fusion, the KMV sketch, and the
     # retrieval-quality evaluation harness
     "hybrid_rrf_topk",
@@ -248,7 +256,12 @@ def main() -> None:
         "root_stats_fastpath",
     }
     _LSH_CONSUMERS = {"minhash_lsh_neardup", "dedup_clusters", "split_contamination"}
-    _PQ_CONSUMERS = {"pq_rerank_topk", "ann_ivfpq_topk", "pq_recall_sweep"}
+    _PQ_CONSUMERS = {
+        "pq_rerank_topk",
+        "ann_ivfpq_topk",
+        "pq_recall_sweep",
+        "hard_negative_mine",
+    }
     _IVF_CONSUMERS = {"ann_ivfpq_topk", "pq_recall_sweep"}
 
     def _materialize_pq(spark, sf_dir):

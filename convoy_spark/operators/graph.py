@@ -155,11 +155,23 @@ def triangle_counts(edges_undirected: DataFrame) -> DataFrame:
     ``edges_undirected``: one row per undirected edge {p, q} (any
     orientation, duplicates tolerated — distinct-ed here). Algorithm:
     orient every edge from the (degree, id)-smaller endpoint to the
-    larger (a total order), enumerate wedges (u→v, u→w) with
-    ord(v) < ord(w) from each pivot's OUT-neighborhood, and close them
-    against the oriented edge v→w. Each triangle is found exactly
-    once, at its unique minimum-order corner; per-node counts then
-    credit all three corners.
+    larger (a total order), then EDGE-ITERATE: each oriented edge
+    (u, v) joins both endpoints' out-neighbor arrays and the
+    triangles through it are ``array_intersect(N⁺(u), N⁺(v))`` — a
+    triangle {x<y<z} (in orientation order) is found exactly once, at
+    its (min, mid) edge, since z ∈ N⁺(x) ∩ N⁺(y). Per-node counts
+    then credit all three corners.
+
+    The round-6 formulation materialized the wedge set (u→v, u→w)
+    and closed it with a left-semi join on (v, w) — the wedge frame
+    (Σ_u C(d⁺(u), 2) rows, ≫ triangles on dense graphs) shuffled
+    TWICE. Stage-split timing at sf0.1 (BENCH_NOTES round 7): edges +
+    orient + wedges ≈ 10.7 s, full query 67–128 s — the wedge semi
+    join owned everything else. The edge-iterator form moves each
+    oriented edge once per side (arrays are node-count-sized, degree-
+    bounded by the orientation's √(2m) cap) and intersects in
+    whole-stage codegen — the same per-pair-codegen lesson as
+    setsim_prefix_join's verify and semantic_dedup's pair dots.
     """
     und = (
         edges_undirected.select(
@@ -186,20 +198,25 @@ def triangle_counts(edges_undirected: DataFrame) -> DataFrame:
         .select("u", "v", "dv")
         .localCheckpoint(eager=False)
     )
-    # wedges from each pivot's out-neighborhood, ordered by (deg, id)
-    e2 = oriented.select(
-        F.col("u").alias("u2"), F.col("v").alias("w"), F.col("dv").alias("dw")
+    # out-neighbor arrays (degree-bounded by the orientation), then
+    # one codegen intersect per oriented edge
+    adj_arr = oriented.groupBy("u").agg(
+        F.array_sort(F.collect_list("v")).alias("nbrs")
     )
-    wedges = (
-        oriented.join(e2, F.col("u") == F.col("u2"))
-        .where(
-            (F.col("dv") < F.col("dw"))
-            | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+    tris = (
+        oriented.select("u", "v")
+        .join(
+            adj_arr.select(F.col("u").alias("_ua"), F.col("nbrs").alias("nu")),
+            F.col("u") == F.col("_ua"),
         )
-        .select("u", "v", "w")
+        .join(
+            adj_arr.select(F.col("u").alias("_ub"), F.col("nbrs").alias("nv")),
+            F.col("v") == F.col("_ub"),
+        )
+        .select(
+            "u", "v", F.explode(F.array_intersect("nu", "nv")).alias("w")
+        )
     )
-    closing = oriented.select(F.col("u").alias("v"), F.col("v").alias("w"))
-    tris = wedges.join(closing, ["v", "w"], "left_semi")
     corners = (
         tris.select(F.col("u").alias("node_id"))
         .unionByName(tris.select(F.col("v").alias("node_id")))

@@ -79,14 +79,78 @@ PQ_RERANK = 10  # ADC shortlist size = PQ_RERANK * k for the re-ranked path
 
 
 def _sub_exploded(
-    vectors: DataFrame, ds: int, vec_col: str, id_col: str
+    vectors: DataFrame,
+    ds: int,
+    vec_col: str,
+    id_col: str,
+    dim_map: DataFrame | None = None,
 ) -> DataFrame:
-    """(vec_id, sub, dsub, x) — the exploded frame keyed by subspace."""
-    return exploded_vectors(vectors, vec_col, id_col).select(
+    """(vec_id, sub, dsub, x) — the exploded frame keyed by subspace.
+
+    Default mapping is contiguous blocks (sub = d div ds). Pass
+    ``dim_map`` — a (d, sub, dsub) frame, e.g. from
+    :func:`balanced_dim_map` — to quantize under a dimension
+    permutation instead; the dim-count-sized map broadcasts."""
+    ex = exploded_vectors(vectors, vec_col, id_col)
+    if dim_map is not None:
+        return ex.join(F.broadcast(dim_map), "d").select(
+            "vec_id", "sub", "dsub", "x"
+        )
+    return ex.select(
         "vec_id",
         F.expr(f"d div {ds}").cast("int").alias("sub"),
         (F.col("d") % ds).cast("int").alias("dsub"),
         "x",
+    )
+
+
+def balanced_dim_map(
+    corpus: DataFrame,
+    n_sub: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(d, sub, dsub) — variance-balanced dimension permutation, the
+    non-parametric OPQ initialization (Ge et al., OPQ CVPR'13 §4's
+    balance goal; FAISS's pre-rotation heuristic): rank dimensions by
+    variance descending and DEAL them round-robin across subspaces,
+    so no codebook is starved of signal while another carries all of
+    it — the failure mode that makes contiguous-block PQ sensitive to
+    dimension ordering. A full learned OPQ rotation is a dense
+    dim×dim matmul per vector; the permutation captures the balance
+    objective with zero extra per-vector cost and keeps every stage
+    oracle-exact.
+
+    Exactness: the ranking statistic is the integer variance proxy
+    n·Σfloor(x²·2⁴⁰) − (Σfloor(x·2²⁰))² computed in DECIMAL(38,0)
+    (long sums overflow at corpus scale) with the deterministic
+    (score desc, d) tiebreak — bit-identical across engines, so the
+    permutation, the codebooks and the codes all stay value-hash
+    oracle-able. One map-side-combined agg over the exploded corpus;
+    the result is a dim-count-sized frame (broadcast by every
+    consumer)."""
+    n_sub = n_sub or PQ_SUB
+    ex = exploded_vectors(corpus, vec_col, id_col)
+    stats = ex.groupBy("d").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(
+            F.floor(F.col("x") * F.col("x") * F.lit(SCORE_SCALE)).cast(
+                "decimal(38,0)"
+            )
+        ).alias("ss"),
+        F.sum(
+            F.floor(F.col("x") * F.lit(float(1 << 20))).cast("decimal(38,0)")
+        ).alias("s1"),
+    )
+    score = F.col("n") * F.col("ss") - F.col("s1") * F.col("s1")
+    # dim-count rows: the single-partition window is free here
+    w = Window.orderBy(score.desc(), F.col("d").asc())
+    return stats.select(
+        "d", (F.row_number().over(w) - 1).alias("rk")
+    ).select(
+        "d",
+        (F.col("rk") % n_sub).cast("int").alias("sub"),
+        F.expr(f"rk div {n_sub}").cast("int").alias("dsub"),
     )
 
 
@@ -195,6 +259,7 @@ def pq_codebooks(
     iters: int = PQ_ITERS,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dim_map: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Train the PQ index: ``iters`` Lloyd rounds per subspace (all
     subspaces in one keyed dataflow), then one final assignment against
@@ -216,7 +281,9 @@ def pq_codebooks(
     dim = _infer_dim(corpus, vec_col)
     ds = dim // n_sub
     wide = corpus.count() >= PQ_WIDE_MIN_ROWS  # physical-shape choice
-    ex = _sub_exploded(corpus, ds, vec_col, id_col).localCheckpoint(eager=False)
+    ex = _sub_exploded(corpus, ds, vec_col, id_col, dim_map).localCheckpoint(
+        eager=False
+    )
     seeds = (
         corpus.select(F.col(id_col).alias("vec_id"))
         .orderBy("vec_id")
@@ -295,6 +362,7 @@ def ann_pq_adc_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     index: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+    dim_map: DataFrame | None = None,
 ) -> DataFrame:
     """Flat PQ-ADC top-k: train codebooks on the corpus, encode it,
     and rank every corpus vector per query by the table-lookup
@@ -307,10 +375,10 @@ def ann_pq_adc_topk(
     self-pairs are excluded.
     """
     codebook, codes, _ = index or pq_codebooks(
-        corpus, n_sub, ks, iters, vec_col, id_col
+        corpus, n_sub, ks, iters, vec_col, id_col, dim_map=dim_map
     )
     dim = _infer_dim(corpus, vec_col)
-    q_ex = _sub_exploded(queries, dim // n_sub, vec_col, id_col)
+    q_ex = _sub_exploded(queries, dim // n_sub, vec_col, id_col, dim_map)
     dtab = adc_table(q_ex, codebook)
     scored = (
         codes.join(

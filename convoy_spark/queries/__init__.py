@@ -421,6 +421,36 @@ from convoy_spark.queries import (  # noqa: F401,E402
 #                             keyed equi-join plan a dozen in-window
 #                             entries prove, and the exact levenshtein
 #                             verify stays pytest + emulator green).
+# Round-7 addition (standing rule):
+#   IN : lsh_band_sweep      (banding operating curve for the MinHash
+#                             sketch — per-r candidate volume, recall
+#                             and precision against the EXACT Jaccard
+#                             truth from the lossless prefix join; the
+#                             pq_recall_sweep pattern applied to the
+#                             dedup family)
+#   OUT: heavy_hitters       (the Arrow mapInPandas escape hatch —
+#                             §2.10 — is in-window via
+#                             media_decode_meta; the tokenize/explode
+#                             scan and the exact-recount semi join are
+#                             in-window via the token pipelines and
+#                             minhash's candidate pruning; the
+#                             Misra-Gries superset-exactness contract
+#                             stays pytest + emulator green).
+# Round-7 addition (standing rule):
+#   IN : pq_opq_compare      (OPQ-style variance-balanced subspace
+#                             permutation A/B — a SECOND independently
+#                             trained quantizer under a dimension
+#                             permutation, measured against the exact
+#                             L2 truth; recall 0.45→0.51 on this
+#                             corpus, so the harness detects real
+#                             anisotropy, not just parity)
+#   OUT: token_cooccurrence  (its codegen array pair expansion is the
+#                             in-window setsim_prefix_join verify
+#                             shape; the two map-side-combined keyed
+#                             aggs are the plan shape a dozen
+#                             in-window entries prove; the a-priori
+#                             lift test stays emulator + pytest
+#                             green).
 _CHECK_WINDOW = [
     # §2.3/§2.8 aggregates + SQL front door (two_pass_mad is past the
     # window: A6/P13 two-pass MAD is proven by tree_metric_mad)
@@ -453,7 +483,6 @@ _CHECK_WINDOW = [
     "bm25_multi_query",
     # text analysis components
     "lang_id",
-    "token_cooccurrence",
     # round-3 text/quality flagships (rotated in r4 per standing rule)
     "pii_scrub",
     "corpus_funnel",
@@ -467,6 +496,7 @@ _CHECK_WINDOW = [
     "span_dedup",
     "semantic_dedup",
     "dedup_keep_best",
+    "lsh_band_sweep",
     "ngram_contamination",
     "split_vocab_shift",
     # similarity / embedding components (cosine_topk is past the
@@ -479,7 +509,6 @@ _CHECK_WINDOW = [
     # graph algorithms + frequency sketch (round-6 additions)
     "pagerank_scores",
     "triangle_part_counts",
-    "heavy_hitters",
     # multimodal plumbing
     "media_decode_meta",
     # tokenizer-training loop (classic word-frequency BPE trainer)
@@ -497,6 +526,7 @@ _CHECK_WINDOW = [
     "pq_rerank_topk",
     "hybrid_rrf_topk",
     "pq_recall_sweep",
+    "pq_opq_compare",
     # index-freshness drift monitoring (batch twin of
     # streaming/indexdrift.py)
     "index_drift_profile",

@@ -175,6 +175,124 @@ def setsim_prefix_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return setsim_prefix_join(load_table(spark, sf_dir, "documents"))
 
 
+# Banding operating points for the LSH sweep: rows-per-band r over the
+# fixed 16-hash signature → b = 16/r bands. r=1 is the recall-greedy
+# extreme (any matching hash → candidate), r=16 the precision-greedy
+# one (all 16 must match). The S-curve knee sits at J ≈ (1/b)^(1/r).
+LSH_SWEEP_ROWS = [1, 2, 4, 8, 16]
+
+
+def _lsh_band_sweep_oracle() -> str:
+    parts = [
+        f"""
+    truth AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING {SETSIM_DEN} * COUNT(*) >=
+             {SETSIM_NUM} * ((SELECT n FROM sizes WHERE doc_id = a.doc_id)
+                             + (SELECT n FROM sizes WHERE doc_id = b.doc_id)
+                             - COUNT(*))
+    )
+    """
+    ]
+    rows = []
+    for r in LSH_SWEEP_ROWS:
+        parts.append(f"""
+    bands_{r} AS (
+      SELECT doc_id, i // {r} AS band,
+             string_agg(CAST(v AS VARCHAR), '-' ORDER BY i) AS key
+      FROM mh GROUP BY doc_id, i // {r}
+    ),
+    cand_{r} AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands_{r} a
+      JOIN bands_{r} b ON a.band = b.band AND a.key = b.key
+                      AND a.doc_id < b.doc_id
+    ),
+    row_{r} AS (
+      SELECT CAST({r} AS INT) AS rows_per_band,
+             CAST({NUM_HASHES // r} AS INT) AS n_bands,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM cand_{r}) AS n_cand,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM
+                (SELECT * FROM cand_{r} INTERSECT SELECT * FROM truth)
+             ) AS cand_hits
+    )
+    """)
+        rows.append(f"SELECT * FROM row_{r}")
+    union = " UNION ALL ".join(rows)
+    return f"""
+    WITH {SHINGLES_SQL}, {MINHASH_SQL}, {','.join(parts)}
+    SELECT rows_per_band, n_bands, n_cand, n_true, cand_hits,
+           CASE WHEN n_true = 0 THEN CAST(0.0 AS DOUBLE)
+                ELSE CAST(cand_hits AS DOUBLE) / n_true END AS recall,
+           CASE WHEN n_cand = 0 THEN CAST(0.0 AS DOUBLE)
+                ELSE CAST(cand_hits AS DOUBLE) / n_cand END AS precision
+    FROM ({union})
+    """
+
+
+@query("lsh_band_sweep", oracle=_lsh_band_sweep_oracle())
+def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding operating curve for the MinHash-LSH sketch (the
+    pq_recall_sweep pattern applied to the dedup family): for each
+    rows-per-band r in {LSH_SWEEP_ROWS} over the fixed 16-hash
+    signature, the banded candidate set's size (cost), recall and
+    precision against the EXACT Jaccard ≥ 0.8 truth — the truth comes
+    from the lossless prefix-filtered join (setsim_prefix_join), so
+    the whole curve is exact and hash-checkable (recall/precision are
+    single IEEE divisions of exact integer counts). An operator, not
+    a test: this is the sweep a deployment runs to place the S-curve
+    knee ((1/b)^(1/r)) for its duplicate-similarity target. ONE corpus
+    pass builds the wide signature frame; each operating point derives
+    its band keys from that checkpointed frame — at 100 TB the sweep
+    costs |sweep| band-key aggregations + equi-joins, never a second
+    tokenization."""
+    from convoy_spark.operators.dedup import lsh_candidate_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sig = minhash_signatures(docs).localCheckpoint(eager=False)
+    truth = (
+        setsim_prefix_join(docs)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
+    n_true = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    out = None
+    for r in LSH_SWEEP_ROWS:
+        cand = lsh_candidate_pairs(sig, rows_per_band=r)
+        ncand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
+        hits = cand.join(truth, ["doc_a", "doc_b"], "left_semi").agg(
+            F.count(F.lit(1)).cast("long").alias("cand_hits")
+        )
+        row = (
+            ncand.crossJoin(n_true)
+            .crossJoin(hits)
+            .select(
+                F.lit(r).cast("int").alias("rows_per_band"),
+                F.lit(NUM_HASHES // r).cast("int").alias("n_bands"),
+                "n_cand",
+                "n_true",
+                "cand_hits",
+                F.when(F.col("n_true") == 0, F.lit(0.0))
+                .otherwise(
+                    F.col("cand_hits").cast("double")
+                    / F.col("n_true").cast("double")
+                )
+                .alias("recall"),
+                F.when(F.col("n_cand") == 0, F.lit(0.0))
+                .otherwise(
+                    F.col("cand_hits").cast("double")
+                    / F.col("n_cand").cast("double")
+                )
+                .alias("precision"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 @query(
     "minhash_signatures",
     oracle=f"""

@@ -7,7 +7,7 @@ hash-derived hyperplanes (see :mod:`convoy_spark.operators.similarity`).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from convoy_spark.functions.hashing import sql_hash60
@@ -850,73 +850,82 @@ PQ_DS = PQ_DIM // PQ_SUB
 _ADC_SCALE = 1099511627776  # 2^40, operators.similarity.SCORE_SCALE
 
 
-def _pq_kmeans_ctes() -> list[str]:
+def _pq_kmeans_ctes(prefix: str = "", evs_body: str | None = None) -> list[str]:
     """Unrolled per-subspace k-means: evs (the subspace-keyed exploded
     frame), pc0 (seed codebook), {PQ_ITERS} assign/update rounds, then
     the final code assignment ``pcodes`` against the final codebook
-    pc{PQ_ITERS} — mirroring operators.pq.pq_codebooks pass for pass."""
+    pc{PQ_ITERS} — mirroring operators.pq.pq_codebooks pass for pass.
+
+    ``prefix`` namespaces every CTE (so two independently-trained
+    quantizers can coexist in one oracle — the OPQ-compare query);
+    ``evs_body`` overrides the subspace mapping (default = contiguous
+    blocks; the balanced permutation passes a dimmap join)."""
+    P = prefix
+    body = evs_body or (
+        f"SELECT vec_id, d // {PQ_DS} AS sub, d % {PQ_DS} AS dsub, x FROM ev"
+    )
     parts = [
         f"""
-    evs AS (
-      SELECT vec_id, d // {PQ_DS} AS sub, d % {PQ_DS} AS dsub, x FROM ev
+    {P}evs AS (
+      {body}
     ),
-    pseeds AS (
+    {P}pseeds AS (
       SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cell
-      FROM (SELECT DISTINCT vec_id FROM evs ORDER BY vec_id LIMIT {PQ_KS})
+      FROM (SELECT DISTINCT vec_id FROM {P}evs ORDER BY vec_id LIMIT {PQ_KS})
     ),
-    pc0 AS (
+    {P}pc0 AS (
       SELECT e.sub, s.cell, e.dsub, e.x AS m
-      FROM pseeds s JOIN evs e USING (vec_id)
+      FROM {P}pseeds s JOIN {P}evs e USING (vec_id)
     )
     """
     ]
     for t in range(1, PQ_ITERS + 1):
         parts.append(f"""
-    pd{t} AS (
+    {P}pd{t} AS (
       -- mirrors operators.pq._assign: floor-scaled-LONG distance sums
       -- (exact and associative; ~10x cheaper than decimal on Spark)
       SELECT e.vec_id, e.sub, c.cell,
              SUM(CAST(FLOOR((e.x - c.m) * (e.x - c.m) * {_ADC_SCALE})
                       AS BIGINT)) AS dd
-      FROM evs e JOIN pc{t - 1} c ON c.sub = e.sub AND c.dsub = e.dsub
+      FROM {P}evs e JOIN {P}pc{t - 1} c ON c.sub = e.sub AND c.dsub = e.dsub
       GROUP BY e.vec_id, e.sub, c.cell
     ),
-    pa{t} AS (
+    {P}pa{t} AS (
       SELECT vec_id, sub, cell FROM (
         SELECT vec_id, sub, cell,
                row_number() OVER (PARTITION BY vec_id, sub
                                   ORDER BY dd, cell) AS rk
-        FROM pd{t}
+        FROM {P}pd{t}
       ) WHERE rk = 1
     ),
-    pc{t} AS (
+    {P}pc{t} AS (
       SELECT a.sub, a.cell, e.dsub,
              CAST(SUM(CAST(e.x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
-      FROM pa{t} a JOIN evs e ON e.vec_id = a.vec_id AND e.sub = a.sub
+      FROM {P}pa{t} a JOIN {P}evs e ON e.vec_id = a.vec_id AND e.sub = a.sub
       GROUP BY a.sub, a.cell, e.dsub
     )
     """)
     parts.append(f"""
-    pdf AS (
+    {P}pdf AS (
       SELECT e.vec_id, e.sub, c.cell,
              SUM(CAST(FLOOR((e.x - c.m) * (e.x - c.m) * {_ADC_SCALE})
                       AS BIGINT)) AS dd
-      FROM evs e JOIN pc{PQ_ITERS} c ON c.sub = e.sub AND c.dsub = e.dsub
+      FROM {P}evs e JOIN {P}pc{PQ_ITERS} c ON c.sub = e.sub AND c.dsub = e.dsub
       GROUP BY e.vec_id, e.sub, c.cell
     ),
-    pcodes AS (
+    {P}pcodes AS (
       SELECT vec_id, sub, cell AS code FROM (
         SELECT vec_id, sub, cell,
                row_number() OVER (PARTITION BY vec_id, sub
                                   ORDER BY dd, cell) AS rk
-        FROM pdf
+        FROM {P}pdf
       ) WHERE rk = 1
     ),
-    dtab AS (
+    {P}dtab AS (
       SELECT e.vec_id AS query_id, e.sub, c.cell,
              CAST(SUM(CAST(FLOOR((e.x - c.m) * (e.x - c.m) * {_ADC_SCALE})
                            AS BIGINT)) AS DOUBLE) / {_ADC_SCALE} AS dd
-      FROM evs e JOIN pc{PQ_ITERS} c ON c.sub = e.sub AND c.dsub = e.dsub
+      FROM {P}evs e JOIN {P}pc{PQ_ITERS} c ON c.sub = e.sub AND c.dsub = e.dsub
       WHERE e.vec_id < {N_QUERIES}
       GROUP BY e.vec_id, e.sub, c.cell
     )
@@ -1100,13 +1109,10 @@ def pq_rerank_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 PQ_SWEEP_PROBES = [1, 2, 4, 8, 16]
 
 
-def _pq_recall_sweep_oracle() -> str:
-    parts = _ivf_kmeans_ctes()
-    parts.extend(_pq_kmeans_ctes())
-    parts.append(_IVFPQ_QD_SQL)
-    # exact squared-L2 ground truth in the scaled-long discipline
-    # (mirrors operators.pq.exact_l2_topk bit for bit)
-    parts.append(f"""
+# Exact squared-L2 ground truth in the scaled-long discipline
+# (mirrors operators.pq.exact_l2_topk bit for bit) — shared by the
+# recall-sweep and hard-negative-mining oracles.
+_EXACT_L2_TOP_SQL = f"""
     exdist AS (
       SELECT a.vec_id AS query_id, b.vec_id AS corpus_id,
              SUM(CAST(FLOOR((a.x - b.x) * (a.x - b.x) * {_ADC_SCALE})
@@ -1123,7 +1129,14 @@ def _pq_recall_sweep_oracle() -> str:
         FROM exdist
       ) WHERE rk <= {TOP_K}
     )
-    """)
+"""
+
+
+def _pq_recall_sweep_oracle() -> str:
+    parts = _ivf_kmeans_ctes()
+    parts.extend(_pq_kmeans_ctes())
+    parts.append(_IVFPQ_QD_SQL)
+    parts.append(_EXACT_L2_TOP_SQL)
     rows = []
     for p in PQ_SWEEP_PROBES:
         parts.append(f"""
@@ -1253,6 +1266,210 @@ def pq_recall_sweep_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# The variance-balanced dimension permutation (OPQ init heuristic)
+# mirrored in SQL: integer variance proxy n·Σfloor(x²·2⁴⁰) −
+# (Σfloor(x·2²⁰))² (DuckDB's BIGINT sums widen to HUGEINT; Spark uses
+# DECIMAL(38,0) — same integers), rank desc with d tiebreak, deal
+# round-robin across subspaces. Mirrors operators.pq.balanced_dim_map.
+_DIMMAP_SQL = f"""
+    dimstats AS (
+      SELECT d, COUNT(*) AS n,
+             SUM(CAST(FLOOR(x * x * {_ADC_SCALE}) AS BIGINT)) AS ss,
+             SUM(CAST(FLOOR(x * {1 << 20}) AS BIGINT)) AS s1
+      FROM ev GROUP BY d
+    ),
+    dimmap AS (
+      SELECT d,
+             CAST((rk - 1) % {PQ_SUB} AS INT) AS sub,
+             CAST((rk - 1) // {PQ_SUB} AS INT) AS dsub
+      FROM (
+        SELECT d, row_number() OVER (ORDER BY n * ss - s1 * s1 DESC, d) AS rk
+        FROM dimstats
+      )
+    )
+"""
+
+_BALANCED_EVS_BODY = (
+    "SELECT e.vec_id, m.sub, m.dsub, e.x FROM ev e JOIN dimmap m USING (d)"
+)
+
+
+def _pq_opq_compare_oracle() -> str:
+    parts = [_DIMMAP_SQL]
+    parts.extend(_pq_kmeans_ctes())  # contiguous: evs/pcodes/dtab
+    parts.extend(
+        _pq_kmeans_ctes(prefix="b", evs_body=_BALANCED_EVS_BODY)
+    )  # balanced: bevs/bpcodes/bdtab
+    parts.append(_EXACT_L2_TOP_SQL)
+    rows = []
+    for label, P in [("contiguous", ""), ("balanced", "b")]:
+        parts.append(f"""
+    adist_{label} AS (
+      SELECT t.query_id, k.vec_id AS corpus_id,
+             CAST(SUM(CAST(FLOOR(t.dd * {_ADC_SCALE}) AS BIGINT))
+                  AS DOUBLE) / {_ADC_SCALE} AS adist
+      FROM {P}pcodes k
+      JOIN {P}dtab t ON t.sub = k.sub AND t.cell = k.code
+      WHERE k.vec_id <> t.query_id
+      GROUP BY t.query_id, k.vec_id
+    ),
+    top_{label} AS (
+      SELECT query_id, corpus_id FROM (
+        SELECT query_id, corpus_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adist, corpus_id) AS rk
+        FROM adist_{label}
+      ) WHERE rk <= {TOP_K}
+    ),
+    row_{label} AS (
+      SELECT '{label}' AS layout,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM
+                (SELECT * FROM top_{label} INTERSECT SELECT * FROM etop)
+             ) AS n_hits
+    )
+    """)
+        rows.append(f"SELECT * FROM row_{label}")
+    union = " UNION ALL ".join(rows)
+    return f"""
+    WITH {VEC_SQL}, {','.join(parts)}
+    SELECT layout, n_hits,
+           CAST(n_hits AS DOUBLE) / {N_QUERIES * TOP_K} AS recall
+    FROM ({union})
+    """
+
+
+@query("pq_opq_compare", oracle=_pq_opq_compare_oracle())
+def pq_opq_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ-style space decomposition A/B (round-6 verdict #7's first
+    option): train one PQ quantizer on the contiguous-block subspace
+    layout and one on the variance-balanced dimension permutation
+    (operators/pq.py::balanced_dim_map — the non-parametric OPQ
+    initialization: deal variance-ranked dims round-robin so no
+    codebook is signal-starved), and report each layout's ADC
+    top-{TOP_K} recall against the exact scaled-long L2 truth. On an
+    isotropic corpus (this testdata's embeddings have near-uniform
+    per-dim variance) the honest expected result is parity — the
+    harness exists to DETECT when a corpus is anisotropic enough that
+    the permutation pays, which is the production decision it feeds.
+    Both quantizers are full value-hash-checked k-means dataflows; at
+    100 TB the extra cost of the balanced layout is one dim-count-row
+    aggregate + a broadcast join in the explode."""
+    from convoy_spark.operators.pq import ann_pq_adc_topk, balanced_dim_map
+
+    q, c = _queries_and_corpus(spark, sf_dir)
+    exact = (
+        exact_l2_topk(q, c, k=TOP_K)
+        .select("query_id", "corpus_id")
+        .localCheckpoint(eager=False)
+    )
+    denom = F.lit(float(N_QUERIES * TOP_K))
+    out = None
+    for layout in ["contiguous", "balanced"]:
+        if layout == "balanced":
+            dm = balanced_dim_map(c).localCheckpoint(eager=False)
+            top = ann_pq_adc_topk(q, c, k=TOP_K, dim_map=dm)
+        else:
+            top = ann_pq_adc_topk(
+                q, c, k=TOP_K, index=shared_pq_index(spark, sf_dir)
+            )
+        row = (
+            top.join(exact, ["query_id", "corpus_id"], "left_semi")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+            .select(
+                F.lit(layout).alias("layout"),
+                "n_hits",
+                (F.col("n_hits").cast("double") / denom).alias("recall"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+# Hard-negative mining parameters: the retriever shortlist examined
+# per query, and the negatives kept for the training set.
+HN_SHORTLIST = 20
+HN_PER_QUERY = 10
+
+
+def _hard_negative_oracle() -> str:
+    parts = _pq_kmeans_ctes()
+    parts.append(_EXACT_L2_TOP_SQL)
+    parts.append(f"""
+    adist AS (
+      SELECT t.query_id, k.vec_id AS corpus_id,
+             CAST(SUM(CAST(FLOOR(t.dd * {_ADC_SCALE}) AS BIGINT))
+                  AS DOUBLE) / {_ADC_SCALE} AS adist
+      FROM pcodes k
+      JOIN dtab t ON t.sub = k.sub AND t.cell = k.code
+      WHERE k.vec_id <> t.query_id
+      GROUP BY t.query_id, k.vec_id
+    ),
+    short AS (
+      SELECT query_id, corpus_id, adist FROM (
+        SELECT query_id, corpus_id, adist,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adist, corpus_id) AS rk
+        FROM adist
+      ) WHERE rk <= {HN_SHORTLIST}
+    ),
+    negs AS (
+      SELECT s.query_id, s.corpus_id, s.adist
+      FROM short s
+      WHERE NOT EXISTS (
+        SELECT 1 FROM etop e
+        WHERE e.query_id = s.query_id AND e.corpus_id = s.corpus_id
+      )
+    )
+    SELECT query_id, corpus_id, adist, neg_rank FROM (
+      SELECT query_id, corpus_id, adist,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adist, corpus_id) AS INT)
+               AS neg_rank
+      FROM negs
+    ) WHERE neg_rank <= {HN_PER_QUERY}
+    """)
+    return f"WITH {VEC_SQL}, {','.join(parts)}"
+
+
+@query("hard_negative_mine", oracle=_hard_negative_oracle())
+def hard_negative_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for retrieval/embedding training (the
+    ANCE/DPR recipe): per query, the {HN_PER_QUERY} highest-ranked
+    retriever candidates that are NOT true nearest neighbors — the
+    ADC shortlist ({HN_SHORTLIST} per query, the production PQ scan)
+    anti-joined against the exact scaled-long L2 top-{TOP_K} truth,
+    re-ranked. These are precisely the approximate retriever's most
+    confusable non-neighbors, the negatives that train rerankers and
+    contrastive encoders. Loader-prep family: the output is a
+    training-pair table, and at 100 TB the cost is one pruned ADC
+    scan of the code table + a shortlist-proportional anti-join
+    (exact truth here is the Q×N baseline because the harness
+    DEFINES truth; production substitutes its labeled positives —
+    the plan shape is the anti-join either way). Registers
+    PAST-window by the key_skew_profile precedent: every stage is
+    in-window — the ADC scan + (adist, corpus_id) rank via
+    pq_rerank_topk/pq_recall_sweep, the exact-L2 truth via
+    pq_recall_sweep, the anti-join shape via minhash's candidate
+    pruning and fk_integrity_audit — and the query stays
+    emulator + pytest green."""
+    from convoy_spark.operators.pq import ann_pq_adc_topk
+
+    q, c = _queries_and_corpus(spark, sf_dir)
+    short = ann_pq_adc_topk(
+        q, c, k=HN_SHORTLIST, index=shared_pq_index(spark, sf_dir)
+    ).select("query_id", "corpus_id", "adist")
+    pos = exact_l2_topk(q, c, k=TOP_K).select("query_id", "corpus_id")
+    negs = short.join(pos, ["query_id", "corpus_id"], "left_anti")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("corpus_id").asc()
+    )
+    return (
+        negs.withColumn("neg_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("neg_rank") <= HN_PER_QUERY)
+        .select("query_id", "corpus_id", "adist", "neg_rank")
+    )
 
 
 def scaled_cosine_ranks_ctes(n_queries: int, k: int) -> str:

@@ -389,3 +389,39 @@ def test_sorted_neighborhood_window_semantics(spark):
                 if x < y and abs(rank[x] - rank[y]) < SNM_WINDOW and lev(x, y) <= 1:
                     want.add((x, y))
     assert got == want and ("alpha", "alphb") in got
+
+
+def test_lsh_band_sweep_parity(spark, duck):
+    from tests.conftest import run_parity
+
+    run_parity(spark, duck, "lsh_band_sweep")
+
+
+def test_lsh_band_sweep_invariants(spark):
+    """The banding curve's contracts: r=1 (any single hash matches)
+    dominates every candidate set, so its recall is maximal and
+    candidate volume is monotone non-increasing as r grows; every
+    per-point candidate set at r=1 contains each planted J≈1 pair
+    (identical docs share all 16 mins, so they are candidates at
+    EVERY r); recall never exceeds 1; precision counts only true
+    pairs."""
+    from convoy_spark.queries import QUERIES
+
+    rows = sorted(
+        (
+            (r.rows_per_band, r.n_cand, r.cand_hits, r.recall, r.precision)
+            for r in QUERIES["lsh_band_sweep"](
+                spark, "/root/testdata/sf0.001"
+            ).collect()
+        )
+    )
+    assert [r for r, *_ in rows] == [1, 2, 4, 8, 16]
+    assert rows[0][3] > 0, "no planted near-dups recalled at r=1?"
+    for (r0, c0, h0, _re0, _p0), (r1, c1, h1, _re1, _p1) in zip(
+        rows, rows[1:]
+    ):
+        assert c1 <= c0, f"candidate volume grew r={r0}->{r1}"
+        assert h1 <= h0, f"hits grew r={r0}->{r1}"
+    for r, c, h, re, p in rows:
+        assert 0.0 <= re <= 1.0 and 0.0 <= p <= 1.0
+        assert h <= c

@@ -176,3 +176,75 @@ def test_pq_recall_sweep_invariants(spark):
         for r in exact_l2_topk(q, emb, k=5).collect()
     }
     assert got == want
+
+
+def test_hard_negative_mine_parity(spark, duck):
+    run_parity(spark, duck, "hard_negative_mine")
+
+
+def test_hard_negative_mine_semantics(spark):
+    """Mined negatives must be disjoint from the exact top-k truth,
+    come from the ADC shortlist, and be the shortlist's best-ranked
+    non-positives (contiguous neg_rank starting at 1, ≤ the cap)."""
+    from convoy_spark.operators.pq import ann_pq_adc_topk, exact_l2_topk
+    from convoy_spark.queries import QUERIES
+    from convoy_spark.queries.similarity import (
+        HN_PER_QUERY,
+        HN_SHORTLIST,
+        TOP_K,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 16)
+    pos = {
+        (r.query_id, r.corpus_id)
+        for r in exact_l2_topk(q, emb, k=TOP_K).collect()
+    }
+    short = {
+        (r.query_id, r.corpus_id)
+        for r in ann_pq_adc_topk(q, emb, k=HN_SHORTLIST).collect()
+    }
+    got = QUERIES["hard_negative_mine"](spark, SF_DIR).collect()
+    per_q: dict = {}
+    for r in got:
+        key = (r.query_id, r.corpus_id)
+        assert key not in pos, f"positive leaked into negatives: {key}"
+        assert key in short, f"negative not from the shortlist: {key}"
+        per_q.setdefault(r.query_id, []).append(r.neg_rank)
+    for qid, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), qid
+        assert len(ranks) <= HN_PER_QUERY
+
+
+def test_pq_opq_compare_parity(spark, duck):
+    run_parity(spark, duck, "pq_opq_compare")
+
+
+def test_balanced_dim_map_is_a_balanced_permutation(spark):
+    """The OPQ-init map must be a PERMUTATION of the dims (bijective:
+    every d exactly once, every (sub, dsub) slot exactly once) with
+    subspace sizes equal (round-robin deal), and quantizing under it
+    must yield a complete code table (every vector gets n_sub codes)."""
+    from convoy_spark.operators.pq import (
+        PQ_SUB,
+        balanced_dim_map,
+        pq_codebooks,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    dm = balanced_dim_map(emb)
+    rows = dm.collect()
+    dim = len(rows)
+    assert sorted(r.d for r in rows) == list(range(dim))
+    slots = [(r.sub, r.dsub) for r in rows]
+    assert len(set(slots)) == dim
+    per_sub = {}
+    for s, _ in slots:
+        per_sub[s] = per_sub.get(s, 0) + 1
+    assert set(per_sub) == set(range(PQ_SUB))
+    assert len(set(per_sub.values())) == 1  # equal-size subspaces
+
+    _, codes, _ = pq_codebooks(emb, dim_map=dm)
+    counts = codes.groupBy("vec_id").count().collect()
+    assert all(r["count"] == PQ_SUB for r in counts)
+    assert len(counts) == emb.count()
