@@ -122,6 +122,9 @@ BENCH_QUERIES = [
     # family — the full curation-pipeline surface in one artifact
     "model_quality_filter",
     "trigram_lm_score",
+    # round-7: held-out-trained Stupid Backoff LM (three count tables
+    # + posting joins; the backoff path actually fires)
+    "stupid_backoff_score",
     "span_dedup",
     "semantic_dedup",
     "dsir_select",

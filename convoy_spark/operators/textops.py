@@ -1323,6 +1323,169 @@ def trigram_lm_score(docs: DataFrame) -> DataFrame:
     )
 
 
+# --- Stupid Backoff LM score (Brants et al. 2007) -------------------
+#
+# "Large Language Models in Machine Translation" introduced Stupid
+# Backoff PRECISELY for distributed MapReduce-scale LMs: no discount
+# mass bookkeeping (which needs global normalization passes), just
+# relative frequencies with a constant backoff multiplier — S(w3|w1w2)
+# = f(w1w2w3)/f(w1w2), backing off to α·f(w2w3)/f(w2), then
+# α²·f(w3)/N, α = 0.4. Unlike the self-trained trigram MLE above
+# (every doc trigram has count ≥ 1, so backoff would never fire), this
+# scorer trains counts on a TRAIN split and scores the whole corpus —
+# the CCNet deployment shape, and eval-split docs genuinely exercise
+# all three backoff levels.
+
+SB_ALPHA = 0.4  # the paper's backoff multiplier
+SB_SCALE = float(1 << 40)  # power-of-two floor-scaling (exact)
+
+
+def stupid_backoff_score(docs: DataFrame, train_ids: DataFrame) -> DataFrame:
+    """(doc_id, n_trigrams, n_hit3, n_hit2, sb_score) — per-doc mean
+    Stupid Backoff trigram score with counts trained on ``train_ids``
+    docs only. n_hit3/n_hit2 count occurrences resolved at the
+    trigram/bigram level (the remainder hit the unigram floor) —
+    integer-exact diagnostics of OOD-ness.
+
+    Exactness: each occurrence's score is a fixed chain of IEEE ops
+    (one count ratio, at most two constant multiplies), floor-scaled
+    by 2⁴⁰ and summed as longs (order-free); the mean is two mirrored
+    divisions. Scale shape: three train-side count tables (trigram /
+    bigram / unigram — map-side-combined aggs), each equi-joined back
+    to the distinct doc-trigram stream posting-style; one doc-keyed
+    rollup. Corpus-linear, no all-pairs; hot boilerplate n-grams are
+    AQE-skew-split like every posting join here."""
+    base = docs.select(
+        "doc_id",
+        F.explode(F.array(F.filter(_tokens(), lambda t: t != ""))).alias(
+            "_tk"
+        ),
+    )
+    tri = (
+        base.filter(F.size("_tk") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(_tk) - 2),"
+                    " i -> struct("
+                    "   element_at(_tk, i) AS w1,"
+                    "   element_at(_tk, i + 1) AS w2,"
+                    "   element_at(_tk, i + 2) AS w3))"
+                )
+            ).alias("t"),
+        )
+        .select("doc_id", "t.w1", "t.w2", "t.w3")
+    )
+    train = train_ids.select("doc_id")
+    tri_tr = tri.join(train, "doc_id", "left_semi")
+    big_tr = (
+        base.filter(F.size("_tk") >= 2)
+        .join(train, "doc_id", "left_semi")
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(_tk) - 1),"
+                    " i -> struct(element_at(_tk, i) AS w1,"
+                    "             element_at(_tk, i + 1) AS w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+    )
+    uni_tr = (
+        base.join(train, "doc_id", "left_semi")
+        .select(F.explode("_tk").alias("w"))
+    )
+    t3 = tri_tr.groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).cast("long").alias("n3")
+    )
+    b2 = big_tr.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("nb")
+    )
+    u1 = uni_tr.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("nu"))
+    ntot = uni_tr.agg(F.count(F.lit(1)).cast("long").alias("ntot"))
+
+    dtri = tri.groupBy("doc_id", "w1", "w2", "w3").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    joined = (
+        dtri.join(t3, ["w1", "w2", "w3"], "left")
+        .join(
+            b2.select(
+                F.col("w1"), F.col("w2"), F.col("nb").alias("c12")
+            ),
+            ["w1", "w2"],
+            "left",
+        )
+        .join(
+            b2.select(
+                F.col("w1").alias("w2"),
+                F.col("w2").alias("w3"),
+                F.col("nb").alias("c23"),
+            ),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(
+            u1.select(F.col("w").alias("w2"), F.col("nu").alias("cu2")),
+            ["w2"],
+            "left",
+        )
+        .join(
+            u1.select(F.col("w").alias("w3"), F.col("nu").alias("cu3")),
+            ["w3"],
+            "left",
+        )
+        .crossJoin(F.broadcast(ntot))
+    )
+    # the expression SHAPE is mirrored token-for-token in the oracle:
+    # multiply-then-divide, left-associated constants
+    score = F.expr(
+        "CASE WHEN n3 IS NOT NULL THEN CAST(n3 AS DOUBLE) / c12 "
+        f"WHEN c23 IS NOT NULL THEN ({SB_ALPHA} * CAST(c23 AS DOUBLE)) / cu2 "
+        f"ELSE (({SB_ALPHA} * {SB_ALPHA}) * CAST(COALESCE(cu3, 0) AS DOUBLE))"
+        " / ntot END"
+    )
+    scored = (
+        joined.select(
+            "doc_id",
+            "k",
+            (F.col("k") * F.floor(score * F.lit(SB_SCALE))).alias("snum"),
+            (F.col("k") * F.col("n3").isNotNull().cast("long")).alias("h3"),
+            (
+                F.col("k")
+                * (F.col("n3").isNull() & F.col("c23").isNotNull()).cast(
+                    "long"
+                )
+            ).alias("h2"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("long").alias("n_trigrams"),
+            F.sum("h3").cast("long").alias("n_hit3"),
+            F.sum("h2").cast("long").alias("n_hit2"),
+            (
+                (F.sum("snum").cast("double") / F.lit(SB_SCALE))
+                / F.sum("k")
+            ).alias("sb_score"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_trigrams", F.lit(0).cast("long")).alias(
+                "n_trigrams"
+            ),
+            F.coalesce("n_hit3", F.lit(0).cast("long")).alias("n_hit3"),
+            F.coalesce("n_hit2", F.lit(0).cast("long")).alias("n_hit2"),
+            F.coalesce("sb_score", F.lit(0.0)).alias("sb_score"),
+        )
+    )
+
+
 # --- DSIR importance weights (hashed n-gram target-vs-raw) ----------
 #
 # Data Selection via Importance Resampling (Xie et al., NeurIPS 2023):

@@ -451,6 +451,25 @@ from convoy_spark.queries import (  # noqa: F401,E402
 #                             in-window entries prove; the a-priori
 #                             lift test stays emulator + pytest
 #                             green).
+# Round-7 addition (standing rule):
+#   IN : stupid_backoff_score (Brants et al. 2007 Stupid Backoff —
+#                             the distributed-LM smoothing scheme:
+#                             trigram→bigram→unigram relative
+#                             frequencies with the α=0.4 multiplier,
+#                             counts trained on the salted TRAIN
+#                             split so eval docs genuinely back off;
+#                             all three levels fire on the corpus —
+#                             54 bigram-level docs, 1 unigram-floor —
+#                             and the branch arithmetic is pinned by
+#                             a constructed-corpus pytest)
+#   OUT: trigram_lm_score    (its plan shapes — trigram-keyed corpus
+#                             agg, posting-style equi-joins back to
+#                             the doc stream, doc-keyed mean — run
+#                             in-window inside the strictly richer
+#                             stupid_backoff_score; the decimal-mean
+#                             discipline is in-window via the davg
+#                             aggregate suites; stays emulator +
+#                             python-reference pytest green).
 _CHECK_WINDOW = [
     # §2.3/§2.8 aggregates + SQL front door (two_pass_mad is past the
     # window: A6/P13 two-pass MAD is proven by tree_metric_mad)
@@ -487,7 +506,7 @@ _CHECK_WINDOW = [
     "pii_scrub",
     "corpus_funnel",
     "model_quality_filter",
-    "trigram_lm_score",
+    "stupid_backoff_score",
     "dsir_select",
     # dedup + dataset-management components
     "exact_dedup",

@@ -1210,6 +1210,118 @@ def dsir_select_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_select(docs, target, n_select=DSIR_SELECT_N)
 
 
+# The train split as an oracle fragment (mirrors _split_col's 'train'
+# branch) — shared by the Stupid Backoff oracle below.
+_SPLIT_HASH_SQL = sql_hash60(f"concat('{SPLIT_SALT}:', doc_id)")
+_TRAIN_SPLIT_SQL = (
+    f"SELECT doc_id FROM documents WHERE "
+    f"{_SPLIT_HASH_SQL} % 100 < {SPLIT_TRAIN_PCT}"
+)
+
+_SB_SCALE_LIT = "1099511627776.0"  # 2^40, operators.textops.SB_SCALE
+
+
+@query(
+    "stupid_backoff_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '{WS_SPLIT}'),
+                         x -> x <> '') AS tk
+      FROM documents
+    ),
+    tri AS (
+      SELECT doc_id,
+        unnest(list_transform(generate_series(1, len(tk) - 2),
+          i -> tk[i])) AS w1,
+        unnest(list_transform(generate_series(1, len(tk) - 2),
+          i -> tk[i + 1])) AS w2,
+        unnest(list_transform(generate_series(1, len(tk) - 2),
+          i -> tk[i + 2])) AS w3
+      FROM t WHERE len(tk) >= 3
+    ),
+    train AS ({_TRAIN_SPLIT_SQL}),
+    t3 AS (
+      SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS n3
+      FROM tri JOIN train USING (doc_id) GROUP BY w1, w2, w3
+    ),
+    big AS (
+      SELECT doc_id,
+        unnest(list_transform(generate_series(1, len(tk) - 1),
+          i -> tk[i])) AS w1,
+        unnest(list_transform(generate_series(1, len(tk) - 1),
+          i -> tk[i + 1])) AS w2
+      FROM t WHERE len(tk) >= 2
+    ),
+    b2 AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS nb
+      FROM big JOIN train USING (doc_id) GROUP BY w1, w2
+    ),
+    uni AS (
+      SELECT t.doc_id, unnest(tk) AS w FROM t JOIN train USING (doc_id)
+    ),
+    u1 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS nu FROM uni GROUP BY w),
+    ntot AS (SELECT CAST(COUNT(*) AS BIGINT) AS ntot FROM uni),
+    dtri AS (
+      SELECT doc_id, w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS k
+      FROM tri GROUP BY doc_id, w1, w2, w3
+    ),
+    j AS (
+      SELECT d.doc_id, d.k, t3.n3, b12.nb AS c12, b23.nb AS c23,
+             u2.nu AS cu2, u3.nu AS cu3, n.ntot
+      FROM dtri d
+      LEFT JOIN t3 USING (w1, w2, w3)
+      LEFT JOIN b2 b12 ON b12.w1 = d.w1 AND b12.w2 = d.w2
+      LEFT JOIN b2 b23 ON b23.w1 = d.w2 AND b23.w2 = d.w3
+      LEFT JOIN u1 u2 ON u2.w = d.w2
+      LEFT JOIN u1 u3 ON u3.w = d.w3
+      CROSS JOIN ntot n
+    ),
+    sc AS (
+      SELECT doc_id,
+        CAST(SUM(k) AS BIGINT) AS n_trigrams,
+        CAST(SUM(k * CASE WHEN n3 IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_hit3,
+        CAST(SUM(k * CASE WHEN n3 IS NULL AND c23 IS NOT NULL
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_hit2,
+        (CAST(SUM(k * CAST(FLOOR((
+            CASE WHEN n3 IS NOT NULL THEN CAST(n3 AS DOUBLE) / c12
+                 WHEN c23 IS NOT NULL
+                   THEN (0.4 * CAST(c23 AS DOUBLE)) / cu2
+                 ELSE ((0.4 * 0.4) * CAST(COALESCE(cu3, 0) AS DOUBLE))
+                      / ntot END
+          ) * {_SB_SCALE_LIT}) AS BIGINT)) AS DOUBLE) / {_SB_SCALE_LIT})
+          / SUM(k) AS sb_score
+      FROM j GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+      CAST(COALESCE(sc.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+      CAST(COALESCE(sc.n_hit3, 0) AS BIGINT) AS n_hit3,
+      CAST(COALESCE(sc.n_hit2, 0) AS BIGINT) AS n_hit2,
+      COALESCE(sc.sb_score, 0.0) AS sb_score
+    FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+    """,
+)
+def stupid_backoff_score_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid Backoff LM scoring (Brants et al. 2007 — the backoff
+    scheme INVENTED for distributed MapReduce-scale LMs): trigram →
+    bigram → unigram relative frequencies with the α=0.4 multiplier,
+    counts trained on the salted-hash TRAIN split and every doc
+    scored — so eval-split docs genuinely exercise the backoff path
+    (unlike the self-trained trigram MLE, which never backs off).
+    Completes the quality-filter family: heuristic (text_quality) →
+    hashed-feature classifier (model_quality_filter) → in-corpus
+    trigram MLE (trigram_lm_score) → held-out-trained backoff LM.
+    n_hit3/n_hit2 are integer-exact per-level resolution diagnostics;
+    the score is floor-scaled long sums over a fixed IEEE op chain —
+    fully value-hash oracle-able."""
+    from convoy_spark.operators.textops import stupid_backoff_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.select("doc_id").filter(_split_col() == "train")
+    return stupid_backoff_score(docs, train)
+
+
 from convoy_spark.operators.dedup import fuzzy_pairs_dist1  # noqa: E402
 
 

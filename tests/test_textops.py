@@ -574,3 +574,50 @@ def test_token_cooccurrence_invariants(spark):
     for r in rows:
         assert abs(r.lift - (r.n_ab * n) / (r.n_a * r.n_b)) < 1e-12
         assert r.lift > 1.0
+
+
+def test_stupid_backoff_levels_and_arithmetic(spark):
+    """Constructed corpus pinning all three backoff levels: doc 10
+    (scored, not in train) contains a trigram seen in train (level 3),
+    a trigram whose bigram tail is in train (level 2, x0.4), and a
+    trigram whose last word alone is in train (unigram floor, x0.16);
+    plus one fully-OOV word (score 0 for that occurrence)."""
+    from convoy_spark.operators.textops import stupid_backoff_score
+
+    train_docs = [
+        (0, "a b c"),        # trigram (a,b,c); bigrams (a,b),(b,c)
+        (1, "d e"),          # bigram (d,e)
+        (2, "f"),            # unigram f
+    ]
+    # scored doc: "a b c" -> level 3; "x d e" -> (x,d,e): trigram
+    # unseen, bigram (d,e) seen -> level 2; "y z f" -> (y,z,f):
+    # trigram+bigram unseen, unigram f seen -> floor; "q q q" -> OOV.
+    docs = spark.createDataFrame(
+        train_docs + [(10, "a b c"), (11, "x d e"), (12, "y z f"),
+                      (13, "q q q")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame([(0,), (1,), (2,)], "doc_id long")
+    got = {r.doc_id: r for r in stupid_backoff_score(docs, train).collect()}
+
+    # N (train tokens) = 3 + 2 + 1 = 6
+    r10 = got[10]  # c(abc)/c(ab) = 1/1
+    assert (r10.n_trigrams, r10.n_hit3, r10.n_hit2) == (1, 1, 0)
+    assert abs(r10.sb_score - 1.0) < 1e-9
+    r11 = got[11]  # 0.4 * c(de)/c(d) = 0.4 * 1/1
+    assert (r11.n_trigrams, r11.n_hit3, r11.n_hit2) == (1, 0, 1)
+    assert abs(r11.sb_score - 0.4) < 1e-9
+    r12 = got[12]  # 0.16 * c(f)/N = 0.16/6
+    assert (r12.n_trigrams, r12.n_hit3, r12.n_hit2) == (1, 0, 0)
+    assert abs(r12.sb_score - 0.16 / 6) < 1e-9
+    r13 = got[13]  # fully OOV: floor branch with c(q) = 0
+    assert (r13.n_trigrams, r13.n_hit3, r13.n_hit2) == (1, 0, 0)
+    assert r13.sb_score == 0.0
+    # train docs score through the same pipeline (self-hits, level 3)
+    assert got[0].n_hit3 == 1 and abs(got[0].sb_score - 1.0) < 1e-9
+
+
+def test_stupid_backoff_parity(spark, duck):
+    from tests.conftest import run_parity
+
+    run_parity(spark, duck, "stupid_backoff_score")

@@ -142,9 +142,16 @@ EXPECTATIONS = {
     # the |V|-row rank/degree side at this SF — at scale that side
     # exceeds the threshold and falls back to the keyed shuffle join
     "pagerank_scores": ["HashAggregate", "hashpartitioning(dst"],
-    # triangles: wedge closure must be a LeftSemi join; corner credit
-    # a union feeding one hash agg
-    "triangle_part_counts": ["LeftSemi", "Union", "HashAggregate"],
+    # triangles (round-7 edge-iterator form): per-edge codegen
+    # intersect of the two endpoints' neighbor arrays — a Generate
+    # over array_intersect, NO wedge materialization/semi join;
+    # corner credit a union feeding one hash agg
+    "triangle_part_counts": [
+        "Generate",
+        "array_intersect",
+        "Union",
+        "HashAggregate",
+    ],
     # heavy hitters: the MG sketch is the one Arrow Python stage
     # (MapInPandas); candidates come back via broadcast semi join;
     # recount is a map-side-combined hash agg
@@ -300,6 +307,20 @@ EXPECTATIONS = {
         "LeftSemi",
         "PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate",
     ],
+    # round-7 operating-curve harnesses: hits against the exact truth
+    # are LEFT-SEMI joins on checkpointed frames, the per-point rows
+    # union, and the candidate/hit counts are map-side-combined aggs
+    "pq_recall_sweep": ["LeftSemi", "Union", "HashAggregate"],
+    "lsh_band_sweep": ["LeftSemi", "Union", "HashAggregate"],
+    # hard negatives: shortlist minus truth is a LEFT-ANTI join; the
+    # re-rank is a per-query window
+    "hard_negative_mine": ["LeftAnti", "Window", "HashAggregate"],
+    # OPQ A/B: two independently trained quantizers (the balanced one
+    # reads the broadcast dim map), rows union
+    "pq_opq_compare": ["LeftSemi", "Union", "HashAggregate"],
+    # Stupid Backoff: tokenize Generate; train-split prune is a semi
+    # join; three count tables come back as posting joins
+    "stupid_backoff_score": ["Generate", "LeftSemi", "HashAggregate"],
 }
 
 
