@@ -833,7 +833,10 @@ SNM_WINDOW = 4  # sorted-neighborhood window (rank distance < SNM_WINDOW)
 
 
 def sorted_neighborhood_pairs(
-    names: DataFrame, name_col: str = "name", window: int = SNM_WINDOW
+    names: DataFrame,
+    name_col: str = "name",
+    window: int = SNM_WINDOW,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """(name_a, name_b, dist): Levenshtein ≤ 1 pairs found by
     multi-pass sorted-neighborhood blocking (Hernández & Stolfo,
@@ -866,7 +869,10 @@ def sorted_neighborhood_pairs(
     cands = None
     for i, key in enumerate(passes):
         ranked = range_rank(
-            base.withColumn("_k", key), ["_k"], out_col="r"
+            base.withColumn("_k", key),
+            ["_k"],
+            out_col="r",
+            checkpoint=checkpoint,
         ).select("n", "r")
         probe = ranked.select(
             F.col("n").alias("_na"),

@@ -179,6 +179,7 @@ def range_rank(
     key_cols: list[str],
     out_col: str = "rank",
     num_partitions: int | None = None,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """``df`` + ``out_col`` = the 1-based GLOBAL rank of each row in
     ``key_cols`` order — without a single-task global sort.
@@ -206,8 +207,10 @@ def range_rank(
     # must not depend on exchange reuse or the range sampler re-seeding
     # identically under recomputation. The checkpoint pins one physical
     # partitioning both consumers read (the repo's shared-frame
-    # pattern, operators/dedup.py:411).
-    keyed = keyed.localCheckpoint(eager=False)
+    # pattern, operators/dedup.py:411). ``checkpoint=False`` exposes
+    # the full lineage for plan audits (the setsim pattern).
+    if checkpoint:
+        keyed = keyed.localCheckpoint(eager=False)
     from pyspark.sql import Window
 
     w_in = Window.partitionBy("_pid").orderBy(*key_cols)

@@ -358,6 +358,7 @@ def main() -> int:
     from convoy_spark.operators.heavyhitters import heavy_hitters as _hh
 
     from convoy_spark.operators.dedup import setsim_prefix_join as _ssim
+    from convoy_spark.operators.dedup import sorted_neighborhood_pairs as _snm
 
     OVERRIDES = {
         "minhash_lsh_neardup": lambda s, d: _mlsh(
@@ -372,6 +373,15 @@ def main() -> int:
         # audited un-checkpointed so the sketch stage is visible
         "heavy_hitters": lambda s, d: _hh(
             load_table(s, d, "documents"), checkpoint=False
+        ),
+        # audited un-checkpointed so range_rank's range exchange is
+        # visible (the shipped form pins it behind a localCheckpoint —
+        # round-6 ADVICE #5)
+        "sorted_neighborhood_pairs": lambda s, d: _snm(
+            load_table(s, d, "customer").select(
+                F.col("c_name").alias("name")
+            ),
+            checkpoint=False,
         ),
     }
 
