@@ -248,7 +248,12 @@ def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass builds the wide signature frame; each operating point derives
     its band keys from that checkpointed frame — at 100 TB the sweep
     costs |sweep| band-key aggregations + equi-joins, never a second
-    tokenization."""
+    tokenization. The r=1 point is deliberately the quadratic
+    diagnostic (any single matching hash → candidate): Spark's
+    exchange-partitioned join absorbs it (12.2 s for all five points
+    at sf1.0) while the DuckDB oracle spilled 79 GB and died at the
+    same SF (BENCH_NOTES round 7) — knowing that r=1 is infeasible IS
+    the sweep's product."""
     from convoy_spark.operators.dedup import lsh_candidate_pairs
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
