@@ -76,6 +76,9 @@ BENCH_QUERIES = [
     # round-7: the banding operating-curve harness (one signature
     # pass + 5 band-key derivations + the exact truth via setsim)
     "lsh_band_sweep",
+    # round-7: the vector-side banding curve (one projection pass +
+    # 4 band derivations vs the exact cosine truth)
+    "srp_band_sweep",
     "substring_dup_pairs",
     "dedup_clusters",
     # the remaining shared-LSH-build consumer (same amortization

@@ -99,10 +99,12 @@ def cosine_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(q, c, k=TOP_K)
 
 
-@query(
-    "ann_srp_topk",
-    oracle=f"""
-    WITH {VEC_SQL},
+# SRP hyperplane projections as a shared oracle fragment (mirrors
+# srp_signatures_from_exploded: Σ w·⌊x·2²⁰⌋ in exact BIGINT arithmetic
+# — power-of-two scaling + floor are deterministic double ops on both
+# engines). Shared by the ann_srp_topk oracle and the srp_band_sweep
+# oracle so the signature definition cannot drift.
+_SRP_PROJ_SQL = f"""
     planes AS (SELECT unnest(generate_series(0, {N_PLANES - 1})) AS plane),
     dims AS (SELECT DISTINCT d FROM ev),
     comps AS (
@@ -111,14 +113,19 @@ def cosine_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM planes CROSS JOIN dims
     ),
     proj AS (
-      -- mirrors srp_signatures_from_exploded: Σ w·⌊x·2²⁰⌋ in exact
-      -- BIGINT arithmetic (power-of-two scaling + floor are
-      -- deterministic double ops on both engines)
       SELECT e.vec_id, c.plane,
              SUM(c.w * CAST(FLOOR(e.x * 1048576) AS BIGINT)) AS p
       FROM ev e JOIN comps c ON c.d = e.d
       GROUP BY e.vec_id, c.plane
-    ),
+    )
+"""
+
+
+@query(
+    "ann_srp_topk",
+    oracle=f"""
+    WITH {VEC_SQL},
+    {_SRP_PROJ_SQL},
     sigs AS (
       SELECT vec_id, plane // {SRP_ROWS} AS band,
              SUM(CASE WHEN p > 0
@@ -1518,6 +1525,138 @@ def scaled_cosine_ranks_ctes(n_queries: int, k: int) -> str:
 
 RM_K = 10  # metrics cutoff: precision@10 / DCG@10
 RM_N_QUERIES = N_QUERIES
+
+
+# SRP banding operating points over the fixed 16-plane signature.
+# r=1 is omitted by design: a 1-bit band matches any pair on some
+# plane with prob ≈ 1 − 2⁻¹⁶, i.e. the candidate set degenerates to
+# all-pairs (the lsh_band_sweep r=1 diagnostic already pins that
+# regime on the Jaccard side).
+SRP_SWEEP_ROWS = [2, 4, 8, 16]
+
+
+def _srp_band_sweep_oracle() -> str:
+    parts = [_SRP_PROJ_SQL, scaled_cosine_ranks_ctes(N_QUERIES, TOP_K)]
+    rows = []
+    for r in SRP_SWEEP_ROWS:
+        parts.append(f"""
+    sigs_{r} AS (
+      SELECT vec_id, plane // {r} AS band,
+             SUM(CASE WHEN p > 0
+                 THEN (CAST(1 AS BIGINT) << (plane % {r}))
+                 ELSE 0 END) AS key
+      FROM proj GROUP BY vec_id, plane // {r}
+    ),
+    cand_{r} AS (
+      SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS doc_id
+      FROM sigs_{r} a
+      JOIN sigs_{r} b ON a.band = b.band AND a.key = b.key
+                     AND b.vec_id <> a.vec_id
+      WHERE a.vec_id < {N_QUERIES}
+    ),
+    row_{r} AS (
+      SELECT CAST({r} AS INT) AS rows_per_band,
+             CAST({N_PLANES // r} AS INT) AS n_bands,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM cand_{r}) AS n_cand,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+                SELECT * FROM cand_{r}
+                INTERSECT
+                SELECT query_id, doc_id FROM cosranks)
+             ) AS cand_hits
+    )
+    """)
+        rows.append(f"SELECT * FROM row_{r}")
+    union = " UNION ALL ".join(rows)
+    return f"""
+    WITH {VEC_SQL}, {','.join(parts)}
+    SELECT rows_per_band, n_bands, n_cand, cand_hits,
+           CAST(cand_hits AS DOUBLE) / {N_QUERIES * TOP_K} AS recall,
+           CASE WHEN n_cand = 0 THEN CAST(0.0 AS DOUBLE)
+                ELSE CAST(cand_hits AS DOUBLE) / n_cand END AS precision
+    FROM ({union})
+    """
+
+
+@query("srp_band_sweep", oracle=_srp_band_sweep_oracle())
+def srp_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP banding operating curve — the vector-side sibling of
+    lsh_band_sweep: for each rows-per-band r over the fixed 16-plane
+    SRP signature, the banded candidate set's size, recall of the
+    exact scaled-long cosine top-{TOP_K} truth (cosine_ranks_fast —
+    the shared chain the hybrid-RRF vector leg runs), and precision.
+    ONE projection pass (the r=1 sign bits, checkpointed) feeds every
+    operating point — band keys at any r are bit-packs of those sign
+    bits, identical integers to training at that r directly. This is
+    the sweep a deployment runs to place the angular S-curve knee
+    before committing an index layout; at 100 TB each point is one
+    band-key aggregation + equi-join over the signature table, never
+    a second projection. Registers PAST-window by the key_skew
+    precedent: the operating-curve construction (per-point candidate
+    join + semi-join hits vs a checkpointed truth, union of count
+    rows) is in-window via lsh_band_sweep and the SRP signature/band
+    machinery via ann_srp_topk; stays emulator + pytest green."""
+    from convoy_spark.operators.similarity import (
+        cosine_ranks_fast,
+        srp_signatures_from_exploded,
+    )
+    from convoy_spark.operators.similarity import _infer_dim  # noqa: PLC2701
+    from convoy_spark.operators.similarity import exploded_vectors
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = exploded_vectors(emb).localCheckpoint(eager=False)
+    dim = _infer_dim(emb, "embedding")
+    # rows_per_band=1: band == plane, key == the plane's sign bit
+    sig1 = srp_signatures_from_exploded(
+        ex, dim, N_PLANES, rows_per_band=1
+    ).localCheckpoint(eager=False)
+    truth = (
+        cosine_ranks_fast(emb, N_QUERIES, TOP_K)
+        .select("query_id", "doc_id")
+        .localCheckpoint(eager=False)
+    )
+    denom = F.lit(float(N_QUERIES * TOP_K))
+    out = None
+    for r in SRP_SWEEP_ROWS:
+        sig_r = (
+            sig1.select(
+                "vec_id",
+                F.expr(f"band div {r}").alias("bandr"),
+                F.expr(f"shiftleft(key, int(band % {r}))").alias("part"),
+            )
+            .groupBy("vec_id", F.col("bandr").alias("band"))
+            .agg(F.sum("part").cast("long").alias("key"))
+        )
+        cand = (
+            sig_r.filter(F.col("vec_id") < N_QUERIES)
+            .select(F.col("vec_id").alias("query_id"), "band", "key")
+            .join(
+                sig_r.select(F.col("vec_id").alias("doc_id"), "band", "key"),
+                ["band", "key"],
+            )
+            .filter(F.col("query_id") != F.col("doc_id"))
+            .select("query_id", "doc_id")
+            .distinct()
+        )
+        ncand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
+        hits = cand.join(truth, ["query_id", "doc_id"], "left_semi").agg(
+            F.count(F.lit(1)).cast("long").alias("cand_hits")
+        )
+        row = ncand.crossJoin(hits).select(
+            F.lit(r).cast("int").alias("rows_per_band"),
+            F.lit(N_PLANES // r).cast("int").alias("n_bands"),
+            "n_cand",
+            "cand_hits",
+            (F.col("cand_hits").cast("double") / denom).alias("recall"),
+            F.when(F.col("n_cand") == 0, F.lit(0.0))
+            .otherwise(
+                F.col("cand_hits").cast("double")
+                / F.col("n_cand").cast("double")
+            )
+            .alias("precision"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
 
 
 @query(

@@ -253,3 +253,31 @@ def test_retrieval_metrics_match_numpy(spark):
         assert abs(row.mrr - mrr) < 1e-9
         assert abs(row.dcg_h - dcg) < 1e-5
         assert abs(row.ndcg_h - ndcg) < 1e-5
+
+
+def test_srp_band_sweep_parity(spark, duck):
+    from tests.conftest import run_parity
+
+    run_parity(spark, duck, "srp_band_sweep")
+
+
+def test_srp_band_sweep_s_curve(spark):
+    """The angular S-curve's contracts: candidate volume and recall
+    are monotone non-increasing as rows-per-band grows (r-bit band
+    match sets nest for doubling r with aligned boundaries), and the
+    full 16-bit single band is near-empty (all 16 signs must agree —
+    for cos≈0.5 neighbors P ≈ 0.67^16), while r=2 recalls most of
+    the exact top-k."""
+    from convoy_spark.queries import QUERIES
+
+    rows = sorted(
+        (r.rows_per_band, r.n_cand, r.cand_hits, r.recall)
+        for r in QUERIES["srp_band_sweep"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    )
+    assert [r for r, *_ in rows] == [2, 4, 8, 16]
+    for (r0, c0, h0, _), (r1, c1, h1, _) in zip(rows, rows[1:]):
+        assert c1 <= c0, f"candidates grew r={r0}->{r1}"
+        assert h1 <= h0, f"hits grew r={r0}->{r1}"
+    assert rows[0][3] > rows[-1][3], "no S-curve separation"
