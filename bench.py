@@ -84,6 +84,10 @@ BENCH_QUERIES = [
     # the remaining shared-LSH-build consumer (same amortization
     # argument as the tree family)
     "split_contamination",
+    # round-7 late: Bloom-pruned decontamination — the broadcast-
+    # bitset scale path of the exact 13-gram check (train grams never
+    # shuffle; FP arithmetic hash-checked by the oracle)
+    "bloom_decontaminate",
     # cosine_topk (brute force) is the recall oracle, not a headline:
     # Q×N by definition. The ANN path is what ships.
     "ann_srp_topk",

@@ -894,3 +894,113 @@ def sorted_neighborhood_pairs(
         .withColumn("dist", F.levenshtein("name_a", "name_b"))
         .where(F.col("dist") <= 1)
     )
+
+
+# --- Bloom-filter decontamination prune -----------------------------
+#
+# ngram_contamination (queries/dedup.py) is the exact 13-gram overlap
+# check; its cost center at 100 TB is the hash equi-join that SHUFFLES
+# every train-side n-gram. But decontamination is asymmetric: the eval
+# side is a fixed benchmark suite (n-grams in the millions — it does
+# not grow with the corpus) while the train side is the 100 TB corpus.
+# The production shape (Bloom 1970; the form every large-scale
+# pretraining decontamination job uses) is therefore: build a Bloom
+# bitset over the EVAL n-grams once, broadcast it, and probe every
+# train n-gram map-side — the corpus-sized frame never shuffles its
+# grams; only the tiny candidate fraction (true hits + the bounded
+# false-positive tail) needs exact verification. Bloom filters have no
+# false negatives, so the verified answer is EXACT — the filter is a
+# prune, not an approximation, the same sketch-then-verify contract as
+# minhash_lsh_neardup and the Misra-Gries recount.
+#
+# Every bit of the filter is deterministic cross-engine: probe
+# positions come from the universal-hash family in functions/hashing
+# (the MinHash parameter table), and the bitset is a bit_or aggregate
+# of 63-bit words — 63, not 64, because DuckDB's BIGINT << raises on
+# 1 << 63 while Spark wraps, so the shared-arithmetic contract caps
+# shifts at 62. The DuckDB oracle rebuilds the filter bit-for-bit and
+# counts the SAME candidates, so the driver's value hash checks the
+# false-positive arithmetic itself, not just the exact tail.
+BLOOM_K = 3  # probes per key
+BLOOM_BITS_PER_KEY = 16  # m = 16n bits -> FP ~ (1-e^{-3/16})^3 ~ 0.5%
+BLOOM_WORD = 63  # usable bits per int64 word (see note above)
+
+
+def bloom_decontaminate(
+    train_grams: DataFrame, eval_grams: DataFrame
+) -> DataFrame:
+    """(train_doc, n_grams, n_bloom_candidates, n_true_hits,
+    contaminated) — per-train-doc decontamination funnel: distinct
+    n-grams scanned, grams passing the eval-set Bloom filter, and
+    grams actually present in the eval set (exact; Bloom admits no
+    false negatives). ``n_bloom_candidates - n_true_hits`` is the
+    false-positive tail the exact verify pays for — the measurable
+    cost of sizing the filter at BLOOM_BITS_PER_KEY.
+
+    Inputs are (doc_id, h) frames with per-doc-distinct 60-bit gram
+    hashes (shingle_hashes output). The filter is sized off the data:
+    m = BLOOM_BITS_PER_KEY * |distinct eval grams|, rounded up to
+    whole 63-bit words (integer arithmetic only, mirrored in SQL).
+
+    Plan shape: the eval side collapses to two broadcast singletons
+    (the size row and the word->bits map aggregated via bit_or); the
+    train side is scan -> per-gram probe array -> forall over map
+    lookups, all inside whole-stage codegen, then ONE doc-keyed
+    aggregate. The eval-membership verify is a broadcast hash join.
+    Nothing corpus-sized ever shuffles by gram."""
+    ev_h = eval_grams.select("h").distinct()
+    m_row = ev_h.agg(
+        F.expr(
+            f"greatest(cast(1 as bigint), "
+            f"(({BLOOM_BITS_PER_KEY} * count(*) + {BLOOM_WORD - 1})"
+            f" div {BLOOM_WORD})) * {BLOOM_WORD}"
+        ).alias("m")
+    )
+    probes = ", ".join(
+        f"(({a} * (h % {MERSENNE31}) + {b}) % {MERSENNE31}) % m"
+        for _i, a, b in minhash_params(BLOOM_K)
+    )
+    filt = (
+        ev_h.join(F.broadcast(m_row))
+        .selectExpr(f"explode(array({probes})) AS p")
+        .selectExpr(
+            f"p div {BLOOM_WORD} AS w",
+            f"shiftleft(cast(1 as bigint), cast(p % {BLOOM_WORD} as int))"
+            " AS bit",
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+    fmap = filt.agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("w", "bits")))
+        ).alias("fmap")
+    )
+    cand = (
+        f"forall(array({probes}), p ->"
+        f" (coalesce(try_element_at(fmap, p div {BLOOM_WORD}),"
+        f" cast(0 as bigint))"
+        f" & shiftleft(cast(1 as bigint), cast(p % {BLOOM_WORD} as int)))"
+        f" != 0)"
+    )
+    flagged = (
+        train_grams.join(F.broadcast(m_row))
+        .join(F.broadcast(fmap))
+        .selectExpr("doc_id", "h", f"{cand} AS cand")
+        .join(
+            F.broadcast(ev_h.select(F.col("h").alias("h_ev"))),
+            F.col("h") == F.col("h_ev"),
+            "left",
+        )
+    )
+    return (
+        flagged.groupBy(F.col("doc_id").alias("train_doc"))
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(F.col("cand").cast("long")).alias("n_bloom_candidates"),
+            F.sum(
+                (F.col("cand") & F.col("h_ev").isNotNull()).cast("long")
+            ).alias("n_true_hits"),
+        )
+        .withColumn("contaminated", F.col("n_true_hits") > 0)
+    )

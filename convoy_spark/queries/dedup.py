@@ -843,10 +843,12 @@ NGRAM_CONTAM_N = 13  # GPT-3-style exact 13-gram overlap check
 NGRAM_CONTAM_CAP = 64  # stop-gram cap: boilerplate n-grams carry no signal
 
 
-@query(
-    "ngram_contamination",
-    oracle=f"""
-    WITH toks AS (
+# Shared 13-gram + split CTE chain: the exact-overlap check below and
+# the Bloom-pruned scale path share this fragment BY CONSTRUCTION (the
+# hybrid_rrf_topk precedent — shared fragments cannot drift), ending
+# in tr(doc_id, h) / ev(doc_id, h, split), capped distinct 13-gram
+# hashes per train/eval doc.
+_NGRAM13_CTES = f"""toks AS (
       SELECT doc_id, string_split_regex(lower(text), '{WS_SPLIT}') AS t
       FROM documents
     ),
@@ -878,7 +880,38 @@ NGRAM_CONTAM_CAP = 64  # stop-gram cap: boilerplate n-grams carry no signal
     ev AS (
       SELECT g.doc_id, g.h, s.split FROM g JOIN s USING (doc_id)
       WHERE s.split <> 'train'
+    )"""
+
+
+def _contamination_split_grams(spark, sf_dir, checkpoint=False):
+    """Spark twin of _NGRAM13_CTES: (tr, ev) frames of capped distinct
+    13-gram hashes, tr = (doc_id, h) train side, ev = (doc_id, h,
+    split) eval side — one implementation feeding both the exact
+    check and the Bloom scale path. ``checkpoint`` materializes the
+    shared gram+split frame once before slicing (the shared-frame
+    pattern) for callers that fan it out to several consumers."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = shingle_hashes(docs, n=NGRAM_CONTAM_N)
+    ok = (
+        g.groupBy("h")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") <= NGRAM_CONTAM_CAP)
+        .select("h")
     )
+    gg = g.join(ok, "h", "left_semi")
+    s = docs.select("doc_id", _split_col().alias("split"))
+    gs = gg.join(s, "doc_id")
+    if checkpoint:
+        gs = gs.localCheckpoint()
+    tr = gs.filter(F.col("split") == "train").select("doc_id", "h")
+    ev = gs.filter(F.col("split") != "train").select("doc_id", "h", "split")
+    return tr, ev
+
+
+@query(
+    "ngram_contamination",
+    oracle=f"""
+    WITH {_NGRAM13_CTES}
     SELECT tr.doc_id AS train_doc, ev.doc_id AS eval_doc,
            ev.split AS eval_split, CAST(COUNT(*) AS BIGINT) AS n_shared
     FROM tr JOIN ev ON tr.h = ev.h
@@ -898,21 +931,9 @@ def ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     substring and LSH joins — worst-case join cost cap²·|grams|),
     then ONE hash equi-join between the train and eval posting sides
     — never all-pairs, map-side split assignment."""
-    docs = load_table(spark, sf_dir, "documents")
-    g = shingle_hashes(docs, n=NGRAM_CONTAM_N)
-    ok = (
-        g.groupBy("h")
-        .agg(F.count("*").alias("_n"))
-        .filter(F.col("_n") <= NGRAM_CONTAM_CAP)
-        .select("h")
-    )
-    gg = g.join(ok, "h", "left_semi")
-    s = docs.select("doc_id", _split_col().alias("split"))
-    gs = gg.join(s, "doc_id")
-    tr = gs.filter(F.col("split") == "train").select(
-        F.col("doc_id").alias("train_doc"), "h"
-    )
-    ev = gs.filter(F.col("split") != "train").select(
+    tr0, ev0 = _contamination_split_grams(spark, sf_dir)
+    tr = tr0.select(F.col("doc_id").alias("train_doc"), "h")
+    ev = ev0.select(
         F.col("doc_id").alias("eval_doc"), F.col("split").alias("eval_split"), "h"
     )
     return (
@@ -920,6 +941,86 @@ def ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("train_doc", "eval_doc", "eval_split")
         .agg(F.count("*").cast("long").alias("n_shared"))
     )
+
+
+from convoy_spark.operators.dedup import (  # noqa: E402
+    BLOOM_BITS_PER_KEY,
+    BLOOM_K,
+    BLOOM_WORD,
+    bloom_decontaminate,
+)
+
+_BLOOM_PRM = ", ".join(f"({a}, {b})" for _i, a, b in minhash_params(BLOOM_K))
+_BLOOM_BIT = f"1::BIGINT << CAST(p % {BLOOM_WORD} AS INT)"
+
+
+@query(
+    "bloom_decontaminate",
+    oracle=f"""
+    WITH {_NGRAM13_CTES},
+    evh AS (SELECT DISTINCT h FROM ev),
+    mm AS (
+      SELECT greatest(1::BIGINT,
+               ({BLOOM_BITS_PER_KEY} * COUNT(*) + {BLOOM_WORD - 1})
+                 // {BLOOM_WORD}) * {BLOOM_WORD} AS m
+      FROM evh
+    ),
+    prm AS (SELECT * FROM (VALUES {_BLOOM_PRM}) AS prm(a, b)),
+    evp AS (
+      SELECT ((a * (h % {MERSENNE31}) + b) % {MERSENNE31}) % m AS p
+      FROM evh, prm, mm
+    ),
+    filt AS (
+      SELECT p // {BLOOM_WORD} AS w, bit_or({_BLOOM_BIT}) AS bits
+      FROM evp GROUP BY 1
+    ),
+    trp AS (
+      SELECT tr.doc_id, tr.h,
+             ((a * (h % {MERSENNE31}) + b) % {MERSENNE31}) % m AS p
+      FROM tr, prm, mm
+    ),
+    hits AS (
+      SELECT doc_id, h,
+             COUNT(*) FILTER (WHERE f.bits IS NOT NULL
+               AND (f.bits & ({_BLOOM_BIT})) != 0) AS nh
+      FROM trp LEFT JOIN filt f ON f.w = p // {BLOOM_WORD}
+      GROUP BY 1, 2
+    ),
+    fl AS (
+      SELECT hits.doc_id, hits.h, (nh = {BLOOM_K}) AS cand,
+             (e.h IS NOT NULL) AS hit
+      FROM hits LEFT JOIN evh e USING (h)
+    )
+    SELECT doc_id AS train_doc,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(*) FILTER (WHERE cand) AS BIGINT)
+             AS n_bloom_candidates,
+           CAST(COUNT(*) FILTER (WHERE cand AND hit) AS BIGINT)
+             AS n_true_hits,
+           COUNT(*) FILTER (WHERE cand AND hit) > 0 AS contaminated
+    FROM fl GROUP BY 1
+    """,
+)
+def bloom_decontaminate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned decontamination — the SCALE PATH of the exact
+    `ngram_contamination` above (same capped 13-gram universe and
+    split, shared fragment on both engines). The exact check shuffles
+    every train-side gram into a hash join; here the eval side
+    (benchmarks — fixed size, it does not grow with the corpus)
+    collapses into a broadcast Bloom bitset sized at
+    {BLOOM_BITS_PER_KEY} bits/key, train grams are probed map-side in
+    whole-stage codegen, and only Bloom survivors meet the exact
+    eval-membership verify (broadcast). No false negatives, so
+    `n_true_hits`/`contaminated` are EXACT; `n_bloom_candidates -
+    n_true_hits` is the measured false-positive tail — the oracle
+    rebuilds the bitset bit-for-bit, so the driver hash checks the FP
+    arithmetic too, not just the exact answer. Per train doc:
+    (n_grams, n_bloom_candidates, n_true_hits, contaminated)."""
+    # One corpus-derived build feeds four consumers (filter size, the
+    # bitset, the membership verify, the probe side) — materialized
+    # once, the shared-frame pattern (setsim/minhash/range_rank).
+    tr, ev = _contamination_split_grams(spark, sf_dir, checkpoint=True)
+    return bloom_decontaminate(tr, ev.select("doc_id", "h"))
 
 
 def _substr_horner_oracle(k: int) -> str:

@@ -425,3 +425,56 @@ def test_lsh_band_sweep_invariants(spark):
     for r, c, h, re, p in rows:
         assert 0.0 <= re <= 1.0 and 0.0 <= p <= 1.0
         assert h <= c
+
+
+def test_bloom_decontaminate_parity(spark, duck):
+    from tests.conftest import run_parity
+
+    run_parity(spark, duck, "bloom_decontaminate")
+
+
+def test_bloom_decontaminate_no_false_negatives(spark):
+    """Bloom's one hard guarantee: a gram in the eval set ALWAYS
+    passes the filter, so n_true_hits equals the exact overlap count
+    computed without any filter — on a constructed corpus with a
+    planted 13-gram overlap, a disjoint doc, and a short doc (< 13
+    tokens, no grams at all)."""
+    from convoy_spark.operators.dedup import (
+        bloom_decontaminate,
+        shingle_hashes,
+    )
+
+    words = [f"w{i}" for i in range(30)]
+    shared = " ".join(words[:13])
+    rows = [
+        (1, shared + " " + " ".join(words[13:26])),  # overlaps eval
+        (2, " ".join(f"x{i}" for i in range(20))),  # disjoint
+        (3, "too short for grams"),  # < 13 tokens
+        (10, shared),  # the eval doc
+        (11, " ".join(f"y{i}" for i in range(25))),  # eval noise
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    g = shingle_hashes(docs, n=13)
+    tr = g.filter(F.col("doc_id") < 10)
+    ev = g.filter(F.col("doc_id") >= 10)
+    out = {
+        r.train_doc: r
+        for r in bloom_decontaminate(tr, ev).collect()
+    }
+    # doc 3 has no grams -> absent; doc 1 shares exactly the planted
+    # 13-gram; doc 2 shares nothing (candidates may include Bloom FPs
+    # but true hits are exact).
+    assert set(out) == {1, 2}
+    exact = (
+        tr.join(ev.select("h").distinct(), "h", "left_semi")
+        .groupBy("doc_id")
+        .count()
+        .collect()
+    )
+    exact = {r.doc_id: r["count"] for r in exact}
+    assert out[1].n_true_hits == exact.get(1, 0) == 1
+    assert out[1].contaminated
+    assert out[2].n_true_hits == exact.get(2, 0) == 0
+    assert not out[2].contaminated
+    for r in out.values():
+        assert r.n_true_hits <= r.n_bloom_candidates <= r.n_grams

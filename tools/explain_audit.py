@@ -321,6 +321,11 @@ EXPECTATIONS = {
     # Stupid Backoff: tokenize Generate; train-split prune is a semi
     # join; three count tables come back as posting joins
     "stupid_backoff_score": ["Generate", "LeftSemi", "HashAggregate"],
+    # Bloom decontamination: the eval-membership verify and the
+    # bitset/size singletons all ride broadcasts; train grams meet
+    # only ONE exchange (the final doc-keyed agg) after the codegen
+    # probe forall
+    "bloom_decontaminate": ["BroadcastHashJoin", "HashAggregate"],
 }
 
 
