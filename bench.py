@@ -109,6 +109,10 @@ BENCH_QUERIES = [
     "kmv_distinct_rollup",
     "retrieval_metrics",
     "classifier_eval",
+    # round-7 late: one-vs-rest perceptron linear probe — distributed
+    # TRAINING loop (scaled-long, fully hash-checked) + held-out
+    # confusion report
+    "linear_probe_train",
     "snapshot_diff",
     "column_histogram",
     # the iterative-float showcase: Spark's checkpointed centered

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from convoy_spark.functions.hashing import sql_hash60
+from convoy_spark.functions.hashing import hash60, sql_hash60
 from convoy_spark.functions.numeric import sql_dsum
 from convoy_spark.operators.similarity import (
     N_PLANES,
@@ -1776,3 +1776,122 @@ def retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dcg_h",
         F.coalesce(F.col("dcg_h") / F.col("idcg"), F.lit(0.0)).alias("ndcg_h"),
     )
+
+
+# --- Linear-probe training (one-vs-rest batch perceptron) -----------
+
+PROBE_SPLIT_SALT = "probe-v1"
+PROBE_TRAIN_PCT = 90
+
+
+def _probe_oracle(iters: int) -> str:
+    """Unrolled perceptron training chain (the pagerank/PCA oracle
+    pattern): w{t}/b{t} weight CTEs per round, margins via the
+    (vec, dim) × (class, dim) join + keyed sum — the naive relational
+    restatement of the Spark side's broadcast array dot."""
+    from convoy_spark.operators.probe import PROBE_SCALE
+
+    s2 = PROBE_SCALE * PROBE_SCALE
+    split = (
+        f"{sql_hash60(f'''concat('{PROBE_SPLIT_SALT}:', vec_id)''')}"
+        f" % 100 < {PROBE_TRAIN_PCT}"
+    )
+    rounds = []
+    for t in range(iters):
+        rounds.append(
+            f"""m{t} AS (
+      SELECT x.vec_id, x.label, w.c, CAST(SUM(x.xq * w.wq) AS BIGINT) AS dot
+      FROM xtr x JOIN w{t} w ON x.j = w.j
+      GROUP BY 1, 2, 3
+    ),
+    mis{t} AS (
+      SELECT m.vec_id, m.label, m.c,
+             CASE WHEN m.label = m.c THEN 1 ELSE -1 END AS y
+      FROM m{t} m JOIN b{t} b USING (c)
+      WHERE (CASE WHEN m.label = m.c THEN 1 ELSE -1 END)
+            * (m.dot + b.bq) <= 0
+    ),
+    dw{t} AS (
+      SELECT s.c, x.j, CAST(SUM(s.y * x.xq) AS BIGINT) AS dw
+      FROM mis{t} s JOIN xtr x USING (vec_id)
+      GROUP BY 1, 2
+    ),
+    db{t} AS (
+      SELECT c, CAST(SUM(y) * {s2} AS BIGINT) AS dbq
+      FROM mis{t} GROUP BY c
+    ),
+    w{t + 1} AS (
+      SELECT w.c, w.j, w.wq + COALESCE(d.dw, 0) AS wq
+      FROM w{t} w LEFT JOIN dw{t} d ON w.c = d.c AND w.j = d.j
+    ),
+    b{t + 1} AS (
+      SELECT b.c, CAST(b.bq + COALESCE(d.dbq, 0) AS BIGINT) AS bq
+      FROM b{t} b LEFT JOIN db{t} d USING (c)
+    )"""
+        )
+    chain = ",\n    ".join(rounds)
+    return f"""
+    WITH xq AS (
+      SELECT vec_id, label, {split} AS is_train,
+             generate_subscripts(embedding, 1) - 1 AS j,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE)
+                        * {PROBE_SCALE}) AS BIGINT) AS xq
+      FROM embeddings
+    ),
+    xtr AS (SELECT * FROM xq WHERE is_train),
+    classes AS (SELECT DISTINCT label AS c FROM embeddings),
+    dims AS (SELECT DISTINCT j FROM xq),
+    w0 AS (SELECT c, j, CAST(0 AS BIGINT) AS wq FROM classes, dims),
+    b0 AS (SELECT c, CAST(0 AS BIGINT) AS bq FROM classes),
+    {chain},
+    fm AS (
+      SELECT x.vec_id, x.label, x.is_train, w.c,
+             CAST(SUM(x.xq * w.wq) AS BIGINT) AS dot
+      FROM xq x JOIN w{iters} w ON x.j = w.j
+      GROUP BY 1, 2, 3, 4
+    ),
+    fr AS (
+      SELECT f.vec_id, f.label, f.is_train, f.c,
+             ROW_NUMBER() OVER (PARTITION BY f.vec_id
+               ORDER BY f.dot + b.bq DESC, f.c ASC) AS rn
+      FROM fm f JOIN b{iters} b USING (c)
+    )
+    SELECT CASE WHEN is_train THEN 'train' ELSE 'eval' END AS split,
+           label AS true_label, c AS pred_label,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM fr WHERE rn = 1
+    GROUP BY 1, 2, 3
+    """
+
+
+from convoy_spark.operators.probe import (  # noqa: E402
+    PROBE_ITERS,
+    perceptron_probe,
+)
+
+
+@query("linear_probe_train", oracle=_probe_oracle(PROBE_ITERS))
+def linear_probe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear probe over the frozen embedding table: a one-vs-rest
+    batch perceptron TRAINED distributedly for {PROBE_ITERS} rounds
+    on the salted-hash 90% train split, then applied to every vector;
+    output is the per-split confusion matrix (split, true_label,
+    pred_label, n) — the classifier_eval-style report, but for a
+    model this engine trained rather than a fixed scorer. The whole
+    loop is scaled-long integer arithmetic (operators/probe.py), so
+    training itself is value-hash-checked end-to-end — weights,
+    margins, argmax and counts.
+
+    Honest-diagnostic note (the classifier_eval precedent): this
+    corpus's labels are synthetic and independent of the embeddings,
+    so held-out accuracy sits at chance while the train split sits
+    above it — the probe correctly reads "no linear signal", and the
+    train/eval gap is the overfit diagnostic. On real embeddings the
+    same dataflow reads class separability."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_train = (
+        hash60(F.concat(F.lit(f"{PROBE_SPLIT_SALT}:"), F.col("vec_id")))
+        % 100
+        < PROBE_TRAIN_PCT
+    )
+    return perceptron_probe(emb.withColumn("is_train", is_train))

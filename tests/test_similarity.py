@@ -281,3 +281,62 @@ def test_srp_band_sweep_s_curve(spark):
         assert c1 <= c0, f"candidates grew r={r0}->{r1}"
         assert h1 <= h0, f"hits grew r={r0}->{r1}"
     assert rows[0][3] > rows[-1][3], "no S-curve separation"
+
+
+# --- linear probe (perceptron) ---------------------------------------
+
+
+def test_linear_probe_parity(spark, duck):
+    from tests.conftest import run_parity
+
+    run_parity(spark, duck, "linear_probe_train")
+
+
+def test_perceptron_probe_learns_separable_clusters(spark):
+    """On a linearly separable constructed corpus the probe must
+    actually LEARN: held-out accuracy >= 0.9 (the catalog corpus's
+    labels are random, so the catalog query can only demonstrate the
+    chance-level diagnostic — this pins the learning semantics)."""
+    from convoy_spark.operators.probe import perceptron_probe
+
+    rows = []
+    # three clusters at axis corners, deterministic spread, dim 4
+    for i in range(90):
+        c = i % 3
+        base = [0.0, 0.0, 0.0, 0.1]
+        base[c] = 0.5
+        # small per-point deterministic jitter on every axis
+        vec = [round(v + ((i * 7 + d * 3) % 11 - 5) * 0.01, 6)
+               for d, v in enumerate(base)]
+        rows.append((i, vec, c, i % 5 != 0))  # 20% held out
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int, is_train boolean"
+    )
+    conf = perceptron_probe(df, iters=3).collect()
+    tot = {"train": 0, "eval": 0}
+    hit = {"train": 0, "eval": 0}
+    for r in conf:
+        tot[r.split] += r.n
+        if r.true_label == r.pred_label:
+            hit[r.split] += r.n
+    assert tot["train"] == 72 and tot["eval"] == 18
+    assert hit["eval"] / tot["eval"] >= 0.9, conf
+    assert hit["train"] / tot["train"] >= 0.9, conf
+
+
+def test_perceptron_probe_counts_partition_corpus(spark):
+    """Confusion counts sum to the corpus size and every vector gets
+    exactly one prediction (argmax ties broken deterministically)."""
+    from convoy_spark.queries import QUERIES
+
+    rows = QUERIES["linear_probe_train"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    import duckdb
+
+    n = duckdb.sql(
+        "SELECT count(*) FROM read_parquet("
+        "'/root/testdata/sf0.001/embeddings.parquet')"
+    ).fetchone()[0]
+    assert sum(r.n for r in rows) == n
+    assert all(r.n > 0 for r in rows)

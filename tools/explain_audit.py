@@ -326,6 +326,14 @@ EXPECTATIONS = {
     # only ONE exchange (the final doc-keyed agg) after the codegen
     # probe forall
     "bloom_decontaminate": ["BroadcastHashJoin", "HashAggregate"],
+    # Linear probe: the |classes|-row weight frame rides a broadcast
+    # nested-loop (cross) join, the per-(vec,class) dot folds in
+    # codegen, argmax is one rank window over integer margins
+    "linear_probe_train": [
+        "BroadcastNestedLoopJoin",
+        "Window",
+        "HashAggregate",
+    ],
 }
 
 
