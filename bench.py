@@ -113,6 +113,10 @@ BENCH_QUERIES = [
     # TRAINING loop (scaled-long, fully hash-checked) + held-out
     # confusion report
     "linear_probe_train",
+    # round-7 late: depth-2 CART split search over integer quality
+    # features — the learned-threshold-rule trainer (tree itself
+    # hash-checked)
+    "cart_quality_tree",
     "snapshot_diff",
     "column_histogram",
     # the iterative-float showcase: Spark's checkpointed centered

@@ -470,6 +470,54 @@ from convoy_spark.queries import (  # noqa: F401,E402
 #                             discipline is in-window via the davg
 #                             aggregate suites; stays emulator +
 #                             python-reference pytest green).
+# Round-7 late additions (standing rule — land, enter):
+#   IN : bloom_decontaminate (the broadcast-bitset decontamination
+#                             scale path: bit_or-aggregated 63-bit
+#                             words, map-side forall probes, exact
+#                             verify — the oracle rebuilds the bitset
+#                             bit-for-bit so the driver hash checks
+#                             the false-positive arithmetic itself)
+#   IN : linear_probe_train  (distributed TRAINING enters the window:
+#                             a one-vs-rest batch perceptron whose
+#                             scaled-long update recurrence is fully
+#                             unrolled in the oracle — weights,
+#                             margins, argmax and the held-out
+#                             confusion all value-hash-checked)
+#   OUT: dedup_keep_best     (driver-green r6; its keep-best rank
+#                             window is the per-key rank plan shape
+#                             in-window via hybrid_rrf_topk /
+#                             bm25_multi_query, and its cluster
+#                             machinery — connected_components over
+#                             the shared LSH pairs — stays in-window
+#                             via closure_roots (the same
+#                             pointer-jumping operator) +
+#                             minhash_lsh_neardup (the pair graph);
+#                             this also keeps the r6-late
+#                             dedup_clusters OUT-proof intact, which
+#                             pointed at dedup_keep_best; both stay
+#                             emulator-checked)
+#   OUT: split_vocab_shift   (driver-green r6; its salted split runs
+#                             in-window verbatim inside
+#                             ngram_contamination AND the new
+#                             bloom_decontaminate; the decimal-exact
+#                             TV-distance sum is the dsum discipline
+#                             proven across the in-window aggregate
+#                             suites; stays emulator-checked)
+#   IN : cart_quality_tree   (depth-2 CART split search — learned
+#                             threshold rules with the TREE itself
+#                             value-hash-checked: exact integer Gini
+#                             ranking through one correctly-rounded
+#                             division; completes the trainable-
+#                             filter pair with linear_probe_train)
+#   OUT: index_drift_profile (driver-green r6; its plan shapes each
+#                             stay in-window — the rational idf via
+#                             bm25_multi_query, cumulative windows
+#                             via anomaly_zscore's prefix sums and
+#                             now cart_quality_tree's cumulative
+#                             class counts, broadcast grid joins
+#                             across the sketch suites; the streaming
+#                             drift twin keeps its stream==batch
+#                             pytest; stays emulator-checked)
 _CHECK_WINDOW = [
     # §2.3/§2.8 aggregates + SQL front door (two_pass_mad is past the
     # window: A6/P13 two-pass MAD is proven by tree_metric_mad)
@@ -514,10 +562,9 @@ _CHECK_WINDOW = [
     "setsim_prefix_join",
     "span_dedup",
     "semantic_dedup",
-    "dedup_keep_best",
     "lsh_band_sweep",
     "ngram_contamination",
-    "split_vocab_shift",
+    "bloom_decontaminate",
     # similarity / embedding components (cosine_topk is past the
     # window: it is the brute-force recall ORACLE for the ANN entries;
     # ann_ivf_topk rotated out round 6 — the ANN surface is proven by
@@ -525,6 +572,7 @@ _CHECK_WINDOW = [
     # embedding-decomposition capability, deflation + projection)
     "ann_srp_topk",
     "pca_project_topk",
+    "linear_probe_train",
     # graph algorithms + frequency sketch (round-6 additions)
     "pagerank_scores",
     "triangle_part_counts",
@@ -532,6 +580,7 @@ _CHECK_WINDOW = [
     "media_decode_meta",
     # tokenizer-training loop (classic word-frequency BPE trainer)
     "bpe_train_vocab",
+    "cart_quality_tree",
     # loader-prep family: packing + target-mixture sampling +
     # weighted draw + curriculum interleave
     "mixture_sample",
@@ -546,9 +595,6 @@ _CHECK_WINDOW = [
     "hybrid_rrf_topk",
     "pq_recall_sweep",
     "pq_opq_compare",
-    # index-freshness drift monitoring (batch twin of
-    # streaming/indexdrift.py)
-    "index_drift_profile",
     # temporal-warehouse family (round-6 additions)
     "scd2_snapshot",
     "interval_merge",

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from convoy_spark.functions.hashing import MERSENNE31, WS_SPLIT
+from convoy_spark.functions.hashing import MERSENNE31, WS_SPLIT, hash60
 from convoy_spark.functions.numeric import sql_dsum
 from convoy_spark.queries.similarity import scaled_cosine_ranks_ctes
 from convoy_spark.operators.textops import (
@@ -1443,3 +1443,241 @@ def count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from convoy_spark.operators.heavyhitters import count_min_estimates
 
     return count_min_estimates(load_table(spark, sf_dir, "documents"))
+
+
+# --- Learned quality-threshold tree (CART split search) -------------
+
+CART_SALT = "cart-v1"
+CART_TRAIN_PCT = 90
+# The four integer (per-mille / ×100) quality features — quantized on
+# purpose: candidate-threshold cardinality stays bins-bounded at any
+# corpus size (the histogram split-search guard, operators/cart.py).
+_CART_NONASCII = r"[^\x00-\x7f]"
+
+
+def _cart_oracle(depth: int) -> str:
+    """Unrolled CART training chain (the perceptron/pagerank oracle
+    pattern): per level — count grid, one cumulative window along the
+    value order, exact integer Gini ranking, broadcast-shaped best
+    rows, routing — then the per-level node stats the Spark side
+    emits."""
+    split = (
+        f"{sql_hash60(f'''concat('{CART_SALT}:', doc_id)''')}"
+        f" % 100 < {CART_TRAIN_PCT}"
+    )
+    lvls = []
+    finals = []
+    for L in range(depth):
+        lvls.append(f"""tr{L} AS (
+      SELECT d.node, d.label, ff.f, ff.v
+      FROM docs{L} d JOIN feats ff USING (doc_id) WHERE d.is_train
+    ),
+    cnt{L} AS (
+      SELECT node, f, v, label, COUNT(*) AS c FROM tr{L} GROUP BY 1,2,3,4
+    ),
+    cls{L} AS (SELECT DISTINCT label FROM tr{L}),
+    grid{L} AS (
+      SELECT c3.node, c3.f, c3.v, cl.label, COALESCE(cn.c, 0) AS c
+      FROM (SELECT DISTINCT node, f, v FROM cnt{L}) c3
+      CROSS JOIN cls{L} cl
+      LEFT JOIN cnt{L} cn ON cn.node = c3.node AND cn.f = c3.f
+        AND cn.v = c3.v AND cn.label = cl.label
+    ),
+    tot{L} AS (
+      SELECT node, f, label, SUM(c) AS tot FROM cnt{L} GROUP BY 1,2,3
+    ),
+    cum{L} AS (
+      SELECT g.node, g.f, g.v, g.label,
+             SUM(g.c) OVER (PARTITION BY g.node, g.f, g.label
+                            ORDER BY g.v) AS cum,
+             COALESCE(t2.tot, 0) AS tot
+      FROM grid{L} g LEFT JOIN tot{L} t2
+        ON t2.node = g.node AND t2.f = g.f AND t2.label = g.label
+    ),
+    ag{L} AS (
+      SELECT node, f, v,
+             CAST(SUM(cum) AS BIGINT) AS n_l,
+             CAST(SUM(cum * cum) AS BIGINT) AS s_l,
+             CAST(SUM((tot - cum) * (tot - cum)) AS BIGINT) AS s_r,
+             CAST(SUM(tot) AS BIGINT) AS n
+      FROM cum{L} GROUP BY 1,2,3
+    ),
+    sc{L} AS (
+      SELECT node, f, v,
+             CAST(s_l * (n - n_l) + s_r * n_l AS DOUBLE)
+               / CAST(n_l * (n - n_l) AS DOUBLE)
+               / CAST(n AS DOUBLE) AS score
+      FROM ag{L} WHERE n_l < n
+    ),
+    best{L} AS (
+      SELECT node, f AS split_feature, v AS split_value,
+             score AS split_score
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY node
+              ORDER BY score DESC, f ASC, v ASC) AS rk FROM sc{L})
+      WHERE rk = 1
+    ),
+    nc{L} AS (
+      SELECT node, label,
+             SUM(CASE WHEN is_train THEN 1 ELSE 0 END) AS tn,
+             SUM(CASE WHEN is_train THEN 0 ELSE 1 END) AS en
+      FROM docs{L} GROUP BY 1, 2
+    ),
+    mj{L} AS (
+      SELECT node, label AS majority_label, tn AS n_maj,
+             en AS eval_hits
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY node
+              ORDER BY tn DESC, label ASC) AS rk FROM nc{L})
+      WHERE rk = 1
+    ),
+    lvl{L} AS (
+      SELECT CAST({L} AS INT) AS depth, s.node AS node_id,
+             CAST(s.n_train AS BIGINT) AS n_train,
+             CAST(s.n_eval AS BIGINT) AS n_eval,
+             m.majority_label, CAST(m.n_maj AS BIGINT) AS n_maj,
+             CAST(m.eval_hits AS BIGINT) AS eval_hits,
+             b.split_feature, b.split_value, b.split_score
+      FROM (SELECT node, SUM(tn) AS n_train, SUM(en) AS n_eval
+            FROM nc{L} GROUP BY 1) s
+      JOIN mj{L} m USING (node)
+      LEFT JOIN best{L} b ON b.node = s.node
+    ),
+    docs{L + 1} AS (
+      SELECT d.doc_id, d.label, d.is_train,
+             CASE WHEN b.split_feature IS NULL THEN d.node
+                  WHEN fv.v <= b.split_value THEN 2 * d.node + 1
+                  ELSE 2 * d.node + 2 END AS node
+      FROM docs{L} d
+      LEFT JOIN best{L} b ON b.node = d.node
+      LEFT JOIN feats fv ON fv.doc_id = d.doc_id
+        AND fv.f = b.split_feature
+    )""")
+        finals.append(f"SELECT * FROM lvl{L}")
+    D = depth
+    chain = ",\n    ".join(lvls)
+    finals.append(f"""SELECT CAST({D} AS INT) AS depth, s.node AS node_id,
+           CAST(s.n_train AS BIGINT) AS n_train,
+           CAST(s.n_eval AS BIGINT) AS n_eval,
+           m.majority_label, CAST(m.n_maj AS BIGINT) AS n_maj,
+           CAST(m.eval_hits AS BIGINT) AS eval_hits,
+           CAST(NULL AS VARCHAR) AS split_feature,
+           CAST(NULL AS BIGINT) AS split_value,
+           CAST(NULL AS DOUBLE) AS split_score
+    FROM (SELECT node, SUM(tn) AS n_train, SUM(en) AS n_eval
+          FROM nc{D} GROUP BY 1) s
+    JOIN mj{D} m USING (node)""")
+    leafstats = f""",
+    nc{D} AS (
+      SELECT node, label,
+             SUM(CASE WHEN is_train THEN 1 ELSE 0 END) AS tn,
+             SUM(CASE WHEN is_train THEN 0 ELSE 1 END) AS en
+      FROM docs{D} GROUP BY 1, 2
+    ),
+    mj{D} AS (
+      SELECT node, label AS majority_label, tn AS n_maj,
+             en AS eval_hits
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY node
+              ORDER BY tn DESC, label ASC) AS rk FROM nc{D})
+      WHERE rk = 1
+    )"""
+    body = "\n    UNION ALL\n    ".join(finals)
+    return f"""
+    WITH {_TOKS_SQL},
+    f0 AS (
+      SELECT t.doc_id, d.lang AS label, {split} AS is_train,
+             CAST(length(t.text) AS BIGINT) AS n_chars,
+             CAST(len(t.toks) AS BIGINT) AS n_tokens,
+             CAST(length(regexp_replace(t.text, '[^a-zA-Z]', '', 'g'))
+                  AS BIGINT) AS n_alpha,
+             CAST(length(regexp_replace(t.text, '{_CART_NONASCII}', '',
+                                        'g')) AS BIGINT) AS n_ascii,
+             CAST(len(list_filter(t.toks,
+                    x -> list_contains({_STOP_SQL}, x))) AS BIGINT)
+               AS n_stop
+      FROM t JOIN documents d USING (doc_id)
+      WHERE length(t.text) > 0 AND len(t.toks) > 0
+    ),
+    fx AS (
+      SELECT doc_id, label, is_train,
+             (1000 * n_alpha) // n_chars AS alpha1k,
+             (1000 * (n_chars - n_ascii)) // n_chars AS nonascii1k,
+             (1000 * n_stop) // n_tokens AS stop1k,
+             (100 * n_chars) // n_tokens AS tok100
+      FROM f0
+    ),
+    feats AS (
+      SELECT doc_id, 'alpha1k' AS f, alpha1k AS v FROM fx
+      UNION ALL SELECT doc_id, 'nonascii1k', nonascii1k FROM fx
+      UNION ALL SELECT doc_id, 'stop1k', stop1k FROM fx
+      UNION ALL SELECT doc_id, 'tok100', tok100 FROM fx
+    ),
+    docs0 AS (
+      SELECT doc_id, label, is_train, CAST(0 AS BIGINT) AS node FROM fx
+    ),
+    {chain}{leafstats}
+    {body}
+    """
+
+
+@query("cart_quality_tree", oracle=_cart_oracle(2))
+def cart_quality_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality-threshold tree: a depth-2 CART trained
+    distributedly to predict ``lang`` from four integer text-quality
+    features (alpha / non-ASCII / stopword per-mille, chars-per-token
+    ×100) on the salted 90% train split — threshold RULES learned
+    from data, the form curation filters actually ship in, and the
+    decision-tree counterpart of the perceptron linear probe
+    (queries/similarity.py::linear_probe_train). Integer features +
+    integer class counts + single-division Gini ranking make the
+    TREE ITSELF value-hash-checked: every node row carries the chosen
+    (feature, threshold, purity score), the train class majority, and
+    the held-out routing (n_eval, eval_hits).
+
+    Honest-diagnostic note (the linear_probe_train precedent): this
+    corpus's ``lang`` labels index the SAME synthetic vocabulary —
+    measured: zh has zero non-ASCII chars and all five langs share
+    token distributions — so the learned splits carry near-floor
+    purity gains and held-out accuracy sits at the majority baseline;
+    the tree correctly reads "no threshold signal". Real learning
+    (recovering planted threshold rules with >= 0.9 held-out
+    accuracy) is pinned by the constructed-corpus pytest. Scale:
+    operators/cart.py — one cumulative window per level over a
+    bins-bounded candidate grid; the corpus never shuffles except the
+    keyed count aggregates."""
+    from convoy_spark.operators.cart import decision_tree_train
+    from convoy_spark.operators.textops import STOPWORDS
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), WS_SPLIT), lambda t: t != ""
+    )
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    is_train = (
+        hash60(F.concat(F.lit(f"{CART_SALT}:"), F.col("doc_id"))) % 100
+        < CART_TRAIN_PCT
+    )
+    raw = docs.select(
+        "doc_id",
+        F.col("lang").alias("label"),
+        is_train.alias("is_train"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
+        .cast("long")
+        .alias("n_alpha"),
+        F.length(F.regexp_replace(F.col("text"), _CART_NONASCII, ""))
+        .cast("long")
+        .alias("n_ascii"),
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+        .cast("long")
+        .alias("n_stop"),
+    ).filter((F.col("n_chars") > 0) & (F.col("n_tokens") > 0))
+    feats = raw.selectExpr(
+        "doc_id",
+        "label",
+        "is_train",
+        "map('alpha1k', (1000 * n_alpha) div n_chars,"
+        " 'nonascii1k', (1000 * (n_chars - n_ascii)) div n_chars,"
+        " 'stop1k', (1000 * n_stop) div n_tokens,"
+        " 'tok100', (100 * n_chars) div n_tokens) AS fmap",
+    )
+    return decision_tree_train(feats, depth=2)

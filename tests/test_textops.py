@@ -621,3 +621,66 @@ def test_stupid_backoff_parity(spark, duck):
     from tests.conftest import run_parity
 
     run_parity(spark, duck, "stupid_backoff_score")
+
+
+# --- CART quality-threshold tree -------------------------------------
+
+
+def test_cart_parity(spark, duck):
+    from tests.conftest import run_parity
+
+    run_parity(spark, duck, "cart_quality_tree")
+
+
+def test_cart_recovers_planted_threshold_rules(spark):
+    """On a corpus whose labels ARE threshold rules of the features,
+    the depth-2 trainer must recover them: label = A if f1 <= 10
+    else (B if f2 <= 5 else C). Held-out accuracy >= 0.9 (the catalog
+    corpus carries no threshold signal, so the catalog query can only
+    demonstrate the majority-baseline diagnostic — this pins the
+    learning semantics)."""
+    from pyspark.sql import functions as F
+
+    from convoy_spark.operators.cart import decision_tree_train
+
+    rows = []
+    for i in range(120):
+        if i % 2 == 0:  # class A lives at f1 <= 10; gap up to 15
+            f1 = (i * 3) % 11  # 0..10
+            f2 = (i * 5) % 12  # noise
+            label = "A"
+        else:
+            f1 = 15 + (i * 3) % 5  # 15..19
+            f2 = (i * 7) % 12  # 0..11
+            label = "B" if f2 <= 5 else "C"
+        rows.append((i, label, i % 5 != 0, {"f1": f1, "f2": f2}))
+    df = spark.createDataFrame(
+        rows, "doc_id long, label string, is_train boolean, fmap map<string,long>"
+    )
+    out = decision_tree_train(df, depth=2).collect()
+    root = next(r for r in out if r.depth == 0)
+    assert root.split_feature == "f1" and root.split_value == 10, root
+    leaves = [r for r in out if r.depth == 2]
+    n_eval = sum(r.n_eval for r in leaves)
+    hits = sum(r.eval_hits for r in leaves)
+    assert n_eval == 24
+    assert hits / n_eval >= 0.9, out
+    # the right branch must have found the f2 rule
+    right = next(r for r in out if r.depth == 1 and r.node_id == 2)
+    assert right.split_feature == "f2" and right.split_value == 5, right
+
+
+def test_cart_unsplittable_node_persists(spark):
+    """A node whose rows are identical on every feature has no valid
+    split: it must persist through lower levels with null split
+    columns rather than crash or vanish."""
+    from convoy_spark.operators.cart import decision_tree_train
+
+    rows = [(i, "A" if i % 2 else "B", True, {"f1": 7}) for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, label string, is_train boolean, fmap map<string,long>"
+    )
+    out = {(r.depth, r.node_id): r for r in decision_tree_train(df, depth=2).collect()}
+    assert set(out) == {(0, 0), (1, 0), (2, 0)}
+    assert all(r.split_feature is None for r in out.values())
+    assert all(r.n_train == 10 for r in out.values())

@@ -334,6 +334,10 @@ EXPECTATIONS = {
         "Window",
         "HashAggregate",
     ],
+    # CART: per-level split search = keyed count agg + cumulative
+    # window over the bins-bounded grid; split rows ride a broadcast
+    # back onto the docs frame for routing
+    "cart_quality_tree": ["Window", "BroadcastHashJoin", "HashAggregate"],
 }
 
 
