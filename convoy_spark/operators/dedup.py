@@ -970,28 +970,45 @@ def bloom_decontaminate(
         )
         .groupBy("w")
         .agg(F.bit_or("bit").alias("bits"))
+        .localCheckpoint()
     )
-    fmap = filt.agg(
-        F.map_from_entries(
-            F.sort_array(F.collect_list(F.struct("w", "bits")))
-        ).alias("fmap")
-    )
-    cand = (
-        f"forall(array({probes}), p ->"
-        f" (coalesce(try_element_at(fmap, p div {BLOOM_WORD}),"
-        f" cast(0 as bigint))"
-        f" & shiftleft(cast(1 as bigint), cast(p % {BLOOM_WORD} as int)))"
-        f" != 0)"
-    )
-    flagged = (
-        train_grams.join(F.broadcast(m_row))
-        .join(F.broadcast(fmap))
-        .selectExpr("doc_id", "h", f"{cand} AS cand")
-        .join(
-            F.broadcast(ev_h.select(F.col("h").alias("h_ev"))),
-            F.col("h") == F.col("h_ev"),
+    # Probe via k BROADCAST HASH JOINS on the word index — one leg per
+    # probe, O(1) lookups. (First shape tried: the whole bitset as a
+    # one-row map + forall(try_element_at) — Spark's ArrayBasedMapData
+    # has NO hash index, so each lookup linear-scans the map: at sf1.0
+    # the filter is ~48k words and the probe stage went quadratic,
+    # 1.96 s → 49.6 s for 10× data. The join legs keep the zero-
+    # shuffle train side AND constant-time probes; k is a small fixed
+    # constant, so "k joins" is a constant plan width, not a scale
+    # knob.)
+    probed = train_grams.join(F.broadcast(m_row))
+    hit_tests = []
+    for i, (_i, a, b) in enumerate(minhash_params(BLOOM_K)):
+        probed = probed.withColumn(
+            f"_p{i}",
+            F.expr(
+                f"(({a} * (h % {MERSENNE31}) + {b}) % {MERSENNE31}) % m"
+            ),
+        ).join(
+            F.broadcast(
+                filt.select(
+                    F.col("w").alias(f"_w{i}"), F.col("bits").alias(f"_b{i}")
+                )
+            ),
+            F.expr(f"_p{i} div {BLOOM_WORD} = _w{i}"),
             "left",
         )
+        hit_tests.append(
+            f"(coalesce(_b{i}, cast(0 as bigint))"
+            f" & shiftleft(cast(1 as bigint),"
+            f" cast(_p{i} % {BLOOM_WORD} as int))) != 0"
+        )
+    flagged = probed.selectExpr(
+        "doc_id", "h", " AND ".join(hit_tests) + " AS cand"
+    ).join(
+        F.broadcast(ev_h.select(F.col("h").alias("h_ev"))),
+        F.col("h") == F.col("h_ev"),
+        "left",
     )
     return (
         flagged.groupBy(F.col("doc_id").alias("train_doc"))
