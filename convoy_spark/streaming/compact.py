@@ -119,3 +119,43 @@ def compact_ivm_partials(spark: SparkSession, state_dir: str) -> int:
     merged.write.mode("overwrite").parquet(tmp)
     _swap_in(tmp, deltas_dir)
     return n
+
+
+def compact_hardneg(spark: SparkSession, state_dir: str) -> int:
+    """Compact the hard-negative miner's per-batch top stores
+    (streaming/hardneg.py): replace the N batch-local top partitions
+    with ONE partition holding the global re-ranked tops. Valid
+    because bounded top-k under a deterministic total order is a
+    SEMIGROUP fold — top_k(top_k(A) ∪ top_k(B)) = top_k(A ∪ B) — so
+    the compacted store plus any future batch's local tops still
+    merges to the exact global answer (tested: mine → compact → mine
+    more → still bit-equal to the one-pass batch twin).
+
+    Pins the store to the module's K_SHORT/K_TRUTH: reads asking for
+    a LARGER k after compaction would be short (the discarded tail is
+    gone) — the same contract as every lossy-beyond-k top store.
+    Returns the number of delta rows replaced; 0 on a missing store."""
+    from convoy_spark.streaming.hardneg import (
+        HN_SHORT_SCHEMA,
+        HN_TRUTH_SCHEMA,
+        K_SHORT,
+        K_TRUTH,
+        _read_deltas,
+        _rerank_top,
+    )
+
+    replaced = 0
+    for kind, schema, order_col, k in [
+        ("hn_short", HN_SHORT_SCHEMA, "adist", K_SHORT),
+        ("hn_truth", HN_TRUTH_SCHEMA, "dnum", K_TRUTH),
+    ]:
+        deltas_dir = os.path.join(state_dir, kind)
+        if not os.path.isdir(deltas_dir):
+            continue
+        rows = _read_deltas(spark, state_dir, kind, schema)
+        replaced += rows.count()
+        top = _rerank_top(rows, order_col, k)
+        tmp = os.path.join(state_dir, "_compact_tmp")
+        top.write.mode("overwrite").parquet(tmp)
+        _swap_in(tmp, deltas_dir)
+    return replaced

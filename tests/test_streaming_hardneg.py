@@ -93,3 +93,29 @@ def test_negatives_exclude_exact_neighbors(spark, tmp_path):
              negs.groupBy("query_id").agg(F.count("*").alias("n")).collect()}
     assert set(per_q) == set(range(N_Q))
     assert all(n == K_NEG for n in per_q.values())
+
+
+def test_compaction_preserves_and_composes(spark, tmp_path):
+    """Compacting the per-batch tops changes nothing (top-k is a
+    semigroup fold), shrinks the store, and later batches still merge
+    exactly: mine 2 batches -> compact -> mine a 3rd -> equals the
+    one-pass batch twin over all 3."""
+    from convoy_spark.streaming.compact import compact_hardneg
+    from convoy_spark.streaming.hardneg import _read_deltas, HN_SHORT_SCHEMA
+
+    emb, state = _state(spark, tmp_path, "state_cp")
+    b0 = emb.filter("vec_id < 150")
+    b1 = emb.filter("vec_id >= 150 AND vec_id < 300")
+    b2 = emb.filter("vec_id >= 300")
+    apply_hardneg_batch(spark, b0, state, "t-0")
+    apply_hardneg_batch(spark, b1, state, "t-1")
+    before = _rows(mined_negatives(spark, state))
+    n_before = _read_deltas(spark, state, "hn_short", HN_SHORT_SCHEMA).count()
+    replaced = compact_hardneg(spark, state)
+    assert replaced > 0
+    n_after = _read_deltas(spark, state, "hn_short", HN_SHORT_SCHEMA).count()
+    assert n_after < n_before
+    assert _rows(mined_negatives(spark, state)) == before
+    apply_hardneg_batch(spark, b2, state, "t-2")
+    want = _rows(batch_negatives(spark, emb, state))
+    assert _rows(mined_negatives(spark, state)) == want
