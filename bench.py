@@ -115,8 +115,10 @@ BENCH_QUERIES = [
     "linear_probe_train",
     # round-7 late: depth-2 CART split search over integer quality
     # features — the learned-threshold-rule trainer (tree itself
-    # hash-checked)
+    # hash-checked) — and its ensemble form, 5 bagged/feature-
+    # subsampled trees as one keyed dataflow
     "cart_quality_tree",
+    "random_forest_train",
     "snapshot_diff",
     "column_histogram",
     # the iterative-float showcase: Spark's checkpointed centered

@@ -1,6 +1,7 @@
-"""Distributed decision-tree training (CART split search) over
-integer text features (north-star extension; the reference has no
-model training — its analytics stop at SQL aggregates).
+"""Distributed decision-tree / random-forest training (CART split
+search) over integer text features (north-star extension; the
+reference has no model training — its analytics stop at SQL
+aggregates).
 
 The second classic trainable curation filter next to the linear probe
 (operators/probe.py): threshold RULES over interpretable quality
@@ -11,9 +12,9 @@ the distributed restatement is pure DataFrame algebra, and with
 integer features + integer class counts the whole trainer is EXACT:
 
 - candidate thresholds are the observed feature values; per
-  (node, feature, value, class) counts cumulative-summed along the
-  value order give every candidate's left/right class histogram in
-  ONE window pass per level (no per-threshold rescan — the classic
+  (tree, node, feature, value, class) counts cumulative-summed along
+  the value order give every candidate's left/right class histogram
+  in ONE window pass per level (no per-threshold rescan — the classic
   sorted-split-search trick, distributed);
 - split quality is the weighted Gini purity Σ_side Σ_c n_sc²/n_s·n.
   Candidates are ranked by the exact integer pair (num, den) =
@@ -24,19 +25,28 @@ integer features + integer class counts the whole trainer is EXACT:
   the DuckDB oracle reproduces the TREE itself, not just summary
   stats. Ties break (feature asc, value asc).
 
+The FOREST is the single-tree dataflow with ``tree`` joined into
+every key (the operators/pq.py precedent — 16 codebooks as ONE keyed
+Lloyd dataflow): all trees' split searches ride the same window pass
+and the same broadcast routing join, so ensemble size widens keys,
+not plan depth. Bagging and per-node feature subsampling are salted
+deterministic hashes (Breiman's two randomizations, derandomized the
+repo's way — reproducible across engines, runs and cluster sizes).
+
 Scale shape, per level: one groupBy over the train rows' exploded
-(node, feature, value, class) keys (map-side combined), a window over
-the per-node candidate grid (grid-sized, not corpus-sized), one
-row_number per node, and a broadcast of the ≤2^depth split rows for
-routing — the corpus-sized docs frame never shuffles except the
-count aggregations keyed by (node, ...). Candidate cardinality is
-bounded by the feature quantization (values are per-mille / ×100
-integers), which is the production guard at 100 TB (histogram-binned
-split search, the Chen & Guestrin approximate sketch): |grid| ≤
-nodes·features·bins·classes regardless of corpus size. Int64 bounds:
-counts ≤ N ⇒ num ≤ 2·|C|·N³ — safe under 2⁶³ to N ≈ 10⁶ rows per
-node; beyond that, bin counts per node first (same plan, one more
-keyed agg) — documented, not silently assumed.
+(tree, node, feature, value, class) keys (map-side combined), a
+window over the per-(tree, node) candidate grid (grid-sized, not
+corpus-sized), one row_number per (tree, node), and a broadcast of
+the ≤ trees·2^depth split rows for routing — the corpus-sized docs
+frame never shuffles except the count aggregations keyed by
+(tree, node, ...). Candidate cardinality is bounded by the feature
+quantization (values are per-mille / ×100 integers), which is the
+production guard at 100 TB (histogram-binned split search, the
+Chen & Guestrin approximate sketch): |grid| ≤ trees·nodes·features·
+bins·classes regardless of corpus size. Int64 bounds: counts ≤ N ⇒
+num ≤ 2·|C|·N³ — safe under 2⁶³ to N ≈ 10⁶ rows per node; beyond
+that, bin counts per node first (same plan, one more keyed agg) —
+documented, not silently assumed.
 """
 
 from __future__ import annotations
@@ -44,33 +54,72 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from convoy_spark.functions.hashing import hash60
+
 TREE_DEPTH = 2
+FOREST_TREES = 5
+FOREST_BAG_SALT = "rf-bag-v1"
+FOREST_FEAT_SALT = "rf-feat-v1"
+# bag: doc in tree t's bootstrap iff salted hash % 3 < 2 (~2/3, the
+# classic out-of-bag fraction, derandomized)
+FOREST_BAG_MOD, FOREST_BAG_KEEP = 3, 2
+FOREST_FEATS_PER_SPLIT = 2  # ~sqrt(k) for the 4-feature quality set
 
 
-def _best_splits(train_fv: DataFrame) -> DataFrame:
-    """(node, split_feature, split_value, split_score) — the best
-    (feature, threshold) per node by exact weighted Gini purity over
-    ``train_fv`` = (node, label, f, v) train feature rows; nodes with
-    no valid split (all rows identical on every feature) get no row."""
-    cnt = train_fv.groupBy("node", "f", "v", "label").agg(
+def _best_splits(
+    train_fv: DataFrame, feats_per_split: int | None = None
+) -> DataFrame:
+    """(tree, node, split_feature, split_value, split_score) — the
+    best (feature, threshold) per (tree, node) by exact weighted Gini
+    purity over ``train_fv`` = (tree, node, label, f, v) train
+    feature rows; nodes with no valid split (all rows identical on
+    every eligible feature) get no row. ``feats_per_split`` activates
+    per-(tree, node) deterministic feature subsampling (rank features
+    by a salted hash, keep the top m — always exactly m, never an
+    accidentally empty set)."""
+    cnt = train_fv.groupBy("tree", "node", "f", "v", "label").agg(
         F.count("*").alias("c")
     )
+    if feats_per_split is not None:
+        fgrid = cnt.select("tree", "node", "f").distinct()
+        wf = Window.partitionBy("tree", "node").orderBy(
+            hash60(
+                F.concat_ws(
+                    ":", F.lit(FOREST_FEAT_SALT), "tree", "node", "f"
+                )
+            ).asc(),
+            F.col("f").asc(),
+        )
+        allowed = (
+            fgrid.withColumn("_fr", F.row_number().over(wf))
+            .filter(F.col("_fr") <= feats_per_split)
+            .drop("_fr")
+        )
+        cnt = cnt.join(F.broadcast(allowed), ["tree", "node", "f"])
     classes = train_fv.select("label").distinct()
     grid = (
-        cnt.select("node", "f", "v")
+        cnt.select("tree", "node", "f", "v")
         .distinct()
         .join(F.broadcast(classes))
-        .join(cnt, ["node", "f", "v", "label"], "left")
+        .join(cnt, ["tree", "node", "f", "v", "label"], "left")
         .select(
-            "node", "f", "v", "label", F.coalesce("c", F.lit(0)).alias("c")
+            "tree",
+            "node",
+            "f",
+            "v",
+            "label",
+            F.coalesce("c", F.lit(0)).alias("c"),
         )
     )
-    wcum = Window.partitionBy("node", "f", "label").orderBy("v")
-    tot = cnt.groupBy("node", "f", "label").agg(F.sum("c").alias("tot"))
+    wcum = Window.partitionBy("tree", "node", "f", "label").orderBy("v")
+    tot = cnt.groupBy("tree", "node", "f", "label").agg(
+        F.sum("c").alias("tot")
+    )
     j = (
         grid.withColumn("cum", F.sum("c").over(wcum))
-        .join(tot, ["node", "f", "label"], "left")
+        .join(tot, ["tree", "node", "f", "label"], "left")
         .select(
+            "tree",
             "node",
             "f",
             "v",
@@ -78,7 +127,7 @@ def _best_splits(train_fv: DataFrame) -> DataFrame:
             F.coalesce("tot", F.lit(0)).alias("tot"),
         )
     )
-    agg = j.groupBy("node", "f", "v").agg(
+    agg = j.groupBy("tree", "node", "f", "v").agg(
         F.sum("cum").alias("n_l"),
         F.sum(F.col("cum") * F.col("cum")).alias("s_l"),
         F.sum(
@@ -87,6 +136,7 @@ def _best_splits(train_fv: DataFrame) -> DataFrame:
         F.sum("tot").alias("n"),
     )
     sc = agg.filter(F.col("n_l") < F.col("n")).select(
+        "tree",
         "node",
         "f",
         "v",
@@ -99,13 +149,14 @@ def _best_splits(train_fv: DataFrame) -> DataFrame:
             / F.col("n").cast("double")
         ).alias("score"),
     )
-    wb = Window.partitionBy("node").orderBy(
+    wb = Window.partitionBy("tree", "node").orderBy(
         F.col("score").desc(), F.col("f").asc(), F.col("v").asc()
     )
     return (
         sc.withColumn("_rk", F.row_number().over(wb))
         .filter(F.col("_rk") == 1)
         .select(
+            "tree",
             "node",
             F.col("f").alias("split_feature"),
             F.col("v").alias("split_value"),
@@ -115,30 +166,32 @@ def _best_splits(train_fv: DataFrame) -> DataFrame:
 
 
 def _node_stats(docs: DataFrame, depth: int) -> DataFrame:
-    """Per-node level stats: train class histogram → majority (ties
-    to the smallest label), eval rows routed to the node, eval hits
-    under the node's majority label."""
-    cnt = docs.groupBy("node", "label").agg(
+    """Per-(tree, node) level stats: train class histogram → majority
+    (ties to the smallest label), eval rows routed to the node, eval
+    hits under the node's majority label."""
+    cnt = docs.groupBy("tree", "node", "label").agg(
         F.sum(F.col("is_train").cast("long")).alias("tn"),
         F.sum((~F.col("is_train")).cast("long")).alias("en"),
     )
-    wmaj = Window.partitionBy("node").orderBy(
+    wmaj = Window.partitionBy("tree", "node").orderBy(
         F.col("tn").desc(), F.col("label").asc()
     )
     maj = (
         cnt.withColumn("_rk", F.row_number().over(wmaj))
         .filter(F.col("_rk") == 1)
         .select(
+            "tree",
             "node",
             F.col("label").alias("majority_label"),
             F.col("tn").alias("n_maj"),
             F.col("en").alias("eval_hits"),
         )
     )
-    sums = cnt.groupBy("node").agg(
+    sums = cnt.groupBy("tree", "node").agg(
         F.sum("tn").alias("n_train"), F.sum("en").alias("n_eval")
     )
-    return sums.join(maj, "node").select(
+    return sums.join(maj, ["tree", "node"]).select(
+        "tree",
         F.lit(depth).cast("int").alias("depth"),
         F.col("node").alias("node_id"),
         "n_train",
@@ -149,36 +202,32 @@ def _node_stats(docs: DataFrame, depth: int) -> DataFrame:
     )
 
 
-def decision_tree_train(
-    feats: DataFrame, depth: int = TREE_DEPTH
+def _grow(
+    docs: DataFrame, depth: int, feats_per_split: int | None = None
 ) -> DataFrame:
-    """(depth, node_id, n_train, n_eval, majority_label, n_maj,
-    eval_hits, split_feature, split_value, split_score) — the trained
-    tree, one row per node per level. ``feats`` carries (doc_id,
-    label, is_train, fmap: map<string, long>) — the integer feature
-    map. Children of node k are 2k+1 (f ≤ threshold) and 2k+2; a node
-    with no valid split persists unsplit into the next level (its
-    split columns stay null). Level ``depth`` rows are the leaves."""
-    docs = feats.select(
-        "doc_id", "label", "is_train", "fmap", F.lit(0).cast("long").alias("node")
-    ).localCheckpoint()
+    """The level loop shared by the single tree and the forest:
+    ``docs`` = (doc_id, label, is_train, fmap, tree, node)."""
     levels = []
     for d in range(depth):
-        train_fv = (
-            docs.filter(F.col("is_train"))
-            .select("node", "label", F.explode("fmap").alias("f", "v"))
+        train_fv = docs.filter(F.col("is_train")).select(
+            "tree", "node", "label", F.explode("fmap").alias("f", "v")
         )
-        best = F.broadcast(_best_splits(train_fv).localCheckpoint())
+        best = F.broadcast(
+            _best_splits(train_fv, feats_per_split).localCheckpoint()
+        )
         levels.append(
             _node_stats(docs, d).join(
-                best.withColumnsRenamed({"node": "node_id"}), "node_id", "left"
+                best.withColumnsRenamed({"node": "node_id"}),
+                ["tree", "node_id"],
+                "left",
             )
         )
-        docs = docs.join(best, "node", "left").select(
+        docs = docs.join(best, ["tree", "node"], "left").select(
             "doc_id",
             "label",
             "is_train",
             "fmap",
+            "tree",
             F.when(F.col("split_feature").isNull(), F.col("node"))
             .when(
                 F.expr("try_element_at(fmap, split_feature)")
@@ -198,3 +247,61 @@ def decision_tree_train(
     for lv in levels[1:]:
         out = out.unionByName(lv)
     return out.unionByName(leaf)
+
+
+def decision_tree_train(
+    feats: DataFrame, depth: int = TREE_DEPTH
+) -> DataFrame:
+    """(depth, node_id, n_train, n_eval, majority_label, n_maj,
+    eval_hits, split_feature, split_value, split_score) — the trained
+    tree, one row per node per level. ``feats`` carries (doc_id,
+    label, is_train, fmap: map<string, long>) — the integer feature
+    map. Children of node k are 2k+1 (f ≤ threshold) and 2k+2; a node
+    with no valid split persists unsplit into the next level (its
+    split columns stay null). Level ``depth`` rows are the leaves."""
+    docs = feats.select(
+        "doc_id",
+        "label",
+        "is_train",
+        "fmap",
+        F.lit(0).cast("long").alias("tree"),
+        F.lit(0).cast("long").alias("node"),
+    ).localCheckpoint()
+    return _grow(docs, depth).drop("tree")
+
+
+def decision_forest_train(
+    feats: DataFrame,
+    n_trees: int = FOREST_TREES,
+    depth: int = TREE_DEPTH,
+    feats_per_split: int | None = FOREST_FEATS_PER_SPLIT,
+) -> DataFrame:
+    """(tree, depth, node_id, ...) — a random forest trained as ONE
+    keyed dataflow: the docs frame crossJoins the tree-id range,
+    bagging keeps each (tree, doc) pair iff the salted hash lands in
+    {FOREST_BAG_KEEP}/{FOREST_BAG_MOD} (so every tree trains on its
+    own deterministic ~2/3 bootstrap; EVAL rows replicate to every
+    tree — each tree's held-out routing is reported per tree), and
+    each (tree, node) split search sees only its hash-ranked
+    ``feats_per_split`` features. Tree count widens the keyed
+    aggregates; plan depth stays the single tree's."""
+    trees = feats.sparkSession.range(n_trees).select(
+        F.col("id").alias("tree")
+    )
+    bag = hash60(
+        F.concat_ws(":", F.lit(FOREST_BAG_SALT), "tree", "doc_id")
+    ) % FOREST_BAG_MOD < FOREST_BAG_KEEP
+    docs = (
+        feats.join(F.broadcast(trees))
+        .filter(~F.col("is_train") | bag)
+        .select(
+            "doc_id",
+            "label",
+            "is_train",
+            "fmap",
+            "tree",
+            F.lit(0).cast("long").alias("node"),
+        )
+        .localCheckpoint()
+    )
+    return _grow(docs, depth, feats_per_split)

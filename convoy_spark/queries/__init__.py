@@ -503,12 +503,23 @@ from convoy_spark.queries import (  # noqa: F401,E402
 #                             TV-distance sum is the dsum discipline
 #                             proven across the in-window aggregate
 #                             suites; stays emulator-checked)
-#   IN : cart_quality_tree   (depth-2 CART split search — learned
-#                             threshold rules with the TREE itself
-#                             value-hash-checked: exact integer Gini
-#                             ranking through one correctly-rounded
-#                             division; completes the trainable-
-#                             filter pair with linear_probe_train)
+#   IN : random_forest_train (ensemble CART as ONE keyed dataflow —
+#                             tree id widens every aggregate key, the
+#                             pq.py 16-codebooks precedent; salted
+#                             bagging + hash-ranked feature subsets
+#                             derandomize Breiman's two choices, so
+#                             all 5 trained trees are value-hash-
+#                             checked; completes the trainable-filter
+#                             pair with linear_probe_train. Its
+#                             single-tree special case
+#                             cart_quality_tree landed the same day
+#                             and rotates straight past-window — the
+#                             strictly-stronger precedent
+#                             (bm25_search/bpe_train_steps): both run
+#                             the SAME _grow/_best_splits dataflow
+#                             (operators/cart.py), the tree just
+#                             pins tree=0/no-bag/all-features; stays
+#                             emulator + planted-rule-pytest green)
 #   OUT: index_drift_profile (driver-green r6; its plan shapes each
 #                             stay in-window — the rational idf via
 #                             bm25_multi_query, cumulative windows
@@ -580,7 +591,7 @@ _CHECK_WINDOW = [
     "media_decode_meta",
     # tokenizer-training loop (classic word-frequency BPE trainer)
     "bpe_train_vocab",
-    "cart_quality_tree",
+    "random_forest_train",
     # loader-prep family: packing + target-mixture sampling +
     # weighted draw + curriculum interleave
     "mixture_sample",

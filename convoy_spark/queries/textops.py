@@ -1455,6 +1455,40 @@ CART_TRAIN_PCT = 90
 _CART_NONASCII = r"[^\x00-\x7f]"
 
 
+def _cart_base_sql(split: str) -> str:
+    """The f0/fx/feats CTE block — raw counts, quantized features,
+    unpivoted feature rows — shared by the single-tree and forest
+    oracles BY CONSTRUCTION (the _NGRAM13_CTES precedent)."""
+    return f"""f0 AS (
+      SELECT t.doc_id, d.lang AS label, {split} AS is_train,
+             CAST(length(t.text) AS BIGINT) AS n_chars,
+             CAST(len(t.toks) AS BIGINT) AS n_tokens,
+             CAST(length(regexp_replace(t.text, '[^a-zA-Z]', '', 'g'))
+                  AS BIGINT) AS n_alpha,
+             CAST(length(regexp_replace(t.text, '{_CART_NONASCII}', '',
+                                        'g')) AS BIGINT) AS n_ascii,
+             CAST(len(list_filter(t.toks,
+                    x -> list_contains({_STOP_SQL}, x))) AS BIGINT)
+               AS n_stop
+      FROM t JOIN documents d USING (doc_id)
+      WHERE length(t.text) > 0 AND len(t.toks) > 0
+    ),
+    fx AS (
+      SELECT doc_id, label, is_train,
+             (1000 * n_alpha) // n_chars AS alpha1k,
+             (1000 * (n_chars - n_ascii)) // n_chars AS nonascii1k,
+             (1000 * n_stop) // n_tokens AS stop1k,
+             (100 * n_chars) // n_tokens AS tok100
+      FROM f0
+    ),
+    feats AS (
+      SELECT doc_id, 'alpha1k' AS f, alpha1k AS v FROM fx
+      UNION ALL SELECT doc_id, 'nonascii1k', nonascii1k FROM fx
+      UNION ALL SELECT doc_id, 'stop1k', stop1k FROM fx
+      UNION ALL SELECT doc_id, 'tok100', tok100 FROM fx
+    )"""
+
+
 def _cart_oracle(depth: int) -> str:
     """Unrolled CART training chain (the perceptron/pagerank oracle
     pattern): per level — count grid, one cumulative window along the
@@ -1582,34 +1616,7 @@ def _cart_oracle(depth: int) -> str:
     body = "\n    UNION ALL\n    ".join(finals)
     return f"""
     WITH {_TOKS_SQL},
-    f0 AS (
-      SELECT t.doc_id, d.lang AS label, {split} AS is_train,
-             CAST(length(t.text) AS BIGINT) AS n_chars,
-             CAST(len(t.toks) AS BIGINT) AS n_tokens,
-             CAST(length(regexp_replace(t.text, '[^a-zA-Z]', '', 'g'))
-                  AS BIGINT) AS n_alpha,
-             CAST(length(regexp_replace(t.text, '{_CART_NONASCII}', '',
-                                        'g')) AS BIGINT) AS n_ascii,
-             CAST(len(list_filter(t.toks,
-                    x -> list_contains({_STOP_SQL}, x))) AS BIGINT)
-               AS n_stop
-      FROM t JOIN documents d USING (doc_id)
-      WHERE length(t.text) > 0 AND len(t.toks) > 0
-    ),
-    fx AS (
-      SELECT doc_id, label, is_train,
-             (1000 * n_alpha) // n_chars AS alpha1k,
-             (1000 * (n_chars - n_ascii)) // n_chars AS nonascii1k,
-             (1000 * n_stop) // n_tokens AS stop1k,
-             (100 * n_chars) // n_tokens AS tok100
-      FROM f0
-    ),
-    feats AS (
-      SELECT doc_id, 'alpha1k' AS f, alpha1k AS v FROM fx
-      UNION ALL SELECT doc_id, 'nonascii1k', nonascii1k FROM fx
-      UNION ALL SELECT doc_id, 'stop1k', stop1k FROM fx
-      UNION ALL SELECT doc_id, 'tok100', tok100 FROM fx
-    ),
+    {_cart_base_sql(split)},
     docs0 AS (
       SELECT doc_id, label, is_train, CAST(0 AS BIGINT) AS node FROM fx
     ),
@@ -1644,6 +1651,14 @@ def cart_quality_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     bins-bounded candidate grid; the corpus never shuffles except the
     keyed count aggregates."""
     from convoy_spark.operators.cart import decision_tree_train
+
+    return decision_tree_train(_cart_feature_frame(spark, sf_dir), depth=2)
+
+
+def _cart_feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _cart_base_sql: (doc_id, label, is_train, fmap)
+    — one implementation feeding both the single tree and the
+    forest."""
     from convoy_spark.operators.textops import STOPWORDS
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1671,7 +1686,7 @@ def cart_quality_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_stop"),
     ).filter((F.col("n_chars") > 0) & (F.col("n_tokens") > 0))
-    feats = raw.selectExpr(
+    return raw.selectExpr(
         "doc_id",
         "label",
         "is_train",
@@ -1680,4 +1695,206 @@ def cart_quality_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 'stop1k', (1000 * n_stop) div n_tokens,"
         " 'tok100', (100 * n_chars) div n_tokens) AS fmap",
     )
-    return decision_tree_train(feats, depth=2)
+
+
+def _forest_oracle(n_trees: int, depth: int, fps: int) -> str:
+    """Unrolled random-forest chain: the CART chain with ``tree``
+    joined into every key, plus the two derandomized Breiman
+    randomizations — salted-hash bagging in docs0 and per-(tree,
+    node) hash-ranked feature subsampling (alw{L}) ahead of each
+    level's split search."""
+    from convoy_spark.operators.cart import (
+        FOREST_BAG_KEEP,
+        FOREST_BAG_MOD,
+        FOREST_BAG_SALT,
+        FOREST_FEAT_SALT,
+    )
+
+    split = (
+        f"{sql_hash60(f'''concat('{CART_SALT}:', doc_id)''')}"
+        f" % 100 < {CART_TRAIN_PCT}"
+    )
+    bag = (
+        f"{sql_hash60(f'''concat('{FOREST_BAG_SALT}:', tree, ':', doc_id)''')}"
+        f" % {FOREST_BAG_MOD} < {FOREST_BAG_KEEP}"
+    )
+    fhash = sql_hash60(
+        f"concat('{FOREST_FEAT_SALT}:', tree, ':', node, ':', f)"
+    )
+    lvls = []
+    finals = []
+    for L in range(depth):
+        lvls.append(f"""tr{L} AS (
+      SELECT d.tree, d.node, d.label, ff.f, ff.v
+      FROM docs{L} d JOIN feats ff USING (doc_id) WHERE d.is_train
+    ),
+    cnt0{L} AS (
+      SELECT tree, node, f, v, label, COUNT(*) AS c
+      FROM tr{L} GROUP BY 1,2,3,4,5
+    ),
+    alw{L} AS (
+      SELECT tree, node, f FROM (
+        SELECT tree, node, f,
+               ROW_NUMBER() OVER (PARTITION BY tree, node
+                 ORDER BY {fhash} ASC, f ASC) AS fr
+        FROM (SELECT DISTINCT tree, node, f FROM cnt0{L})
+      ) WHERE fr <= {fps}
+    ),
+    cnt{L} AS (
+      SELECT c0.* FROM cnt0{L} c0 JOIN alw{L} USING (tree, node, f)
+    ),
+    cls{L} AS (SELECT DISTINCT label FROM tr{L}),
+    grid{L} AS (
+      SELECT c3.tree, c3.node, c3.f, c3.v, cl.label,
+             COALESCE(cn.c, 0) AS c
+      FROM (SELECT DISTINCT tree, node, f, v FROM cnt{L}) c3
+      CROSS JOIN cls{L} cl
+      LEFT JOIN cnt{L} cn ON cn.tree = c3.tree AND cn.node = c3.node
+        AND cn.f = c3.f AND cn.v = c3.v AND cn.label = cl.label
+    ),
+    tot{L} AS (
+      SELECT tree, node, f, label, SUM(c) AS tot
+      FROM cnt{L} GROUP BY 1,2,3,4
+    ),
+    cum{L} AS (
+      SELECT g.tree, g.node, g.f, g.v, g.label,
+             SUM(g.c) OVER (PARTITION BY g.tree, g.node, g.f, g.label
+                            ORDER BY g.v) AS cum,
+             COALESCE(t2.tot, 0) AS tot
+      FROM grid{L} g LEFT JOIN tot{L} t2
+        ON t2.tree = g.tree AND t2.node = g.node AND t2.f = g.f
+          AND t2.label = g.label
+    ),
+    ag{L} AS (
+      SELECT tree, node, f, v,
+             CAST(SUM(cum) AS BIGINT) AS n_l,
+             CAST(SUM(cum * cum) AS BIGINT) AS s_l,
+             CAST(SUM((tot - cum) * (tot - cum)) AS BIGINT) AS s_r,
+             CAST(SUM(tot) AS BIGINT) AS n
+      FROM cum{L} GROUP BY 1,2,3,4
+    ),
+    sc{L} AS (
+      SELECT tree, node, f, v,
+             CAST(s_l * (n - n_l) + s_r * n_l AS DOUBLE)
+               / CAST(n_l * (n - n_l) AS DOUBLE)
+               / CAST(n AS DOUBLE) AS score
+      FROM ag{L} WHERE n_l < n
+    ),
+    best{L} AS (
+      SELECT tree, node, f AS split_feature, v AS split_value,
+             score AS split_score
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY tree, node
+              ORDER BY score DESC, f ASC, v ASC) AS rk FROM sc{L})
+      WHERE rk = 1
+    ),
+    nc{L} AS (
+      SELECT tree, node, label,
+             SUM(CASE WHEN is_train THEN 1 ELSE 0 END) AS tn,
+             SUM(CASE WHEN is_train THEN 0 ELSE 1 END) AS en
+      FROM docs{L} GROUP BY 1, 2, 3
+    ),
+    mj{L} AS (
+      SELECT tree, node, label AS majority_label, tn AS n_maj,
+             en AS eval_hits
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY tree, node
+              ORDER BY tn DESC, label ASC) AS rk FROM nc{L})
+      WHERE rk = 1
+    ),
+    lvl{L} AS (
+      SELECT s.tree, CAST({L} AS INT) AS depth, s.node AS node_id,
+             CAST(s.n_train AS BIGINT) AS n_train,
+             CAST(s.n_eval AS BIGINT) AS n_eval,
+             m.majority_label, CAST(m.n_maj AS BIGINT) AS n_maj,
+             CAST(m.eval_hits AS BIGINT) AS eval_hits,
+             b.split_feature, b.split_value, b.split_score
+      FROM (SELECT tree, node, SUM(tn) AS n_train, SUM(en) AS n_eval
+            FROM nc{L} GROUP BY 1, 2) s
+      JOIN mj{L} m ON m.tree = s.tree AND m.node = s.node
+      LEFT JOIN best{L} b ON b.tree = s.tree AND b.node = s.node
+    ),
+    docs{L + 1} AS (
+      SELECT d.doc_id, d.label, d.is_train, d.tree,
+             CASE WHEN b.split_feature IS NULL THEN d.node
+                  WHEN fv.v <= b.split_value THEN 2 * d.node + 1
+                  ELSE 2 * d.node + 2 END AS node
+      FROM docs{L} d
+      LEFT JOIN best{L} b ON b.tree = d.tree AND b.node = d.node
+      LEFT JOIN feats fv ON fv.doc_id = d.doc_id
+        AND fv.f = b.split_feature
+    )""")
+        finals.append(f"SELECT * FROM lvl{L}")
+    D = depth
+    chain = ",\n    ".join(lvls)
+    finals.append(f"""SELECT s.tree, CAST({D} AS INT) AS depth,
+           s.node AS node_id,
+           CAST(s.n_train AS BIGINT) AS n_train,
+           CAST(s.n_eval AS BIGINT) AS n_eval,
+           m.majority_label, CAST(m.n_maj AS BIGINT) AS n_maj,
+           CAST(m.eval_hits AS BIGINT) AS eval_hits,
+           CAST(NULL AS VARCHAR) AS split_feature,
+           CAST(NULL AS BIGINT) AS split_value,
+           CAST(NULL AS DOUBLE) AS split_score
+    FROM (SELECT tree, node, SUM(tn) AS n_train, SUM(en) AS n_eval
+          FROM nc{D} GROUP BY 1, 2) s
+    JOIN mj{D} m ON m.tree = s.tree AND m.node = s.node""")
+    leafstats = f""",
+    nc{D} AS (
+      SELECT tree, node, label,
+             SUM(CASE WHEN is_train THEN 1 ELSE 0 END) AS tn,
+             SUM(CASE WHEN is_train THEN 0 ELSE 1 END) AS en
+      FROM docs{D} GROUP BY 1, 2, 3
+    ),
+    mj{D} AS (
+      SELECT tree, node, label AS majority_label, tn AS n_maj,
+             en AS eval_hits
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY tree, node
+              ORDER BY tn DESC, label ASC) AS rk FROM nc{D})
+      WHERE rk = 1
+    )"""
+    body = "\n    UNION ALL\n    ".join(finals)
+    return f"""
+    WITH {_TOKS_SQL},
+    {_cart_base_sql(split)},
+    trees AS (
+      SELECT unnest(generate_series(0, {n_trees - 1})) AS tree
+    ),
+    docs0 AS (
+      SELECT fx.doc_id, fx.label, fx.is_train, trees.tree,
+             CAST(0 AS BIGINT) AS node
+      FROM fx CROSS JOIN trees
+      WHERE NOT fx.is_train OR ({bag})
+    ),
+    {chain}{leafstats}
+    {body}
+    """
+
+
+from convoy_spark.operators.cart import (  # noqa: E402
+    FOREST_FEATS_PER_SPLIT,
+    FOREST_TREES,
+)
+
+
+@query(
+    "random_forest_train",
+    oracle=_forest_oracle(FOREST_TREES, 2, FOREST_FEATS_PER_SPLIT),
+)
+def random_forest_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random forest over the same integer quality features as
+    `cart_quality_tree` — {FOREST_TREES} depth-2 trees trained as ONE
+    keyed dataflow (the pq.py 16-codebooks precedent: tree id widens
+    the aggregate keys; plan depth stays the single tree's). Breiman's
+    two randomizations are derandomized the repo's way: bagging is a
+    salted-hash ~2/3 bootstrap per (tree, doc) and each (tree, node)
+    split search sees only its {FOREST_FEATS_PER_SPLIT} hash-ranked
+    features — reproducible across engines, runs and cluster sizes,
+    so the driver value-hash checks all {FOREST_TREES} trained trees
+    (structure, thresholds, purity scores, per-tree held-out
+    routing). Eval rows replicate to every tree; the ensemble-vote
+    pytest pins that the forest recovers planted rules and that tree
+    diversity is real (bagging + feature subsets produce differing
+    roots)."""
+    from convoy_spark.operators.cart import decision_forest_train
+
+    feats = _cart_feature_frame(spark, sf_dir)
+    return decision_forest_train(feats, n_trees=FOREST_TREES, depth=2)

@@ -684,3 +684,69 @@ def test_cart_unsplittable_node_persists(spark):
     assert set(out) == {(0, 0), (1, 0), (2, 0)}
     assert all(r.split_feature is None for r in out.values())
     assert all(r.n_train == 10 for r in out.values())
+
+
+def test_forest_parity(spark, duck):
+    from tests.conftest import run_parity
+
+    run_parity(spark, duck, "random_forest_train")
+
+
+def _apply_tree(nodes, fmap):
+    """Route one example through a depth-2 tree from its node rows."""
+    node = 0
+    for _ in range(2):
+        row = nodes.get(node)
+        if row is None or row.split_feature is None:
+            break
+        if fmap[row.split_feature] <= row.split_value:
+            node = 2 * node + 1
+        else:
+            node = 2 * node + 2
+    # deepest row that exists for this node id
+    leaf = nodes.get(node) or nodes[0]
+    return leaf.majority_label
+
+
+def test_forest_votes_recover_planted_rule_with_diversity(spark):
+    """Planted rule over 2 informative + 2 noise features; feature
+    subsampling (2 of 4) denies some trees the informative root, so
+    root splits DIFFER across trees, yet the majority vote still
+    recovers the rule with >= 0.85 held-out accuracy."""
+    from convoy_spark.operators.cart import decision_forest_train
+
+    rows = []
+    for i in range(200):
+        if i % 2 == 0:
+            f1, label = (i * 3) % 11, "A"  # A lives at f1 <= 10
+        else:
+            f1 = 15 + (i * 3) % 5
+            label = "B" if (i * 7) % 12 <= 5 else "C"
+        f2 = (i * 7) % 12  # informative for B/C
+        rows.append(
+            (i, label, i % 5 != 0,
+             {"f1": f1, "f2": f2, "n1": (i * 13) % 7, "n2": (i * 17) % 9})
+        )
+    df = spark.createDataFrame(
+        rows, "doc_id long, label string, is_train boolean, fmap map<string,long>"
+    )
+    out = decision_forest_train(df, n_trees=5, depth=2).collect()
+    by_tree = {}
+    for r in out:
+        by_tree.setdefault(r.tree, {})
+        # keep the deepest row per node id (leaves override levels)
+        prev = by_tree[r.tree].get(r.node_id)
+        if prev is None or r.depth > prev.depth:
+            by_tree[r.tree][r.node_id] = r
+    roots = {t: nodes[0].split_feature for t, nodes in by_tree.items()}
+    assert len(set(roots.values())) > 1, roots  # diversity is real
+    votes_right = total = 0
+    for i, label, is_train, fmap in rows:
+        if is_train:
+            continue
+        votes = [_apply_tree(nodes, fmap) for nodes in by_tree.values()]
+        pred = max(set(votes), key=lambda v: (votes.count(v), v))
+        votes_right += int(pred == label)
+        total += 1
+    assert total == 40
+    assert votes_right / total >= 0.85, (votes_right, total, roots)

@@ -338,6 +338,9 @@ EXPECTATIONS = {
     # window over the bins-bounded grid; split rows ride a broadcast
     # back onto the docs frame for routing
     "cart_quality_tree": ["Window", "BroadcastHashJoin", "HashAggregate"],
+    # forest: same plan shapes with tree in every key — ensemble size
+    # widens keys, not plan depth
+    "random_forest_train": ["Window", "BroadcastHashJoin", "HashAggregate"],
 }
 
 
