@@ -43,10 +43,11 @@ frame never shuffles except the count aggregations keyed by
 quantization (values are per-mille / ×100 integers), which is the
 production guard at 100 TB (histogram-binned split search, the
 Chen & Guestrin approximate sketch): |grid| ≤ trees·nodes·features·
-bins·classes regardless of corpus size. Int64 bounds: counts ≤ N ⇒
-num ≤ 2·|C|·N³ — safe under 2⁶³ to N ≈ 10⁶ rows per node; beyond
-that, bin counts per node first (same plan, one more keyed agg) —
-documented, not silently assumed.
+bins·classes regardless of corpus size; :func:`coarsen_features` is
+that guard as code (shrink the bins 2^shift× map-side, pytest-pinned
+to still recover planted rules at bin granularity). Int64 bounds:
+counts ≤ N ⇒ num ≤ 2·|C|·N³ — safe under 2⁶³ to N ≈ 10⁶ rows per
+node; beyond that, coarsen first.
 """
 
 from __future__ import annotations
@@ -305,3 +306,18 @@ def decision_forest_train(
         .localCheckpoint()
     )
     return _grow(docs, depth, feats_per_split)
+
+
+def coarsen_features(feats: DataFrame, shift: int) -> DataFrame:
+    """The histogram-split-search guard as code (module docstring's
+    "bin counts per node first"): right-shift every feature value by
+    ``shift`` bits before training, so candidate-threshold
+    cardinality — hence the per-level grid, window and broadcast —
+    shrinks 2^shift× regardless of corpus size. Thresholds learned on
+    the coarse grid are bin boundaries (the Chen & Guestrin
+    approximate sketch trade-off: granularity, never correctness of
+    the counts). Map-side only; composes with both trainers."""
+    return feats.withColumn(
+        "fmap",
+        F.expr(f"transform_values(fmap, (k, v) -> v div {1 << shift})"),
+    )

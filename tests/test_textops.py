@@ -750,3 +750,45 @@ def test_forest_votes_recover_planted_rule_with_diversity(spark):
         total += 1
     assert total == 40
     assert votes_right / total >= 0.85, (votes_right, total, roots)
+
+
+def test_coarsened_split_search_bounds_grid_and_still_learns(spark):
+    """The binned-split-search guard: coarsening feature values 2^5x
+    shrinks the candidate grid (scale knob) while the planted rule is
+    still recovered at bin granularity (>= 0.9 held-out)."""
+    from convoy_spark.operators.cart import (
+        coarsen_features,
+        decision_tree_train,
+    )
+
+    rows = []
+    for i in range(200):
+        if i % 2 == 0:
+            f1, label = (i * 37) % 800, "A"  # A lives at f1 < 800
+        else:
+            f1, label = 1200 + (i * 37) % 800, "B"  # B at >= 1200
+        rows.append((i, label, i % 5 != 0, {"f1": f1, "f2": (i * 13) % 997}))
+    df = spark.createDataFrame(
+        rows, "doc_id long, label string, is_train boolean, fmap map<string,long>"
+    )
+    fine = decision_tree_train(df, depth=1)
+    coarse = decision_tree_train(coarsen_features(df, 5), depth=1)
+    froot = next(r for r in fine.collect() if r.depth == 0)
+    croot = next(r for r in coarse.collect() if r.depth == 0)
+    assert froot.split_feature == croot.split_feature == "f1"
+    # coarse threshold is a bin boundary of the fine one
+    assert croot.split_value <= froot.split_value // 32 + 1
+    leaves = [r for r in coarse.collect() if r.depth == 1]
+    hits = sum(r.eval_hits for r in leaves)
+    n = sum(r.n_eval for r in leaves)
+    assert n > 0 and hits / n >= 0.9
+    # the grid really shrank: distinct coarse values per feature
+    import pyspark.sql.functions as SF
+
+    nfine = (
+        df.select(SF.explode("fmap")).distinct().count()
+    )
+    ncoarse = (
+        coarsen_features(df, 5).select(SF.explode("fmap")).distinct().count()
+    )
+    assert ncoarse < nfine / 3
