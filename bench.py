@@ -119,6 +119,10 @@ BENCH_QUERIES = [
     # subsampled trees as one keyed dataflow
     "cart_quality_tree",
     "random_forest_train",
+    # round-7 late: instance-based member of the classifier family —
+    # 5-NN majority vote on the exact-L2 truth, same split as the
+    # linear probe
+    "knn_label_eval",
     "snapshot_diff",
     "column_histogram",
     # the iterative-float showcase: Spark's checkpointed centered

@@ -1895,3 +1895,115 @@ def linear_probe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         < PROBE_TRAIN_PCT
     )
     return perceptron_probe(emb.withColumn("is_train", is_train))
+
+
+KNN_K = 5
+
+
+@query(
+    "knn_label_eval",
+    oracle=f"""
+    WITH ev AS (
+      SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+             generate_subscripts(embedding, 1) - 1 AS d
+      FROM embeddings
+    ),
+    sp AS (
+      SELECT vec_id, label,
+             {sql_hash60(f"concat('{PROBE_SPLIT_SALT}:', vec_id)")}
+               % 100 < {PROBE_TRAIN_PCT} AS is_train
+      FROM embeddings
+    ),
+    dist AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+             SUM(CAST(FLOOR((q.x - c.x) * (q.x - c.x) * {_ADC_SCALE})
+                      AS BIGINT)) AS dnum
+      FROM ev q
+      JOIN sp sq ON sq.vec_id = q.vec_id AND NOT sq.is_train
+      JOIN ev c ON q.d = c.d AND q.vec_id <> c.vec_id
+      JOIN sp sc ON sc.vec_id = c.vec_id AND sc.is_train
+      GROUP BY 1, 2
+    ),
+    nn AS (
+      SELECT query_id, corpus_id FROM (
+        SELECT query_id, corpus_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dnum, corpus_id) AS rk
+        FROM dist
+      ) WHERE rk <= {KNN_K}
+    ),
+    votes AS (
+      SELECT nn.query_id, sp.label AS nl, COUNT(*) AS c
+      FROM nn JOIN sp ON sp.vec_id = nn.corpus_id
+      GROUP BY 1, 2
+    ),
+    pred AS (
+      SELECT query_id, nl AS pred_label FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY c DESC, nl ASC) AS rk
+        FROM votes
+      ) WHERE rk = 1
+    )
+    SELECT e.label AS true_label, p.pred_label,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred p JOIN embeddings e ON e.vec_id = p.query_id
+    GROUP BY 1, 2
+    """,
+)
+def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classifier eval over the embedding table — the
+    instance-based member of the trainable-filter family (linear
+    probe = linear boundary, CART/forest = threshold rules, k-NN =
+    local neighborhood): each held-out vector takes the majority
+    label of its {KNN_K} exact-L2 nearest TRAIN vectors (same salted
+    split as linear_probe_train, so the two confusion matrices are
+    directly comparable), ties to the smallest label; output is the
+    eval confusion (true_label, pred_label, n), fully
+    value-hash-checked via the scaled-long distance discipline.
+
+    Registers PAST-window by the hard_negative_mine precedent —
+    every stage is in-window: the exact scaled-long L2 ranking via
+    pq_recall_sweep's truth leg, the vote/argmax rank window via
+    linear_probe_train, the confusion rollup via the probe and
+    classifier_eval. Scale: Q×N by construction — the eval split is
+    benchmark-sized while N is the corpus, and the production swap is
+    the ADC shortlist for the exact ranking (exactly the composition
+    hard_negative_mine ships); chance-level accuracy on this
+    random-label corpus is the same honest diagnostic as the
+    probe's."""
+    from convoy_spark.operators.pq import exact_l2_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_train = (
+        hash60(F.concat(F.lit(f"{PROBE_SPLIT_SALT}:"), F.col("vec_id")))
+        % 100
+        < PROBE_TRAIN_PCT
+    )
+    sp = emb.select("vec_id", "label", is_train.alias("is_train"))
+    q = emb.join(sp.filter(~F.col("is_train")).select("vec_id"), "vec_id")
+    c = emb.join(sp.filter(F.col("is_train")).select("vec_id"), "vec_id")
+    nn = exact_l2_topk(q, c, k=KNN_K).select("query_id", "corpus_id")
+    votes = (
+        nn.join(
+            sp.select(F.col("vec_id").alias("corpus_id"), F.col("label").alias("nl")),
+            "corpus_id",
+        )
+        .groupBy("query_id", "nl")
+        .agg(F.count("*").alias("c"))
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("c").desc(), F.col("nl").asc()
+    )
+    pred = (
+        votes.withColumn("_rk", F.row_number().over(wv))
+        .filter(F.col("_rk") == 1)
+        .select("query_id", F.col("nl").alias("pred_label"))
+    )
+    truth = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return (
+        pred.join(truth, "query_id")
+        .groupBy("true_label", "pred_label")
+        .agg(F.count("*").cast("long").alias("n"))
+    )

@@ -340,3 +340,48 @@ def test_perceptron_probe_counts_partition_corpus(spark):
     ).fetchone()[0]
     assert sum(r.n for r in rows) == n
     assert all(r.n > 0 for r in rows)
+
+
+def test_knn_label_eval_parity(spark, duck):
+    from tests.conftest import run_parity
+
+    run_parity(spark, duck, "knn_label_eval")
+
+
+def test_knn_recovers_separable_clusters(spark):
+    """On cluster-structured vectors with labels = cluster id, 5-NN
+    majority vote must classify held-out points correctly (the
+    catalog corpus's random labels can only show chance — this pins
+    the classifier semantics on real signal)."""
+    from pyspark.sql import Window
+    from convoy_spark.operators.pq import exact_l2_topk
+
+    rows = []
+    for i in range(90):
+        c = i % 3
+        base = [0.05 * ((i * 7 + d) % 5) for d in range(4)]
+        base[c] += 1.0
+        rows.append((i, [float(round(v, 4)) for v in base], c))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    q = df.filter("vec_id % 5 = 0")
+    c = df.filter("vec_id % 5 <> 0")
+    nn = exact_l2_topk(q, c, k=5).select("query_id", "corpus_id")
+    votes = (
+        nn.join(
+            c.selectExpr("vec_id AS corpus_id", "label AS nl"), "corpus_id"
+        )
+        .groupBy("query_id", "nl")
+        .count()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("count").desc(), F.col("nl").asc()
+    )
+    pred = (
+        votes.withColumn("rk", F.row_number().over(w))
+        .filter("rk = 1")
+        .selectExpr("query_id AS vec_id", "nl AS pred")
+        .join(q.select("vec_id", "label"), "vec_id")
+        .collect()
+    )
+    assert len(pred) == 18
+    assert all(r.pred == r.label for r in pred), pred

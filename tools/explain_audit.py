@@ -341,6 +341,9 @@ EXPECTATIONS = {
     # forest: same plan shapes with tree in every key — ensemble size
     # widens keys, not plan depth
     "random_forest_train": ["Window", "BroadcastHashJoin", "HashAggregate"],
+    # k-NN eval: the broadcast query-side L2 expansion + the
+    # vote/argmax rank window
+    "knn_label_eval": ["BroadcastHashJoin", "Window", "HashAggregate"],
 }
 
 
