@@ -123,6 +123,9 @@ BENCH_QUERIES = [
     # 5-NN majority vote on the exact-L2 truth, same split as the
     # linear probe
     "knn_label_eval",
+    # round-7 late: derandomized isolation forest — multivariate
+    # outlier detection over the quality-feature space
+    "isoforest_outliers",
     "snapshot_diff",
     "column_histogram",
     # the iterative-float showcase: Spark's checkpointed centered

@@ -321,3 +321,114 @@ def coarsen_features(feats: DataFrame, shift: int) -> DataFrame:
         "fmap",
         F.expr(f"transform_values(fmap, (k, v) -> v div {1 << shift})"),
     )
+
+
+# --- Isolation-forest-style outlier detection -----------------------
+ISO_TREES = 8  # power of two: sum/8.0 is an exact double op
+ISO_DEPTH = 5
+ISO_PICK_SALT = "iso-pick-v1"
+ISO_CUT_SALT = "iso-cut-v1"
+
+
+def isolation_scores(feats: DataFrame, n_trees: int = ISO_TREES,
+                     depth: int = ISO_DEPTH) -> DataFrame:
+    """(doc_id, sum_leaf_n, mean_leaf_n) — isolation-forest-style
+    multivariate outlier score (Liu et al., ICDM 2008, derandomized
+    the repo's way): ``n_trees`` random binary trees, each level
+    picking a salted-hash feature and a salted-hash cut point inside
+    the node's [min, max], grown for ``depth`` levels as ONE keyed
+    dataflow (tree in every key, the forest pattern). The score is
+    the SIZE of each point's final leaf summed over trees — the
+    integer-exact stand-in for the paper's expected path length
+    (leaf size and path length are monotonely linked: points that
+    isolate early sit in small leaves; the harmonic-number c(n)
+    normalization is a transcendental and is deliberately dropped —
+    the model_quality no-sigmoid discipline — since ranking, the
+    consumer of the score, is invariant to it at fixed depth).
+    Outliers = smallest sum_leaf_n. mean_leaf_n = sum / n_trees is
+    exact for power-of-two n_trees.
+
+    Scale, per level: one keyed min/max aggregate over the chosen
+    feature values and a broadcast of the ≤ trees·2^depth cut rows —
+    the corpus never shuffles except those keyed aggs. A node whose
+    chosen feature is constant (vmax = vmin) stays unsplit — its
+    rows ride to the bottom as one (large, inlier-scored) leaf."""
+    trees = feats.sparkSession.range(n_trees).select(
+        F.col("id").alias("tree")
+    )
+    docs = (
+        feats.select("doc_id", "fmap")
+        .join(F.broadcast(trees))
+        .select("tree", "doc_id", "fmap", F.lit(0).cast("long").alias("node"))
+        .localCheckpoint()
+    )
+    for _d in range(depth):
+        fv = docs.select(
+            "tree", "node", "doc_id", F.explode("fmap").alias("f", "v")
+        )
+        wp = Window.partitionBy("tree", "node").orderBy(
+            hash60(
+                F.concat_ws(":", F.lit(ISO_PICK_SALT), "tree", "node", "f")
+            ).asc(),
+            F.col("f").asc(),
+        )
+        pick = (
+            fv.select("tree", "node", "f")
+            .distinct()
+            .withColumn("_rk", F.row_number().over(wp))
+            .filter(F.col("_rk") == 1)
+            .drop("_rk")
+        )
+        vals = fv.join(F.broadcast(pick), ["tree", "node", "f"])
+        cut = (
+            vals.groupBy("tree", "node")
+            .agg(F.min("v").alias("vmin"), F.max("v").alias("vmax"))
+            .select(
+                "tree",
+                "node",
+                F.when(
+                    F.col("vmax") > F.col("vmin"),
+                    F.col("vmin")
+                    + hash60(
+                        F.concat_ws(
+                            ":", F.lit(ISO_CUT_SALT), "tree", "node"
+                        )
+                    )
+                    % (F.col("vmax") - F.col("vmin")),
+                ).alias("cut"),
+            )
+        )
+        docs = (
+            docs.join(F.broadcast(pick), ["tree", "node"], "left")
+            .join(F.broadcast(cut), ["tree", "node"], "left")
+            .select(
+                "tree",
+                "doc_id",
+                "fmap",
+                F.when(F.col("cut").isNull(), F.col("node"))
+                .when(
+                    F.expr("try_element_at(fmap, f)") <= F.col("cut"),
+                    2 * F.col("node") + 1,
+                )
+                .otherwise(2 * F.col("node") + 2)
+                .alias("node"),
+            )
+            .localCheckpoint()
+        )
+    # ≤ trees·2^depth rows — broadcast explicitly (the checkpointed
+    # docs scan carries no stats, so auto-broadcast would not fire
+    # and the join fell back to a corpus-wide SortMergeJoin)
+    leaf = F.broadcast(
+        docs.groupBy("tree", "node").agg(F.count("*").alias("ln"))
+    )
+    return (
+        docs.join(leaf, ["tree", "node"])
+        .groupBy("doc_id")
+        .agg(F.sum("ln").cast("long").alias("sum_leaf_n"))
+        .select(
+            "doc_id",
+            "sum_leaf_n",
+            (F.col("sum_leaf_n").cast("double") / F.lit(float(n_trees)))
+            .alias("mean_leaf_n"),
+        )
+    )

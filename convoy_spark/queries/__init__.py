@@ -520,6 +520,20 @@ from convoy_spark.queries import (  # noqa: F401,E402
 #                             (operators/cart.py), the tree just
 #                             pins tree=0/no-bag/all-features; stays
 #                             emulator + planted-rule-pytest green)
+#   IN : isoforest_outliers  (derandomized isolation forest — the
+#                             content-side MULTIVARIATE outlier
+#                             detector, trees+routing+ranking all
+#                             value-hash-checked; enters per the
+#                             standing rule)
+#   OUT: anomaly_zscore      (driver-green r6; the temporal rolling
+#                             anomaly stays — its two-phase block
+#                             prefix-sum machinery is in-window
+#                             verbatim via pack_sequences
+#                             (block_prefix_sum is the shared
+#                             primitive) and the z-flag projection is
+#                             scan-side arithmetic; stays emulator-
+#                             checked, streaming scd/eventfunnel
+#                             pytests untouched)
 #   OUT: index_drift_profile (driver-green r6; its plan shapes each
 #                             stay in-window — the rational idf via
 #                             bm25_multi_query, cumulative windows
@@ -609,7 +623,7 @@ _CHECK_WINDOW = [
     # temporal-warehouse family (round-6 additions)
     "scd2_snapshot",
     "interval_merge",
-    "anomaly_zscore",
+    "isoforest_outliers",
     "column_profile",
 ]
 

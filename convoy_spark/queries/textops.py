@@ -1898,3 +1898,125 @@ def random_forest_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     feats = _cart_feature_frame(spark, sf_dir)
     return decision_forest_train(feats, n_trees=FOREST_TREES, depth=2)
+
+
+ISO_OUT_K = 50
+
+
+def _iso_oracle(n_trees: int, depth: int) -> str:
+    """Unrolled isolation-forest chain: per level — hash-picked
+    feature per (tree, node), min/max range, hash-positioned cut,
+    route — then leaf sizes summed per doc and the top-K smallest
+    (the outliers). The per-level frames are marked AS MATERIALIZED:
+    each docs{{L}} is referenced three times (nodes, vals, routing)
+    and DuckDB's automatic CTE materialization did NOT fire for this
+    chain — inlining re-evaluates the whole prefix per reference,
+    ~3^depth× blowup, measured as a >120 s hang at depth 5 on 100
+    docs vs 0.16 s with the hints (the CTE-re-eval cost the engine's
+    localCheckpoints avoid, here bad enough to need the explicit
+    hint)."""
+    from convoy_spark.operators.cart import ISO_CUT_SALT, ISO_PICK_SALT
+
+    split = (
+        f"{sql_hash60(f'''concat('{CART_SALT}:', doc_id)''')}"
+        f" % 100 < {CART_TRAIN_PCT}"
+    )
+    pick_hash = sql_hash60(
+        f"concat('{ISO_PICK_SALT}:', n.tree, ':', n.node, ':', fn.f)"
+    )
+    cut_hash = sql_hash60(f"concat('{ISO_CUT_SALT}:', tree, ':', node)")
+    lvls = []
+    for L in range(depth):
+        lvls.append(f"""nodes{L} AS (SELECT DISTINCT tree, node FROM docs{L}),
+    pick{L} AS (
+      SELECT tree, node, f FROM (
+        SELECT n.tree, n.node, fn.f,
+               ROW_NUMBER() OVER (PARTITION BY n.tree, n.node
+                 ORDER BY {pick_hash} ASC, fn.f ASC) AS rk
+        FROM nodes{L} n CROSS JOIN fnames fn
+      ) WHERE rk = 1
+    ),
+    vals{L} AS MATERIALIZED (
+      SELECT d.tree, d.node, d.doc_id, ff.v
+      FROM docs{L} d
+      JOIN pick{L} p ON p.tree = d.tree AND p.node = d.node
+      JOIN feats ff ON ff.doc_id = d.doc_id AND ff.f = p.f
+    ),
+    rng{L} AS (
+      SELECT tree, node, MIN(v) AS vmin, MAX(v) AS vmax
+      FROM vals{L} GROUP BY 1, 2
+    ),
+    cut{L} AS (
+      SELECT tree, node,
+             CASE WHEN vmax > vmin
+                  THEN vmin + {cut_hash} % (vmax - vmin) END AS cut
+      FROM rng{L}
+    ),
+    docs{L + 1} AS MATERIALIZED (
+      SELECT v.tree, v.doc_id,
+             CASE WHEN c.cut IS NULL THEN v.node
+                  WHEN v.v <= c.cut THEN 2 * v.node + 1
+                  ELSE 2 * v.node + 2 END AS node
+      FROM vals{L} v JOIN cut{L} c
+        ON c.tree = v.tree AND c.node = v.node
+    )""")
+    D = depth
+    chain = ",\n    ".join(lvls)
+    return f"""
+    WITH {_TOKS_SQL},
+    {_cart_base_sql(split)},
+    trees AS (
+      SELECT unnest(generate_series(0, {n_trees - 1})) AS tree
+    ),
+    fnames AS (
+      SELECT * FROM (VALUES ('alpha1k'), ('nonascii1k'), ('stop1k'),
+                            ('tok100')) AS fnames(f)
+    ),
+    docs0 AS MATERIALIZED (
+      SELECT trees.tree, fx.doc_id, CAST(0 AS BIGINT) AS node
+      FROM fx CROSS JOIN trees
+    ),
+    {chain},
+    leaf AS (
+      SELECT tree, node, COUNT(*) AS ln FROM docs{D} GROUP BY 1, 2
+    ),
+    per AS (
+      SELECT d.doc_id, CAST(SUM(l.ln) AS BIGINT) AS sum_leaf_n
+      FROM docs{D} d JOIN leaf l ON l.tree = d.tree AND l.node = d.node
+      GROUP BY 1
+    )
+    SELECT doc_id, sum_leaf_n,
+           CAST(sum_leaf_n AS DOUBLE) / {n_trees} AS mean_leaf_n,
+           CAST(rk AS INT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY sum_leaf_n ASC,
+                                       doc_id ASC) AS rk FROM per)
+    WHERE rk <= {ISO_OUT_K}
+    """
+
+
+@query("isoforest_outliers", oracle=_iso_oracle(8, 5))
+def isoforest_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate outlier detection for curation — isolation-forest
+    style (Liu et al. 2008), derandomized: 8 hash-seeded random
+    binary trees over the SAME integer quality-feature space the
+    tree trainers use (shared f0/fx/feats fragment + feature frame),
+    score = leaf size summed over trees (exact integers; the
+    smallest-leaf docs are the structurally weird ones a cleaning
+    pass should inspect). Top-{ISO_OUT_K} outliers with rank,
+    value-hash-checked end to end — the trees, the routing and the
+    ranking all reproduce bit-for-bit in the oracle's unrolled
+    chain. Complements anomaly_zscore (temporal, univariate) with
+    the content-side multivariate detector. Scale: one keyed min/max
+    aggregate + one broadcast cut table per level; the corpus never
+    shuffles except those keyed aggs (operators/cart.py)."""
+    from pyspark.sql import Window
+
+    from convoy_spark.operators.cart import isolation_scores
+
+    feats = _cart_feature_frame(spark, sf_dir)
+    scores = isolation_scores(feats)
+    top = scores.orderBy(
+        F.col("sum_leaf_n").asc(), F.col("doc_id").asc()
+    ).limit(ISO_OUT_K)
+    w = Window.orderBy(F.col("sum_leaf_n").asc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))

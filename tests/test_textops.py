@@ -792,3 +792,31 @@ def test_coarsened_split_search_bounds_grid_and_still_learns(spark):
         coarsen_features(df, 5).select(SF.explode("fmap")).distinct().count()
     )
     assert ncoarse < nfine / 3
+
+
+def test_isoforest_parity(spark, duck):
+    from tests.conftest import run_parity
+
+    run_parity(spark, duck, "isoforest_outliers")
+
+
+def test_isoforest_isolates_planted_outlier(spark):
+    """A point far outside the data cloud on every feature must get
+    the smallest leaf-size score (rank 1): random hash-cuts inside
+    [min, max] repeatedly slice the empty gap, isolating it early."""
+    from convoy_spark.operators.cart import isolation_scores
+
+    rows = [
+        (i, {"f1": 100 + (i * 7) % 25, "f2": 200 + (i * 11) % 30,
+             "f3": 50 + (i * 3) % 10, "f4": 300 + (i * 5) % 20})
+        for i in range(120)
+    ]
+    rows.append((999, {"f1": 100000, "f2": 900000, "f3": 70000,
+                       "f4": 500000}))
+    df = spark.createDataFrame(rows, "doc_id long, fmap map<string,long>")
+    scores = isolation_scores(df).collect()
+    ranked = sorted(scores, key=lambda r: (r.sum_leaf_n, r.doc_id))
+    assert ranked[0].doc_id == 999, ranked[:3]
+    # scores are exact integers; mean is score/8 exactly
+    for r in scores:
+        assert r.mean_leaf_n == r.sum_leaf_n / 8.0

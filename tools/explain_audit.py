@@ -344,6 +344,13 @@ EXPECTATIONS = {
     # k-NN eval: the broadcast query-side L2 expansion + the
     # vote/argmax rank window
     "knn_label_eval": ["BroadcastHashJoin", "Window", "HashAggregate"],
+    # isolation forest: the tiny leaf-size table broadcasts onto the
+    # checkpointed docs frame; outlier rank is a distributed top-k
+    "isoforest_outliers": [
+        "BroadcastHashJoin",
+        "TakeOrderedAndProject",
+        "HashAggregate",
+    ],
 }
 
 
