@@ -18,7 +18,7 @@ integer features + integer class counts the whole trainer is EXACT:
   sorted-split-search trick, distributed);
 - split quality is the weighted Gini purity Σ_side Σ_c n_sc²/n_s·n.
   Candidates are ranked by the exact integer pair (num, den) =
-  (s_L·n_R + s_R·n_L, n_L·n_R) pushed through ONE correctly-rounded
+  (s_L·n_R + s_R·n_L, n_L·n_R·n) pushed through ONE correctly-rounded
   IEEE division — a/b on equal integers is bit-identical on every
   engine (unlike float accumulation, division is a single rounded
   op), so the ranking and the reported score are deterministic and
@@ -46,8 +46,10 @@ Chen & Guestrin approximate sketch): |grid| ≤ trees·nodes·features·
 bins·classes regardless of corpus size; :func:`coarsen_features` is
 that guard as code (shrink the bins 2^shift× map-side, pytest-pinned
 to still recover planted rules at bin granularity). Int64 bounds:
-counts ≤ N ⇒ num ≤ 2·|C|·N³ — safe under 2⁶³ to N ≈ 10⁶ rows per
-node; beyond that, coarsen first.
+s_L = Σ_c n_Lc² ≤ n_L² so num ≤ n_L·n_R·n ≤ n³/4 and den = n_L·n_R·n
+≤ n³/4 — both safe under 2⁶³ to n ≈ 3.3·10⁶ train rows per node,
+enforced at runtime (CART_NODE_ROWS_MAX: a node beyond the bound
+raises instead of silently wrapping — coarsen/sample first).
 """
 
 from __future__ import annotations
@@ -65,6 +67,10 @@ FOREST_FEAT_SALT = "rf-feat-v1"
 # classic out-of-bag fraction, derandomized)
 FOREST_BAG_MOD, FOREST_BAG_KEEP = 3, 2
 FOREST_FEATS_PER_SPLIT = 2  # ~sqrt(k) for the 4-feature quality set
+# int64 overflow guard for the single-division Gini rank: num and den
+# are both ≤ n³/4, so n ≤ cbrt(4·(2⁶³−1)) ≈ 3.32e6 is exact. Enforced
+# inside _best_splits (raise, don't wrap).
+CART_NODE_ROWS_MAX = 3_300_000
 
 
 def _best_splits(
@@ -136,19 +142,32 @@ def _best_splits(
         ).alias("s_r"),
         F.sum("tot").alias("n"),
     )
+    num = F.col("s_l") * (F.col("n") - F.col("n_l")) + F.col("s_r") * F.col(
+        "n_l"
+    )
+    den = F.col("n_l") * (F.col("n") - F.col("n_l")) * F.col("n")
     sc = agg.filter(F.col("n_l") < F.col("n")).select(
         "tree",
         "node",
         "f",
         "v",
-        (
-            (
-                F.col("s_l") * (F.col("n") - F.col("n_l"))
-                + F.col("s_r") * F.col("n_l")
-            ).cast("double")
-            / (F.col("n_l") * (F.col("n") - F.col("n_l"))).cast("double")
-            / F.col("n").cast("double")
-        ).alias("score"),
+        # the docstring's single-division contract, guarded: beyond
+        # CART_NODE_ROWS_MAX the int64 products would wrap silently,
+        # so raise instead (coarsen_features / sample first).
+        F.when(
+            F.col("n") <= F.lit(CART_NODE_ROWS_MAX),
+            num.cast("double") / den.cast("double"),
+        )
+        .otherwise(
+            F.raise_error(
+                F.format_string(
+                    "CART node exceeds int64-safe bound: n=%s > "
+                    f"{CART_NODE_ROWS_MAX} — coarsen_features first",
+                    F.col("n"),
+                )
+            )
+        )
+        .alias("score"),
     )
     wb = Window.partitionBy("tree", "node").orderBy(
         F.col("score").desc(), F.col("f").asc(), F.col("v").asc()

@@ -927,7 +927,9 @@ BLOOM_WORD = 63  # usable bits per int64 word (see note above)
 
 
 def bloom_decontaminate(
-    train_grams: DataFrame, eval_grams: DataFrame
+    train_grams: DataFrame,
+    eval_grams: DataFrame,
+    train_docs: DataFrame | None = None,
 ) -> DataFrame:
     """(train_doc, n_grams, n_bloom_candidates, n_true_hits,
     contaminated) — per-train-doc decontamination funnel: distinct
@@ -941,6 +943,14 @@ def bloom_decontaminate(
     hashes (shingle_hashes output). The filter is sized off the data:
     m = BLOOM_BITS_PER_KEY * |distinct eval grams|, rounded up to
     whole 63-bit words (integer arithmetic only, mirrored in SQL).
+
+    A train doc contributing ZERO grams (shorter than the gram width,
+    or every gram stop-capped away) has no ``train_grams`` row, so by
+    default it is ABSENT from the output — absence means "no grams to
+    scan", not "clean". Pass ``train_docs`` (a doc_id universe frame)
+    to make that explicit: absent docs then emit
+    (n_grams=0, 0, 0, contaminated=false) via one left join from the
+    universe, so downstream verdict joins never silently drop them.
 
     Plan shape: the eval side collapses to two broadcast singletons
     (the size row and the word->bits map aggregated via bit_or); the
@@ -1010,14 +1020,24 @@ def bloom_decontaminate(
         F.col("h") == F.col("h_ev"),
         "left",
     )
-    return (
-        flagged.groupBy(F.col("doc_id").alias("train_doc"))
-        .agg(
-            F.count("*").cast("long").alias("n_grams"),
-            F.sum(F.col("cand").cast("long")).alias("n_bloom_candidates"),
-            F.sum(
-                (F.col("cand") & F.col("h_ev").isNotNull()).cast("long")
-            ).alias("n_true_hits"),
-        )
-        .withColumn("contaminated", F.col("n_true_hits") > 0)
+    agg = flagged.groupBy(F.col("doc_id").alias("train_doc")).agg(
+        F.count("*").cast("long").alias("n_grams"),
+        F.sum(F.col("cand").cast("long")).alias("n_bloom_candidates"),
+        F.sum(
+            (F.col("cand") & F.col("h_ev").isNotNull()).cast("long")
+        ).alias("n_true_hits"),
     )
+    if train_docs is not None:
+        agg = (
+            train_docs.select(F.col("doc_id").alias("train_doc"))
+            .distinct()
+            .join(agg, "train_doc", "left")
+            .select(
+                "train_doc",
+                *[
+                    F.coalesce(c, F.lit(0).cast("long")).alias(c)
+                    for c in ("n_grams", "n_bloom_candidates", "n_true_hits")
+                ],
+            )
+        )
+    return agg.withColumn("contaminated", F.col("n_true_hits") > 0)

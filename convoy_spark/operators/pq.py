@@ -84,14 +84,23 @@ def _sub_exploded(
     vec_col: str,
     id_col: str,
     dim_map: DataFrame | None = None,
+    raw_ex: DataFrame | None = None,
 ) -> DataFrame:
     """(vec_id, sub, dsub, x) — the exploded frame keyed by subspace.
 
     Default mapping is contiguous blocks (sub = d div ds). Pass
     ``dim_map`` — a (d, sub, dsub) frame, e.g. from
     :func:`balanced_dim_map` — to quantize under a dimension
-    permutation instead; the dim-count-sized map broadcasts."""
-    ex = exploded_vectors(vectors, vec_col, id_col)
+    permutation instead; the dim-count-sized map broadcasts. Pass
+    ``raw_ex`` — an already-materialized (vec_id, d, x) frame — to
+    skip the corpus explode entirely (the shared-frame amortization:
+    two quantizers trained on the same corpus pay the explode
+    once)."""
+    ex = (
+        raw_ex
+        if raw_ex is not None
+        else exploded_vectors(vectors, vec_col, id_col)
+    )
     if dim_map is not None:
         return ex.join(F.broadcast(dim_map), "d").select(
             "vec_id", "sub", "dsub", "x"
@@ -109,6 +118,7 @@ def balanced_dim_map(
     n_sub: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    ex: DataFrame | None = None,
 ) -> DataFrame:
     """(d, sub, dsub) — variance-balanced dimension permutation, the
     non-parametric OPQ initialization (Ge et al., OPQ CVPR'13 §4's
@@ -128,9 +138,11 @@ def balanced_dim_map(
     permutation, the codebooks and the codes all stay value-hash
     oracle-able. One map-side-combined agg over the exploded corpus;
     the result is a dim-count-sized frame (broadcast by every
-    consumer)."""
+    consumer). Pass ``ex`` — an already-materialized (vec_id, d, x)
+    frame — to skip the corpus explode (shared-frame amortization)."""
     n_sub = n_sub or PQ_SUB
-    ex = exploded_vectors(corpus, vec_col, id_col)
+    if ex is None:
+        ex = exploded_vectors(corpus, vec_col, id_col)
     stats = ex.groupBy("d").agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
         F.sum(
@@ -260,6 +272,7 @@ def pq_codebooks(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim_map: DataFrame | None = None,
+    raw_ex: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Train the PQ index: ``iters`` Lloyd rounds per subspace (all
     subspaces in one keyed dataflow), then one final assignment against
@@ -281,9 +294,9 @@ def pq_codebooks(
     dim = _infer_dim(corpus, vec_col)
     ds = dim // n_sub
     wide = corpus.count() >= PQ_WIDE_MIN_ROWS  # physical-shape choice
-    ex = _sub_exploded(corpus, ds, vec_col, id_col, dim_map).localCheckpoint(
-        eager=False
-    )
+    ex = _sub_exploded(
+        corpus, ds, vec_col, id_col, dim_map, raw_ex
+    ).localCheckpoint(eager=False)
     seeds = (
         corpus.select(F.col(id_col).alias("vec_id"))
         .orderBy("vec_id")

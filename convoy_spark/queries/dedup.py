@@ -991,14 +991,24 @@ _BLOOM_BIT = f"1::BIGINT << CAST(p % {BLOOM_WORD} AS INT)"
              (e.h IS NOT NULL) AS hit
       FROM hits LEFT JOIN evh e USING (h)
     )
-    SELECT doc_id AS train_doc,
-           CAST(COUNT(*) AS BIGINT) AS n_grams,
-           CAST(COUNT(*) FILTER (WHERE cand) AS BIGINT)
+    ,
+    bagg AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(COUNT(*) FILTER (WHERE cand) AS BIGINT)
+               AS n_bloom_candidates,
+             CAST(COUNT(*) FILTER (WHERE cand AND hit) AS BIGINT)
+               AS n_true_hits
+      FROM fl GROUP BY 1
+    )
+    SELECT u.doc_id AS train_doc,
+           CAST(COALESCE(a.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(a.n_bloom_candidates, 0) AS BIGINT)
              AS n_bloom_candidates,
-           CAST(COUNT(*) FILTER (WHERE cand AND hit) AS BIGINT)
-             AS n_true_hits,
-           COUNT(*) FILTER (WHERE cand AND hit) > 0 AS contaminated
-    FROM fl GROUP BY 1
+           CAST(COALESCE(a.n_true_hits, 0) AS BIGINT) AS n_true_hits,
+           COALESCE(a.n_true_hits, 0) > 0 AS contaminated
+    FROM (SELECT doc_id FROM s WHERE split = 'train') u
+    LEFT JOIN bagg a USING (doc_id)
     """,
 )
 def bloom_decontaminate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1014,13 +1024,24 @@ def bloom_decontaminate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     `n_true_hits`/`contaminated` are EXACT; `n_bloom_candidates -
     n_true_hits` is the measured false-positive tail — the oracle
     rebuilds the bitset bit-for-bit, so the driver hash checks the FP
-    arithmetic too, not just the exact answer. Per train doc:
-    (n_grams, n_bloom_candidates, n_true_hits, contaminated)."""
+    arithmetic too, not just the exact answer. One row per TRAIN-SPLIT
+    DOC (the universe passes through as ``train_docs``): a doc with
+    zero scannable grams — shorter than {NGRAM_CONTAM_N} tokens, or
+    fully stop-capped — reports (0, 0, 0, false) explicitly rather
+    than going absent, so downstream verdict joins never drop it. Per
+    train doc: (n_grams, n_bloom_candidates, n_true_hits,
+    contaminated)."""
     # One corpus-derived build feeds four consumers (filter size, the
     # bitset, the membership verify, the probe side) — materialized
     # once, the shared-frame pattern (setsim/minhash/range_rank).
     tr, ev = _contamination_split_grams(spark, sf_dir, checkpoint=True)
-    return bloom_decontaminate(tr, ev.select("doc_id", "h"))
+    uni = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", _split_col().alias("split"))
+        .filter(F.col("split") == "train")
+        .select("doc_id")
+    )
+    return bloom_decontaminate(tr, ev.select("doc_id", "h"), train_docs=uni)
 
 
 def _substr_horner_oracle(k: int) -> str:

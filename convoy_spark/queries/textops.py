@@ -1539,8 +1539,7 @@ def _cart_oracle(depth: int) -> str:
     sc{L} AS (
       SELECT node, f, v,
              CAST(s_l * (n - n_l) + s_r * n_l AS DOUBLE)
-               / CAST(n_l * (n - n_l) AS DOUBLE)
-               / CAST(n AS DOUBLE) AS score
+               / CAST(n_l * (n - n_l) * n AS DOUBLE) AS score
       FROM ag{L} WHERE n_l < n
     ),
     best{L} AS (
@@ -1776,8 +1775,7 @@ def _forest_oracle(n_trees: int, depth: int, fps: int) -> str:
     sc{L} AS (
       SELECT tree, node, f, v,
              CAST(s_l * (n - n_l) + s_r * n_l AS DOUBLE)
-               / CAST(n_l * (n - n_l) AS DOUBLE)
-               / CAST(n AS DOUBLE) AS score
+               / CAST(n_l * (n - n_l) * n AS DOUBLE) AS score
       FROM ag{L} WHERE n_l < n
     ),
     best{L} AS (

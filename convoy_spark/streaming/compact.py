@@ -133,18 +133,26 @@ def compact_hardneg(spark: SparkSession, state_dir: str) -> int:
 
     Pins the store to the module's K_SHORT/K_TRUTH: reads asking for
     a LARGER k after compaction would be short (the discarded tail is
-    gone) — the same contract as every lossy-beyond-k top store.
+    gone) — the same contract as every lossy-beyond-k top store, and
+    it is ENFORCED: a ``_compacted_k.json`` marker records each
+    store's compaction-time k, and hardneg.mined_negatives raises
+    when asked beyond it (re-compaction keeps the tightest bound).
     Returns the number of delta rows replaced; 0 on a missing store."""
+    import json
+
     from convoy_spark.streaming.hardneg import (
+        COMPACT_MARKER,
         HN_SHORT_SCHEMA,
         HN_TRUTH_SCHEMA,
         K_SHORT,
         K_TRUTH,
         _read_deltas,
         _rerank_top,
+        compacted_k_bounds,
     )
 
     replaced = 0
+    bounds = compacted_k_bounds(state_dir)
     for kind, schema, order_col, k in [
         ("hn_short", HN_SHORT_SCHEMA, "adist", K_SHORT),
         ("hn_truth", HN_TRUTH_SCHEMA, "dnum", K_TRUTH),
@@ -158,4 +166,8 @@ def compact_hardneg(spark: SparkSession, state_dir: str) -> int:
         tmp = os.path.join(state_dir, "_compact_tmp")
         top.write.mode("overwrite").parquet(tmp)
         _swap_in(tmp, deltas_dir)
+        bounds[kind] = min(k, bounds.get(kind, k))
+    if bounds:
+        with open(os.path.join(state_dir, COMPACT_MARKER), "w") as f:
+            json.dump(bounds, f)
     return replaced

@@ -184,6 +184,21 @@ def _rerank_top(
     ).drop("_rk")
 
 
+COMPACT_MARKER = "_compacted_k.json"
+
+
+def compacted_k_bounds(state_dir: str) -> dict:
+    """The per-store k bounds written by compact_hardneg's marker
+    (streaming/compact.py) — {} when the store was never compacted."""
+    import json
+
+    p = os.path.join(state_dir, COMPACT_MARKER)
+    if not os.path.isfile(p):
+        return {}
+    with open(p) as f:
+        return json.load(f)
+
+
 def mined_negatives(
     spark: SparkSession,
     state_dir: str,
@@ -194,7 +209,21 @@ def mined_negatives(
     """Hard negatives from the persisted store alone: re-rank the
     union of per-batch local tops (global top-k ⊆ union of local
     top-ks under the deterministic total order), then the shared
-    anti-join derivation."""
+    anti-join derivation.
+
+    A compacted store (streaming/compact.py::compact_hardneg) has
+    discarded every row beyond its compaction-time k per kind; asking
+    for a larger k would silently return short results, so the marker
+    the compactor writes is enforced here — a runtime guard, not a
+    prose contract."""
+    bounds = compacted_k_bounds(state_dir)
+    for kind, k in (("hn_short", k_short), ("hn_truth", k_truth)):
+        if kind in bounds and k > bounds[kind]:
+            raise ValueError(
+                f"store {kind} was compacted at k={bounds[kind]}; "
+                f"rows beyond that are gone — asked for k={k}. "
+                "Re-mine from the landing data for a larger k."
+            )
     short = _rerank_top(
         _read_deltas(spark, state_dir, "hn_short", HN_SHORT_SCHEMA),
         "adist",

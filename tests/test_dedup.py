@@ -478,3 +478,26 @@ def test_bloom_decontaminate_no_false_negatives(spark):
     assert not out[2].contaminated
     for r in out.values():
         assert r.n_true_hits <= r.n_bloom_candidates <= r.n_grams
+    # with the doc universe passed, the zero-gram doc 3 becomes an
+    # explicit (0, 0, 0, false) row instead of going absent
+    uni = docs.filter(F.col("doc_id") < 10).select("doc_id")
+    out_u = {
+        r.train_doc: r
+        for r in bloom_decontaminate(tr, ev, train_docs=uni).collect()
+    }
+    assert set(out_u) == {1, 2, 3}
+    r3 = out_u[3]
+    assert (r3.n_grams, r3.n_bloom_candidates, r3.n_true_hits) == (0, 0, 0)
+    assert not r3.contaminated
+    for d in (1, 2):
+        assert (
+            out_u[d].n_grams,
+            out_u[d].n_bloom_candidates,
+            out_u[d].n_true_hits,
+            out_u[d].contaminated,
+        ) == (
+            out[d].n_grams,
+            out[d].n_bloom_candidates,
+            out[d].n_true_hits,
+            out[d].contaminated,
+        )

@@ -248,3 +248,85 @@ def test_balanced_dim_map_is_a_balanced_permutation(spark):
     counts = codes.groupBy("vec_id").count().collect()
     assert all(r["count"] == PQ_SUB for r in counts)
     assert len(counts) == emb.count()
+
+
+def test_knn_adc_label_eval_parity(spark, duck):
+    run_parity(spark, duck, "knn_adc_label_eval")
+
+
+def test_knn_adc_neighbor_recall_vs_exact(spark):
+    """The production kNN composition's neighbor sets (ADC shortlist →
+    exact re-rank of train survivors → top-5) must recover nearly all
+    of the exact train-restricted 5-NN truth on the same capped query
+    set — the pq_rerank_topk recall discipline applied to the
+    classifier's neighbor stage."""
+    from convoy_spark.functions.hashing import hash60
+    from convoy_spark.operators.pq import ann_pq_adc_topk, exact_l2_topk
+    from convoy_spark.queries.similarity import (
+        KNN_ADC_QUERIES,
+        KNN_ADC_SHORTLIST,
+        KNN_K,
+        PROBE_SPLIT_SALT,
+        PROBE_TRAIN_PCT,
+        shared_pq_index,
+    )
+    from pyspark.sql import Window
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    is_train = (
+        hash60(F.concat(F.lit(f"{PROBE_SPLIT_SALT}:"), F.col("vec_id")))
+        % 100
+        < PROBE_TRAIN_PCT
+    )
+    sp = emb.select("vec_id", is_train.alias("is_train"))
+    kq = (
+        sp.filter(~F.col("is_train"))
+        .select("vec_id")
+        .orderBy("vec_id")
+        .limit(KNN_ADC_QUERIES)
+    )
+    q = emb.join(kq, "vec_id")
+    train = emb.join(sp.filter(F.col("is_train")).select("vec_id"), "vec_id")
+    truth = {
+        (r.query_id, r.corpus_id)
+        for r in exact_l2_topk(q, train, k=KNN_K).collect()
+    }
+    idx = shared_pq_index(spark, SF_DIR)
+    short = ann_pq_adc_topk(q, emb, k=KNN_ADC_SHORTLIST, index=idx).join(
+        sp.filter(F.col("is_train")).select(
+            F.col("vec_id").alias("corpus_id")
+        ),
+        "corpus_id",
+    )
+    # re-rank survivors by exact distance (mirrors the catalog query)
+    ex = idx[2]
+    ea = ex.select(
+        F.col("vec_id").alias("query_id"), "sub", "dsub",
+        F.col("x").alias("xa"),
+    )
+    eb = ex.select(
+        F.col("vec_id").alias("corpus_id"), "sub", "dsub",
+        F.col("x").alias("xb"),
+    )
+    exact = (
+        short.select("query_id", "corpus_id")
+        .join(ea, "query_id")
+        .join(eb, ["corpus_id", "sub", "dsub"])
+        .groupBy("query_id", "corpus_id")
+        .agg(
+            F.sum(
+                (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
+            ).alias("dist")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("corpus_id").asc()
+    )
+    got = {
+        (r.query_id, r.corpus_id)
+        for r in exact.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= KNN_K)
+        .collect()
+    }
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, recall

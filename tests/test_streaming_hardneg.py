@@ -119,3 +119,16 @@ def test_compaction_preserves_and_composes(spark, tmp_path):
     apply_hardneg_batch(spark, b2, state, "t-2")
     want = _rows(batch_negatives(spark, emb, state))
     assert _rows(mined_negatives(spark, state)) == want
+    # the compaction marker turns the lossy-beyond-k contract into a
+    # runtime guard: reads beyond the compacted bound raise instead
+    # of silently returning short results
+    import pytest
+
+    from convoy_spark.streaming.hardneg import K_SHORT, K_TRUTH
+
+    with pytest.raises(ValueError, match="compacted at k="):
+        mined_negatives(spark, state, k_short=K_SHORT + 1)
+    with pytest.raises(ValueError, match="compacted at k="):
+        mined_negatives(spark, state, k_truth=K_TRUTH + 1)
+    # at or below the bound stays fine
+    assert _rows(mined_negatives(spark, state, k_short=K_SHORT)) == want
