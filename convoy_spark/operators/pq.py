@@ -253,13 +253,20 @@ def _assign(
 
 
 def _update(codes: DataFrame, ex: DataFrame) -> DataFrame:
-    """(sub, cell, dsub, m) — decimal-exact per-subspace centroid means."""
+    """(sub, cell, dsub, m) — per-subspace centroid means in the
+    floor-scaled-long discipline (similarity._cell_mean's rationale:
+    decimal casts of raw float32-derived x are a cross-engine
+    half-up/half-even rounding-tie hazard; floors have no tie)."""
     return (
         codes.withColumnRenamed("code", "cell")
         .join(ex, ["vec_id", "sub"])
         .groupBy("sub", "cell", "dsub")
         .agg(
-            (F.sum(F.col("x").cast(DEC)).cast("double") / F.count("*")).alias("m")
+            (
+                F.sum(F.floor(F.col("x") * F.lit(SCORE_SCALE))).cast("double")
+                / F.lit(SCORE_SCALE)
+                / F.count("*")
+            ).alias("m")
         )
     )
 

@@ -313,13 +313,25 @@ def ivf_index(
 
 
 def _cell_mean(assignment: DataFrame, ex: DataFrame) -> DataFrame:
-    """(cell, d, m) — decimal-exact elementwise centroid means."""
+    """(cell, d, m) — elementwise centroid means in the floor-scaled
+    LONG discipline: m = (Σ ⌊x·2⁴⁰⌋ as double) / 2⁴⁰ / count. The long
+    sum is exact, the long→double cast and the /2⁴⁰ are deterministic
+    (the latter exact — power of two), and /count is one rounded op —
+    bit-identical across engines. The previous DECIMAL(28,12) cast of
+    raw x was a cross-engine TIE hazard: float32-derived values are
+    coarse dyadics whose decimal expansion can end exactly on a half
+    (e.g. 0.1871337890625), and Spark rounds those HALF_UP while
+    DuckDB rounds half-to-even — caught by the sf0.1 n_cells∝N
+    SemDeDup parity test, round 8."""
     return (
         assignment.join(ex, "vec_id")
         .groupBy("cell", "d")
         .agg(
-            (F.sum(F.col("x").cast(DEC)).cast("double") / F.count("*"))
-            .alias("m")
+            (
+                F.sum(F.floor(F.col("x") * F.lit(SCORE_SCALE))).cast("double")
+                / F.lit(SCORE_SCALE)
+                / F.count("*")
+            ).alias("m")
         )
     )
 
@@ -330,11 +342,11 @@ def _ivf_loop(
     """The k-means loop over the EXPLODED (vec_id, d, x) frame — which
     is also the unrolled oracle's shape (queries/similarity.py
     _ivf_kmeans_ctes), so it is value-identical to the original
-    per-row array fold by construction: per-element (x−m)² terms cast
-    to DECIMAL and summed by groupBy are the same exact associative
-    decimal sums, while running in whole-stage codegen with no array
-    group keys shuffling vectors and no per-iteration array
-    re-assembly.
+    per-row array fold by construction: per-element floor-scaled
+    (x−m)² long terms summed by groupBy are exact associative integer
+    sums (see _cell_mean for why floors, not decimal casts), while
+    running in whole-stage codegen with no array group keys shuffling
+    vectors and no per-iteration array re-assembly.
 
     Returns (cent (cell, d, m) exploded, assignment (vec_id, cell)).
 
@@ -366,14 +378,15 @@ def _ivf_loop(
             ex.join(F.broadcast(cent), "d")
             .groupBy("vec_id", "cell")
             .agg(
+                # floor-scaled long sums — no decimal tie hazard (see
+                # _cell_mean); dd only feeds the (dd, cell) argmin
                 F.sum(
-                    (
+                    F.floor(
                         (F.col("x") - F.col("m"))
                         * (F.col("x") - F.col("m"))
-                    ).cast(DEC)
-                )
-                .cast("double")
-                .alias("dd")
+                        * F.lit(SCORE_SCALE)
+                    )
+                ).alias("dd")
             )
         )
         assignment = dist.groupBy("vec_id").agg(

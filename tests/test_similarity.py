@@ -385,3 +385,40 @@ def test_knn_recovers_separable_clusters(spark):
     )
     assert len(pred) == 18
     assert all(r.pred == r.label for r in pred), pred
+
+
+def test_semantic_dedup_scaled_parity_small(spark, duck):
+    """At sf0.001 the floor keeps n_cells at IVF_CELLS, so the scaled
+    form must be bit-identical to the pinned form AND to its own
+    dynamic-LIMIT oracle."""
+    from tests.conftest import run_parity
+
+    from convoy_spark.queries import QUERIES
+
+    pdf = run_parity(spark, duck, "semantic_dedup_scaled")
+    pinned = QUERIES["semantic_dedup"](spark, "/root/testdata/sf0.001").toPandas()
+    from tests.conftest import assert_frames_match
+
+    assert_frames_match(pdf, pinned, "scaled-vs-pinned@floor")
+
+
+def test_semantic_dedup_scaled_parity_dynamic(spark):
+    """At sf0.1 (N=2000 -> n_cells=31 > IVF_CELLS) the data-dependent
+    seed LIMIT actually diverges from the pinned form; the dynamic
+    scalar-subquery oracle must still match bit for bit."""
+    import duckdb
+
+    from convoy_spark.tables import TABLE_NAMES, table_path
+    from tests.conftest import run_parity
+
+    sf_dir = "/root/testdata/sf0.1"
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM "
+            f"read_parquet('{table_path(sf_dir, name)}')"
+        )
+    try:
+        run_parity(spark, con, "semantic_dedup_scaled", sf_dir=sf_dir)
+    finally:
+        con.close()
