@@ -543,6 +543,67 @@ from convoy_spark.queries import (  # noqa: F401,E402
 #                             across the sketch suites; the streaming
 #                             drift twin keeps its stream==batch
 #                             pytest; stays emulator-checked)
+# Round-8 rotation (standing rule + round-7 verdict #3's debt
+# schedule — three r7-OUT debt items return, and the two new round-8
+# components enter the round they land):
+#   IN : knn_adc_label_eval   (the PRODUCTION kNN composition: ADC
+#                              shortlist off the shared PQ index,
+#                              exact re-rank of train survivors, 5-NN
+#                              vote — the documented swap of
+#                              knn_label_eval, now value-hash-checked),
+#        semantic_dedup_scaled (SemDeDup under the paper's n_cells∝N
+#                              cost contract — the deploy shape,
+#                              dynamic-seed-LIMIT oracle),
+#        dedup_keep_best      (debt: quality-aware cluster
+#                              canonicalization, r6 driver-green),
+#        anomaly_zscore       (debt: rolling 3σ flags — restores the
+#                              keyed running-prefix window the r7-late
+#                              OUT argument pointed at pack_sequences
+#                              for, which itself rotated out),
+#        index_drift_profile  (debt: index-freshness drift, batch twin
+#                              of streaming/indexdrift.py)
+#   OUT: semantic_dedup       (the pinned-16-cells worst case: its
+#                              ENTIRE dataflow — ivf loop, priority
+#                              rank, per-pair dots, keep rule — runs
+#                              verbatim in-window via
+#                              semantic_dedup_scaled, which is
+#                              BIT-IDENTICAL at the driver's sf0.01
+#                              (the max(16, N//64) floor); stays
+#                              emulator + sf0.1-parity-pytest green),
+#        pq_rerank_topk       (its ADC scan + two-phase shortlist +
+#                              decimal exact re-rank run in-window
+#                              via the strictly richer
+#                              knn_adc_label_eval (same shared index,
+#                              same sketch-then-verify stages, plus
+#                              the vote/confusion tail) and the ADC
+#                              rank surface via pq_recall_sweep;
+#                              recall@5=0.99 pytest stays),
+#        ngram_contamination  (its capped 13-gram + split universe is
+#                              the _NGRAM13_CTES fragment bloom_
+#                              decontaminate runs IN-WINDOW by
+#                              construction — shared-fragment
+#                              precedent (text_quality); the
+#                              posting-style hash equi-join plan
+#                              shape is in-window via
+#                              minhash_lsh_neardup's banded join and
+#                              setsim_prefix_join's prefix postings;
+#                              stays emulator-green),
+#        epoch_shuffle        (its two-phase block-prefix scan — the
+#                              _blk window + broadcast offsets — runs
+#                              in-window via mixture_sample, and the
+#                              salted-hash permutation key is the
+#                              split/salt machinery in-window via
+#                              bloom_decontaminate's split and
+#                              linear_probe_train's salted split;
+#                              stays emulator-green),
+#        shard_assignment     (same block-prefix + broadcast-offset
+#                              machinery via in-window mixture_sample
+#                              — the r6-late precedent that then
+#                              cited pack_sequences; token counting
+#                              via the in-window corpus_funnel/lang_id
+#                              token pipelines; token-balance
+#                              property stays pytest + emulator
+#                              green).
 _CHECK_WINDOW = [
     # §2.3/§2.8 aggregates + SQL front door (two_pass_mad is past the
     # window: A6/P13 two-pass MAD is proven by tree_metric_mad)
@@ -583,12 +644,12 @@ _CHECK_WINDOW = [
     "dsir_select",
     # dedup + dataset-management components
     "exact_dedup",
+    "dedup_keep_best",
     "minhash_lsh_neardup",
     "setsim_prefix_join",
     "span_dedup",
-    "semantic_dedup",
+    "semantic_dedup_scaled",
     "lsh_band_sweep",
-    "ngram_contamination",
     "bloom_decontaminate",
     # similarity / embedding components (cosine_topk is past the
     # window: it is the brute-force recall ORACLE for the ANN entries;
@@ -609,20 +670,20 @@ _CHECK_WINDOW = [
     # loader-prep family: packing + target-mixture sampling +
     # weighted draw + curriculum interleave
     "mixture_sample",
-    "epoch_shuffle",
-    "shard_assignment",
     # physical layout (SURVEY §4)
     "zorder_layout",
     # warehouse data-quality audit (round-6 final)
     "fk_integrity_audit",
     # product quantization + hybrid retrieval (round-6 late)
-    "pq_rerank_topk",
+    "knn_adc_label_eval",
     "hybrid_rrf_topk",
     "pq_recall_sweep",
     "pq_opq_compare",
     # temporal-warehouse family (round-6 additions)
     "scd2_snapshot",
     "interval_merge",
+    "anomaly_zscore",
+    "index_drift_profile",
     "isoforest_outliers",
     "column_profile",
 ]
