@@ -748,3 +748,171 @@ def load_pq_index(
             bucket=PQ_INDEX_BUCKET,
         ),
     }
+
+
+# --- Learned OPQ rotation (iterative orthogonal Procrustes) ----------
+OPQ_ITERS = 2  # Procrustes alternations after the permutation init
+
+
+def _rotate(raw_ex: DataFrame, rot: DataFrame) -> DataFrame:
+    """(vec_id, d, x) — apply the broadcast rotation matrix ``rot``
+    (rows (do, di, r)) to the exploded frame: xr[do] = Σ_di r·x[di].
+    One broadcast join + one keyed aggregate; the sum is floor-scaled
+    long (deterministic under any partitioning)."""
+    from convoy_spark.operators.similarity import SCORE_SCALE
+
+    return (
+        raw_ex.select(F.col("vec_id"), F.col("d").alias("di"), "x")
+        .join(F.broadcast(rot), "di")
+        .groupBy("vec_id", F.col("do").alias("d"))
+        .agg(
+            (
+                F.sum(F.floor(F.col("r") * F.col("x") * F.lit(SCORE_SCALE)))
+                .cast("double")
+                / F.lit(SCORE_SCALE)
+            ).alias("x")
+        )
+    )
+
+
+def opq_rotation_train(
+    corpus: DataFrame,
+    n_queries: int = 16,
+    k: int = 5,
+    n_iters: int = OPQ_ITERS,
+    n_sub: int = PQ_SUB,
+    ks: int = PQ_KS,
+    lloyd_iters: int = PQ_ITERS,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Learned OPQ rotation, non-parametric alternation (Ge et al.,
+    "Optimized Product Quantization", CVPR 2013 §4): starting from the
+    variance-balanced permutation (:func:`balanced_dim_map` — the init
+    heuristic pq_opq_compare A/Bs), alternate (a) train/encode a PQ
+    quantizer in the rotated space, (b) update R by the closed-form
+    orthogonal Procrustes solution R = U·Vᵀ from the SVD of the
+    reconstruction cross-covariance M = Σ ŷ·xᵀ. Emits one row per
+    iteration: (iteration, quant_err, adc_recall) — iteration 0 IS the
+    balanced permutation, so the curve reads init → learned directly.
+
+    Spark-first decomposition: the rotation apply and the ŷ·xᵀ
+    accumulation are broadcast-join + keyed-aggregate dataflows over
+    the exploded frame (floor-scaled long sums — deterministic under
+    any partitioning); the ONLY driver-side state is the dim×dim
+    cross-covariance (64×64 = 4096 floats, the bounded-collect
+    contract of the BM25 vocab probe) whose SVD is a numpy call on a
+    matrix the size of one codebook row — model state, not data. The
+    recall leg scores the rotated-space ADC against the ORIGINAL-space
+    exact-L2 truth (orthogonal R preserves L2, so the truth set needs
+    no re-ranking).
+
+    Oracle status: rows-only BY NATURE — the SVD has no cross-engine
+    bit contract (LAPACK vs anything), which is exactly the
+    float-hash-hostility the round-7 verdict #7 anticipated; the
+    measured decline is recorded in BENCH_NOTES and the monotone
+    quant-err + recall floors are pytest-asserted (the ann_srp
+    recall-assert precedent)."""
+    import numpy as np
+
+    from convoy_spark.operators.similarity import SCORE_SCALE
+
+    spark = corpus.sparkSession
+    dim = _infer_dim(corpus, vec_col)
+    ds = dim // n_sub
+    raw = exploded_vectors(corpus, vec_col, id_col).localCheckpoint(
+        eager=False
+    )
+    truth = exact_l2_topk(
+        corpus.filter(F.col(id_col) < n_queries), corpus, k=k,
+        vec_col=vec_col, id_col=id_col,
+    ).select("query_id", "corpus_id").localCheckpoint(eager=False)
+    denom = float(n_queries * k)
+
+    # R0 = the balanced permutation as a matrix: slot(d) = sub·ds + dsub
+    dm = balanced_dim_map(corpus, n_sub, vec_col, id_col, ex=raw)
+    rot = dm.select(
+        (F.col("sub") * ds + F.col("dsub")).cast("int").alias("do"),
+        F.col("d").cast("int").alias("di"),
+        F.lit(1.0).alias("r"),
+    ).localCheckpoint()
+
+    scaled = lambda c: (  # noqa: E731
+        F.sum(F.floor(c * F.lit(SCORE_SCALE))).cast("double")
+        / F.lit(SCORE_SCALE)
+    )
+    rows = []
+    for it in range(n_iters + 1):
+        xr = _rotate(raw, rot).localCheckpoint(eager=False)
+        cent, codes, _ = pq_codebooks(
+            corpus, n_sub, ks, lloyd_iters, vec_col, id_col, raw_ex=xr
+        )
+        # decode: ŷ[d] = codebook centroid component of the assigned cell
+        yhat = codes.join(
+            F.broadcast(cent), (codes["sub"] == cent["sub"]) & (codes["code"] == cent["cell"])
+        ).select(
+            "vec_id",
+            (codes["sub"] * ds + F.col("dsub")).alias("d"),
+            F.col("m").alias("y"),
+        )
+        joined = xr.join(yhat, ["vec_id", "d"]).localCheckpoint(eager=False)
+        qerr = joined.agg(
+            scaled((F.col("x") - F.col("y")) * (F.col("x") - F.col("y"))).alias("e")
+        ).first()["e"]
+        # rotated-space ADC recall vs the original-space exact truth
+        q_exr = (
+            xr.filter(F.col("vec_id") < n_queries)
+            .select(
+                "vec_id",
+                F.expr(f"d div {ds}").cast("int").alias("sub"),
+                (F.col("d") % ds).cast("int").alias("dsub"),
+                "x",
+            )
+        )
+        dtab = adc_table(q_exr, cent)
+        scored = (
+            codes.join(
+                F.broadcast(dtab),
+                (codes["sub"] == dtab["sub"]) & (codes["code"] == dtab["cell"]),
+            )
+            .filter(F.col("query_id") != F.col("vec_id"))
+            .groupBy("query_id", F.col("vec_id").alias("corpus_id"))
+            .agg(
+                (
+                    F.sum(F.floor(F.col("dd") * F.lit(SCORE_SCALE))).cast("double")
+                    / F.lit(SCORE_SCALE)
+                ).alias("adist")
+            )
+        )
+        hits = (
+            _topk_by_adist(scored, k)
+            .join(truth, ["query_id", "corpus_id"], "left_semi")
+            .count()
+        )
+        rows.append((it, float(qerr), hits / denom))
+        if it == n_iters:
+            break
+        # Procrustes update: M = Σ ŷ·xᵀ (dy, dx), R_new = U·Vᵀ
+        m_rows = (
+            joined.select("vec_id", F.col("d").alias("dy"), "y")
+            .join(raw.select("vec_id", F.col("d").alias("dx"), F.col("x").alias("xo")), "vec_id")
+            .groupBy("dy", "dx")
+            .agg(scaled(F.col("y") * F.col("xo")).alias("m"))
+            .collect()  # bounded: dim² rows (64×64), model state
+        )
+        M = np.zeros((dim, dim))
+        for r0 in m_rows:
+            M[r0["dy"], r0["dx"]] = r0["m"]
+        u, _s, vt = np.linalg.svd(M)
+        R = u @ vt
+        rot = spark.createDataFrame(
+            [
+                (int(o), int(i), float(R[o, i]))
+                for o in range(dim)
+                for i in range(dim)
+            ],
+            "do int, di int, r double",
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        rows, "iteration int, quant_err double, adc_recall double"
+    )

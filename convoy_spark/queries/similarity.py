@@ -2264,3 +2264,30 @@ def knn_adc_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("true_label", "pred_label")
         .agg(F.count("*").cast("long").alias("n"))
     )
+
+
+@query("opq_rotation_train")
+def opq_rotation_train_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned OPQ rotation (Ge et al. CVPR'13 — round-7 verdict #7's
+    completion of the balanced-permutation init): iterate PQ-encode →
+    orthogonal-Procrustes rotation update, emitting (iteration,
+    quant_err, adc_recall) per alternation with iteration 0 = the
+    balanced permutation itself (so the row set reads init → learned
+    directly, comparable to pq_opq_compare's A/B). Registers WITHOUT
+    an oracle (rows-only) and PAST-window, deliberately: the rotation
+    update is an SVD — no cross-engine bit contract exists for LAPACK
+    output, the float-hash-hostility the verdict anticipated — so the
+    honest check is the pytest-asserted quant-err decline + recall
+    floor (the ann_srp recall-assert precedent) plus the measured
+    curve in BENCH_NOTES. Every distributed stage (rotation apply,
+    Lloyd training, decode, cross-covariance) is floor-scaled-long
+    deterministic; the only driver-side state is the 64×64
+    cross-covariance (the BM25 vocab-probe bounded-collect
+    contract)."""
+    from convoy_spark.operators.pq import opq_rotation_train
+
+    return opq_rotation_train(
+        load_table(spark, sf_dir, "embeddings"),
+        n_queries=N_QUERIES,
+        k=TOP_K,
+    )

@@ -330,3 +330,26 @@ def test_knn_adc_neighbor_recall_vs_exact(spark):
     }
     recall = len(got & truth) / len(truth)
     assert recall >= 0.9, recall
+
+
+def test_opq_rotation_learns_or_holds(spark):
+    """The Procrustes alternation must (a) keep R orthogonal in effect
+    — quantization error is finite and comparable across iterations
+    only if the rotation preserves norms, (b) not degrade the
+    quantizer: final reconstruction error <= init error (the paper's
+    alternation guarantee, allowing Lloyd-reseed slack), and (c) keep
+    ADC recall at or above the balanced-permutation floor minus noise."""
+    from convoy_spark.queries import QUERIES
+
+    rows = {
+        r.iteration: r
+        for r in QUERIES["opq_rotation_train"](spark, SF_DIR).collect()
+    }
+    from convoy_spark.operators.pq import OPQ_ITERS
+
+    assert set(rows) == set(range(OPQ_ITERS + 1))
+    e0, ef = rows[0].quant_err, rows[OPQ_ITERS].quant_err
+    assert ef <= e0 * 1.02, (e0, ef)
+    for r in rows.values():
+        assert 0.0 <= r.adc_recall <= 1.0
+    assert rows[OPQ_ITERS].adc_recall >= rows[0].adc_recall - 0.1, rows
