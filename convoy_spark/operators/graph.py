@@ -42,7 +42,7 @@ iterated graph algorithm carry a full value-hash DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # fixed-point: rank 1.0 == 1_000_000 micro-units; damping 0.85
@@ -225,3 +225,63 @@ def triangle_counts(edges_undirected: DataFrame) -> DataFrame:
     return corners.groupBy("node_id").agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
+
+
+# --- Label propagation (community detection) -------------------------
+LPA_ITERS = 3
+
+
+def label_propagation(edges: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
+    """(id, label) — synchronous label propagation (Raghavan, Albert &
+    Kumara 2007), derandomized the repo's way: labels start as node
+    ids, and each SYNCHRONOUS round every node adopts the most common
+    label in its neighborhood with the deterministic (count desc,
+    label asc) tiebreak — no random visit order, no async races, so
+    the fixed number of rounds is a deterministic dataflow both
+    engines reproduce exactly (the classic LPA caveat — synchronous
+    updates can oscillate on bipartite structure — is accepted: a
+    deterministic oscillation is still hash-checkable, and community
+    quality at fixed small iters is the standard curation signal,
+    not a converged partition).
+
+    ``edges`` is the directed adjacency (u, v); pass both directions
+    for an undirected graph. Isolated direction: a node keeps its
+    label when it has no in-neighbors (COALESCE on the left join).
+
+    Scale, per round: ONE shuffle join (labels ⋈ edges on v) + one
+    map-side-combined (u, label) count + one per-node rank window over
+    the count rows (bounded by the node's distinct neighbor labels,
+    not the corpus) — the pagerank cost shape with an argmax instead
+    of a sum. Label frame is |V| rows, checkpointed per round to
+    truncate the iterated lineage."""
+    nodes = (
+        edges.select(F.col("u").alias("id"))
+        .union(edges.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = nodes.select("id", F.col("id").alias("lab"))
+    for _ in range(iters):
+        cnt = (
+            edges.join(
+                labels.select(F.col("id").alias("v"), "lab"), "v"
+            )
+            .groupBy(F.col("u"), F.col("lab"))
+            .agg(F.count("*").alias("c"))
+        )
+        w = Window.partitionBy("u").orderBy(
+            F.col("c").desc(), F.col("lab").asc()
+        )
+        best = (
+            cnt.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select(F.col("u").alias("id"), F.col("lab").alias("newlab"))
+        )
+        labels = (
+            labels.join(best, "id", "left")
+            .select(
+                "id", F.coalesce("newlab", "lab").alias("lab")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels.select("id", F.col("lab").alias("label"))

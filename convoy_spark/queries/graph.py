@@ -210,3 +210,77 @@ def triangle_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical wedge set."""
     edges = copurchase_edges(load_table(spark, sf_dir, "lineitem"))
     return triangle_counts(edges)
+
+
+def _lpa_iter_sql(i: int) -> str:
+    """One unrolled synchronous LPA round — the integer twin of the
+    Spark loop body (count argmax with (c desc, lab asc) tiebreak)."""
+    return f"""l{i + 1} AS MATERIALIZED (
+      SELECT l.id, COALESCE(b.newlab, l.lab) AS lab
+      FROM l{i} l LEFT JOIN (
+        SELECT u AS id, lab AS newlab FROM (
+          SELECT cnt.u, cnt.lab,
+                 row_number() OVER (PARTITION BY cnt.u
+                                    ORDER BY cnt.c DESC, cnt.lab ASC) AS rk
+          FROM (
+            SELECT a.u, lv.lab, COUNT(*) AS c
+            FROM adj a JOIN l{i} lv ON a.v = lv.id
+            GROUP BY a.u, lv.lab
+          ) cnt
+        ) WHERE rk = 1
+      ) b ON b.id = l.id
+    )"""
+
+
+from convoy_spark.operators.graph import LPA_ITERS, label_propagation  # noqa: E402
+
+LPA_ORACLE = f"""
+WITH ap AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS p FROM lineitem),
+und AS MATERIALIZED (
+  SELECT DISTINCT x.p AS a, y.p AS b
+  FROM ap x JOIN ap y ON x.okey = y.okey AND x.p < y.p
+),
+adj AS (SELECT a AS u, b AS v FROM und UNION ALL SELECT b AS u, a AS v FROM und),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT u AS id FROM adj UNION SELECT DISTINCT v FROM adj
+),
+l0 AS (SELECT id, id AS lab FROM nodes),
+{",".join(_lpa_iter_sql(i) for i in range(LPA_ITERS))},
+sizes AS (
+  SELECT lab, CAST(COUNT(*) AS BIGINT) AS community_size
+  FROM l{LPA_ITERS} GROUP BY lab
+)
+SELECT l.id AS node_id, l.lab AS community, s.community_size
+FROM l{LPA_ITERS} l JOIN sizes s USING (lab)
+"""
+
+
+@query("label_propagation_communities", oracle=LPA_ORACLE)
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the co-purchase part graph (the same
+    undirected adjacency triangle_part_counts enumerates): {LPA_ITERS}
+    SYNCHRONOUS label-propagation rounds with the deterministic
+    (count desc, label asc) argmax — the third member of the
+    global-graph-signal family (PageRank = authority, triangles =
+    local density, LPA = community membership; corpus curation uses
+    the community id/size as a spam-cluster and topical-group
+    feature). All-integer label flow makes the ENTIRE iterated
+    algorithm value-hash-checkable against the unrolled CTE chain.
+    Registers PAST-window by the key_skew_profile precedent: every
+    plan shape is in-window — the per-round keyed join + map-side
+    count via pagerank_scores, the per-key argmax rank window via
+    linear_probe_train/knn_adc_label_eval's vote stage, the size
+    rollup everywhere; stays emulator + pytest green."""
+    und = copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+    edges = und.select(
+        F.col("p").alias("u"), F.col("q").alias("v")
+    ).union(und.select(F.col("q").alias("u"), F.col("p").alias("v")))
+    labs = label_propagation(edges)
+    sizes = labs.groupBy("label").agg(
+        F.count("*").cast("long").alias("community_size")
+    )
+    return labs.join(sizes, "label").select(
+        F.col("id").alias("node_id"),
+        F.col("label").alias("community"),
+        "community_size",
+    )

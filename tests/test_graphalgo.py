@@ -129,3 +129,30 @@ def test_oracle_differential(spark, duck, name):
     spdf = QUERIES[name](spark, SF_DIR).toPandas()
     opdf = duck.execute(ORACLES[name]).fetchdf()
     assert_frames_match(spdf, opdf, name)
+
+
+def test_label_propagation_parity(spark, duck):
+    from tests.conftest import run_parity
+
+    run_parity(spark, duck, "label_propagation_communities")
+
+
+def test_label_propagation_planted_communities(spark):
+    """Two dense cliques joined by one bridge edge must resolve to two
+    communities (each clique converges to its minimum id's label under
+    the deterministic argmax), and an isolated node keeps its own
+    label."""
+    from convoy_spark.operators.graph import label_propagation
+
+    cliqueA = [(u, v) for u in range(5) for v in range(5) if u != v]
+    cliqueB = [(u, v) for u in range(10, 15) for v in range(10, 15) if u != v]
+    bridge = [(4, 10), (10, 4)]
+    loner = [(99, 99)]  # self-loop keeps the node in the graph
+    edges = spark.createDataFrame(
+        cliqueA + cliqueB + bridge + loner, ["u", "v"]
+    )
+    labs = {r.id: r.label for r in label_propagation(edges).collect()}
+    assert len({labs[i] for i in range(5)}) == 1
+    assert len({labs[i] for i in range(10, 15)}) == 1
+    assert labs[0] != labs[10]
+    assert labs[99] == 99
