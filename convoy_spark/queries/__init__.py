@@ -604,6 +604,26 @@ from convoy_spark.queries import (  # noqa: F401,E402
 #                              token pipelines; token-balance
 #                              property stays pytest + emulator
 #                              green).
+# Round-8 late addition (standing rule — new first-class machinery
+# enters the round it lands):
+#   IN : suffix_repeat_profile (EXACT cross-doc repeated-window audit
+#                              via distributed prefix doubling — the
+#                              Manber-Myers suffix ranking as log2(L)
+#                              rounds of range_rank + pair joins, the
+#                              exact completion of the sampled span
+#                              members; genuinely NEW machinery: the
+#                              iterated global dense rank)
+#   OUT: dsir_select          (driver-green r6-r7; its hashed-n-gram
+#                              bucket machinery is the in-window
+#                              model_quality_filter's scorer
+#                              architecture, its two-corpus count
+#                              ratio tables are the in-window
+#                              stupid_backoff_score's relative-
+#                              frequency tables, and its top-n
+#                              selection is the TakeOrderedAndProject
+#                              tail in-window via bm25_multi_query /
+#                              ann_srp_topk; stays emulator + pytest
+#                              green).
 _CHECK_WINDOW = [
     # §2.3/§2.8 aggregates + SQL front door (two_pass_mad is past the
     # window: A6/P13 two-pass MAD is proven by tree_metric_mad)
@@ -641,13 +661,13 @@ _CHECK_WINDOW = [
     "corpus_funnel",
     "model_quality_filter",
     "stupid_backoff_score",
-    "dsir_select",
     # dedup + dataset-management components
     "exact_dedup",
     "dedup_keep_best",
     "minhash_lsh_neardup",
     "setsim_prefix_join",
     "span_dedup",
+    "suffix_repeat_profile",
     "semantic_dedup_scaled",
     "lsh_band_sweep",
     "bloom_decontaminate",

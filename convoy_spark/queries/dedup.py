@@ -1516,3 +1516,93 @@ def sorted_neighborhood_pairs_query(spark: SparkSession, sf_dir: str) -> DataFra
     return sorted_neighborhood_pairs(cust).withColumn(
         "dist", F.col("dist").cast("long")
     )
+
+
+from convoy_spark.operators.suffix import (  # noqa: E402
+    REPEAT_WINDOW,
+    crossdoc_repeat_profile,
+)
+
+
+def _suffix_repeat_oracle(window: int = REPEAT_WINDOW) -> str:
+    """Unrolled prefix-doubling chain: r0 = dense rank of the token,
+    each round ranks (r, r@pos+step) pairs — dense_rank over the
+    joined frame equals the Spark side's row_number over the sorted
+    DISTINCT pair set by construction."""
+    rounds = []
+    k, step = 0, 1
+    while step < window:
+        rounds.append(f"""r{k + 1} AS MATERIALIZED (
+      SELECT a.doc_id, a.pos,
+             dense_rank() OVER (ORDER BY a.r, COALESCE(b.r, -1)) AS r
+      FROM r{k} a LEFT JOIN r{k} b
+        ON b.doc_id = a.doc_id AND b.pos = a.pos + {step}
+    )""")
+        k += 1
+        step *= 2
+    chain = ",\n    ".join(rounds)
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '{WS_SPLIT}'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) - 1 AS pos
+      FROM t
+    ),
+    r0 AS (SELECT doc_id, pos, dense_rank() OVER (ORDER BY tok) AS r FROM p),
+    {chain},
+    mx AS (SELECT doc_id, MAX(pos) AS mx FROM p GROUP BY 1),
+    fullw AS (
+      SELECT f.doc_id, f.r FROM r{k} f JOIN mx USING (doc_id)
+      WHERE f.pos + {window - 1} <= mx
+    ),
+    grp AS (
+      SELECT r, COUNT(*) AS gn, MIN(doc_id) AS gmin, MAX(doc_id) AS gmax
+      FROM fullw GROUP BY r
+    ),
+    pd AS (
+      SELECT f.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_windows,
+             CAST(SUM(CASE WHEN g.gn >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_repeat_windows,
+             CAST(SUM(CASE WHEN g.gmin <> g.gmax THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_crossdoc_windows
+      FROM fullw f JOIN grp g USING (r)
+      GROUP BY f.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(pd.n_windows, 0) AS BIGINT) AS n_windows,
+           CAST(COALESCE(pd.n_repeat_windows, 0) AS BIGINT)
+             AS n_repeat_windows,
+           CAST(COALESCE(pd.n_crossdoc_windows, 0) AS BIGINT)
+             AS n_crossdoc_windows
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN pd USING (doc_id)
+    """
+
+
+@query("suffix_repeat_profile", oracle=_suffix_repeat_oracle())
+def suffix_repeat_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT cross-document repeated-window audit via distributed
+    PREFIX DOUBLING (Manber & Myers suffix ranking, the Spark-first
+    restatement of Lee et al. 2022's suffix-array dedup): after
+    log2({REPEAT_WINDOW}) pair-ranking rounds, two positions share a
+    rank IFF their next {REPEAT_WINDOW} tokens are identical — so the
+    per-doc counts of corpus-repeated and OTHER-doc-repeated windows
+    are exact, no sampling. The exact completion of the sampled
+    span_dedup/substring_dup_pairs pair (the setsim-vs-minhash duality
+    applied to substrings). Every round's global dense rank is the
+    range_rank primitive over the distinct key set (repartitionByRange
+    + per-partition row_number + broadcast offsets — row_number over
+    sorted distinct keys IS dense rank, no single-task sort), then one
+    pair-keyed join back; log2(L) rounds of pure keyed dataflow, the
+    textbook construction bound. One row per document, explicit zeros
+    for docs shorter than the window (the bloom absent-row
+    contract)."""
+    return crossdoc_repeat_profile(
+        load_table(spark, sf_dir, "documents"), window=REPEAT_WINDOW
+    )

@@ -501,3 +501,44 @@ def test_bloom_decontaminate_no_false_negatives(spark):
             out[d].n_true_hits,
             out[d].contaminated,
         )
+
+
+def test_suffix_repeat_profile_parity(spark, duck):
+    from tests.conftest import run_parity
+
+    run_parity(spark, duck, "suffix_repeat_profile")
+
+
+def test_suffix_prefix_doubling_planted_repeats(spark):
+    """Constructed corpus: a 16-token run shared verbatim by docs 1
+    and 2 (cross-doc repeat, detectable at every window position it
+    fully covers... exactly one per doc here), an in-doc doubled run
+    in doc 3 (repeat but NOT cross-doc), a unique doc, and a short
+    doc (explicit zeros)."""
+    from convoy_spark.operators.suffix import crossdoc_repeat_profile
+
+    shared = " ".join(f"s{i}" for i in range(16))
+    rows = [
+        (1, shared),
+        (2, shared),
+        (3, " ".join(f"t{i % 16}" for i in range(32))),  # t0..t15 twice
+        (4, " ".join(f"u{i}" for i in range(20))),
+        (5, "too short"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in crossdoc_repeat_profile(docs).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    for d in (1, 2):
+        assert out[d].n_windows == 1
+        assert out[d].n_repeat_windows == 1
+        assert out[d].n_crossdoc_windows == 1
+    # doc 3: 17 full windows; the cyclic doubling makes window@0 ==
+    # window@16 (the only identical full-window pair), both counted
+    assert out[3].n_windows == 17
+    assert out[3].n_repeat_windows == 2
+    assert out[3].n_crossdoc_windows == 0
+    assert out[4].n_windows == 5
+    assert out[4].n_repeat_windows == 0
+    assert out[5].n_windows == 0
+    assert out[5].n_repeat_windows == 0
+    assert out[5].n_crossdoc_windows == 0
