@@ -351,6 +351,29 @@ EXPECTATIONS = {
         "TakeOrderedAndProject",
         "HashAggregate",
     ],
+    # round-8: the production kNN composition — fixed query set via
+    # TakeOrderedAndProject, ADC scan as a broadcast join, vote window
+    "knn_adc_label_eval": [
+        "BroadcastHashJoin",
+        "TakeOrderedAndProject",
+        "Window",
+    ],
+    # round-8: the n_cells∝N SemDeDup — same dataflow as the pinned
+    # form (broadcast centroids, keyed aggregates)
+    "semantic_dedup_scaled": ["BroadcastHashJoin", "HashAggregate"],
+    # round-8: prefix doubling — the per-round global dense rank must
+    # be a RANGE exchange (range_rank), never a single-task sort, and
+    # the offsets come back as a broadcast join (audited as the
+    # un-checkpointed round body via OVERRIDES — range_rank's internal
+    # checkpoint hides its exchange, the sorted_neighborhood pattern)
+    "suffix_repeat_profile": [
+        "rangepartitioning",
+        "BroadcastHashJoin",
+        "Generate",
+    ],
+    # round-8: synchronous LPA — keyed join + count aggregate per
+    # round (the argmax window sits behind the per-round checkpoint)
+    "label_propagation_communities": ["HashAggregate"],
 }
 
 
@@ -390,6 +413,32 @@ def main() -> int:
     from convoy_spark.operators.dedup import setsim_prefix_join as _ssim
     from convoy_spark.operators.dedup import sorted_neighborhood_pairs as _snm
 
+    from convoy_spark.operators.scale import range_rank as _rrank
+    from convoy_spark.operators.suffix import token_positions as _tpos
+
+    def _suffix_round_body(s, d):
+        pos = _tpos(load_table(s, d, "documents"))
+        vocab = _rrank(
+            pos.select("tok").distinct(), ["tok"], out_col="r",
+            checkpoint=False,
+        )
+        cur = pos.join(vocab, "tok").select("doc_id", "pos", "r")
+        nxt = cur.select(
+            "doc_id", (F.col("pos") - 1).alias("pos"), F.col("r").alias("_rb")
+        )
+        pair = (
+            cur.withColumnRenamed("r", "_ra")
+            .join(nxt, ["doc_id", "pos"], "left")
+            .select(
+                "doc_id", "pos", "_ra",
+                F.coalesce("_rb", F.lit(-1)).alias("_rb"),
+            )
+        )
+        return _rrank(
+            pair.select("_ra", "_rb").distinct(), ["_ra", "_rb"],
+            out_col="r", checkpoint=False,
+        )
+
     OVERRIDES = {
         "minhash_lsh_neardup": lambda s, d: _mlsh(
             load_table(s, d, "documents"), min_jaccard=NEARDUP_J
@@ -413,6 +462,9 @@ def main() -> int:
             ),
             checkpoint=False,
         ),
+        # one un-checkpointed prefix-doubling round — the plan every
+        # round of suffix_window_ranks runs (range exchange visible)
+        "suffix_repeat_profile": _suffix_round_body,
     }
 
     failures: list[str] = []
