@@ -156,6 +156,13 @@ BENCH_QUERIES = [
     "stupid_backoff_score",
     "span_dedup",
     "semantic_dedup",
+    # round-8: the n_cells~N production configuration (at sf0.1 the
+    # larger cell count costs MORE than pinned-16 — the fixed-tax
+    # regime; the crossover is the sf1.0/3.0 slope table's 4.3x/4.9x)
+    "semantic_dedup_scaled",
+    # round-8: exact repeated-window audit via distributed prefix
+    # doubling (4 range_rank rounds + pair joins)
+    "suffix_repeat_profile",
     "dsir_select",
     "pack_sequences",
     "mixture_sample",
@@ -165,6 +172,9 @@ BENCH_QUERIES = [
     # Misra-Gries sketch-then-verify heavy hitters
     "pagerank_scores",
     "triangle_part_counts",
+    # round-8: synchronous label propagation (3 rounds of keyed join +
+    # count argmax; all-integer -> hash-checked)
+    "label_propagation_communities",
     "heavy_hitters",
     # round-6 final: Count-Min point-frequency sketch (d·w mergeable
     # integers; shuffle is sketch-sized at any corpus size)
