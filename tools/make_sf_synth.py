@@ -140,7 +140,16 @@ KEY_STRIDE = 100_000_000  # multiple of 1000: preserves the forest's
 # div-100 parent blocks and div-1000 ur superblocks per copy
 
 
-def synth_relational(src: str, out: str, copies: int) -> tuple[int, int]:
+def synth_relational(
+    src: str, out: str, copies: int, part_stride: bool = False
+) -> tuple[int, int]:
+    """``part_stride`` additionally strides ``l_partkey`` per copy, so
+    the part-derived GRAPHS (co-purchase part-part, bipartite
+    order-part) grow `copies`× instead of collapsing onto copy 0's
+    part set under the edge DISTINCT — the honest construction for the
+    graph-family slope (each copy is a disjoint component with copy
+    0's exact structure). Breaks the part FK on purpose (parts stay
+    symlinked); use the part-strided dir ONLY for graph workloads."""
     import pandas as pd
 
     o = pq.read_table(os.path.join(src, "orders.parquet")).to_pandas()
@@ -152,6 +161,8 @@ def synth_relational(src: str, out: str, copies: int) -> tuple[int, int]:
         of.append(oc)
         lc = li.copy()
         lc["l_orderkey"] = lc["l_orderkey"] + i * KEY_STRIDE
+        if part_stride:
+            lc["l_partkey"] = lc["l_partkey"] + i * ID_STRIDE
         lf.append(lc)
     oall = pd.concat(of, ignore_index=True)
     lall = pd.concat(lf, ignore_index=True)
@@ -200,10 +211,11 @@ def main() -> None:
         if len(sys.argv) > 3
         else os.path.join(os.path.dirname(os.path.abspath(__file__)), "sf1.0")
     )
+    part_stride = "--part-stride" in sys.argv
     os.makedirs(out, exist_ok=True)
     nd = synth_documents(src, out, copies)
     ne = synth_embeddings(src, out, copies)
-    no, nl = synth_relational(src, out, copies)
+    no, nl = synth_relational(src, out, copies, part_stride=part_stride)
     nev = synth_events(src, out, copies)
     print(f"orders={no} lineitem={nl} events={nev}")
     for tname in [
