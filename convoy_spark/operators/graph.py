@@ -253,7 +253,11 @@ def label_propagation(edges: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
     the count rows (bounded by the node's distinct neighbor labels,
     not the corpus) — the pagerank cost shape with an argmax instead
     of a sum. Label frame is |V| rows, checkpointed per round to
-    truncate the iterated lineage."""
+    truncate the iterated lineage; the EDGE frame is checkpointed
+    ONCE up front (the pagerank discipline — without it every round's
+    materialization re-derives the edge pipeline from source, which
+    the round-8 sfg3.0 slope run measured as the superlinear step)."""
+    edges = edges.localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col("u").alias("id"))
         .union(edges.select(F.col("v").alias("id")))
