@@ -227,7 +227,14 @@ def main() -> None:
     ]:
         dst = os.path.join(out, f"{tname}.parquet")
         if not os.path.exists(dst):
-            os.symlink(os.path.join(src, f"{tname}.parquet"), dst)
+            # Relative symlink so a relocated checkout (same layout) still
+            # resolves; these dirs are gitignored and regenerated, never
+            # committed (round-9 ADVICE: no generated parquet in git).
+            target = os.path.relpath(
+                os.path.join(os.path.abspath(src), f"{tname}.parquet"),
+                os.path.abspath(out),
+            )
+            os.symlink(target, dst)
     print(f"wrote {out}: documents={nd} embeddings={ne} (copies={copies})")
 
 
