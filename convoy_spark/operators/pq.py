@@ -58,7 +58,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from convoy_spark.operators.similarity import (
-    DEC,
     SCORE_SCALE,
     _infer_dim,
     exploded_vectors,
@@ -256,18 +255,31 @@ def _update(codes: DataFrame, ex: DataFrame) -> DataFrame:
     """(sub, cell, dsub, m) — per-subspace centroid means in the
     floor-scaled-long discipline (similarity._cell_mean's rationale:
     decimal casts of raw float32-derived x are a cross-engine
-    half-up/half-even rounding-tie hazard; floors have no tie)."""
-    return (
+    half-up/half-even rounding-tie hazard; floors have no tie). Cell
+    populations are corpus-proportional → scaled_sum_guard."""
+    from convoy_spark.operators.similarity import scaled_sum_guard
+
+    term = F.floor(F.col("x") * F.lit(SCORE_SCALE))
+    g = (
         codes.withColumnRenamed("code", "cell")
         .join(ex, ["vec_id", "sub"])
         .groupBy("sub", "cell", "dsub")
         .agg(
-            (
-                F.sum(F.floor(F.col("x") * F.lit(SCORE_SCALE))).cast("double")
-                / F.lit(SCORE_SCALE)
-                / F.count("*")
-            ).alias("m")
+            F.sum(term).alias("_s"),
+            F.count("*").alias("_n"),
+            F.max(F.abs(term)).alias("_mx"),
         )
+    )
+    return g.select(
+        "sub",
+        "cell",
+        "dsub",
+        scaled_sum_guard(
+            F.col("_n"),
+            F.col("_mx"),
+            F.col("_s").cast("double") / F.lit(SCORE_SCALE) / F.col("_n"),
+            "pq._update",
+        ).alias("m"),
     )
 
 
@@ -353,6 +365,135 @@ def adc_table(
     )
 
 
+def _adc_scored(
+    codes: DataFrame,
+    dtab: DataFrame,
+    n_sub: int = PQ_SUB,
+    batched: bool = True,
+) -> DataFrame:
+    """(query_id, corpus_id, adist) — the flat ADC scan in the BATCHED
+    queries-as-arrays shape (round-8 verdict #1: the row form pushed
+    |N|·n_sub·|Q| rows through one aggregate whose key contains
+    query_id, so map-side combine reduced nothing — 146 s at sf10).
+
+    ``batched=False`` keeps the row shape — the broadcast distance
+    table fans each code row out ×|Q| into one keyed aggregate. Both
+    shapes sum the same floor-scaled longs, so results are
+    BIT-IDENTICAL (the _assign wide/row precedent); the gate is
+    PQ_WIDE_MIN_ROWS at the call sites because the batched shape's
+    fixed tax (n_sub broadcast joins + the code pivot) loses at small
+    N (measured sf0.1, 20k vectors: row 5.0 s vs batched 7.2 s) while
+    the row shape's query-proportional aggregate collapses at large N
+    (measured sf10, 200k vectors: row 146 s vs batched 15.6 s).
+
+    Shape: the code table pivots to ONE wide row per vector (the only
+    corpus shuffle, |N| rows of n_sub small ints, map-side combined);
+    the distance table pivots to per-(sub, cell) LONG ARRAYS over the
+    canonical query order (broadcast-sized: n_sub·ks rows × |Q|
+    longs); n_sub broadcast joins attach each vector's n_sub arrays
+    with ×1 fan-out, and one zip_with fold sums them in codegen — the
+    per-vector distance-to-every-query array. Only the final explode
+    materializes (query, vector) pairs, feeding the two-phase top-k
+    directly. Nothing query-proportional ever crosses an aggregate
+    exchange.
+
+    Exactness: the fold sums the SAME floor-scaled longs the row form
+    summed (dd = L/2⁴⁰ with L < 2⁵³, so floor(dd·2⁴⁰) recovers L
+    exactly; power-of-two scaling is exact in double) in a different
+    association order — long addition is associative, so adist is
+    bit-identical to the row form's and the SQL oracle covers both
+    physical shapes (the _assign wide/row precedent)."""
+    if not batched:
+        return (
+            codes.join(
+                F.broadcast(dtab),
+                (codes["sub"] == dtab["sub"])
+                & (codes["code"] == dtab["cell"]),
+            )
+            .filter(F.col("query_id") != F.col("vec_id"))
+            .groupBy("query_id", F.col("vec_id").alias("corpus_id"))
+            .agg(
+                (
+                    F.sum(F.floor(F.col("dd") * F.lit(SCORE_SCALE))).cast(
+                        "double"
+                    )
+                    / F.lit(SCORE_SCALE)
+                ).alias("adist")
+            )
+        )
+    darr = (
+        dtab.select(
+            "sub",
+            "cell",
+            F.struct(
+                F.col("query_id"),
+                F.floor(F.col("dd") * F.lit(SCORE_SCALE))
+                .cast("long")
+                .alias("ddl"),
+            ).alias("s"),
+        )
+        .groupBy("sub", "cell")
+        .agg(F.sort_array(F.collect_list("s")).alias("ss"))
+        .select(
+            "sub",
+            "cell",
+            F.col("ss.query_id").alias("qids"),
+            F.col("ss.ddl").alias("dds"),
+        )
+        # n_sub·ks rows; checkpointed so the n_sub broadcast builds
+        # below don't each re-derive the distance-table pipeline
+        .localCheckpoint(eager=False)
+    )
+    wide = codes.groupBy("vec_id").agg(
+        *[
+            F.max(F.when(F.col("sub") == i, F.col("code"))).alias(f"_c{i}")
+            for i in range(n_sub)
+        ]
+    )
+    # Fold INCREMENTALLY between joins: each join attaches one |Q|-long
+    # array and the projection immediately sums it into the accumulator
+    # and drops it, so row width through the join chain stays one array
+    # (carrying all n_sub arrays to a final fold copies ~n_sub/2× more
+    # bytes through every join's UnsafeRow — measured 1.7× slower at
+    # sf0.1).
+    cur = wide
+    for i in range(n_sub):
+        side = darr.filter(F.col("sub") == i)
+        cols = [F.col("cell").alias(f"_c{i}"), F.col("dds").alias(f"_a{i}")]
+        if i == 0:
+            cols.append(F.col("qids").alias("_qids"))
+        cur = cur.join(F.broadcast(side.select(*cols)), f"_c{i}")
+        keep = [F.col("vec_id"), F.col("_qids")] + [
+            F.col(f"_c{j}") for j in range(i + 1, n_sub)
+        ]
+        acc = (
+            F.col(f"_a{i}")
+            if i == 0
+            else F.zip_with(
+                F.col("_acc"), F.col(f"_a{i}"), lambda a, b: a + b
+            )
+        )
+        cur = cur.select(*keep, acc.alias("_acc"))
+    folded = cur.select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("_qids").alias("qids"),
+        F.col("_acc").alias("tot"),
+    )
+    return (
+        folded.select(
+            "corpus_id", F.explode(F.arrays_zip("qids", "tot")).alias("z")
+        )
+        .select(
+            F.col("z.qids").alias("query_id"),
+            "corpus_id",
+            (F.col("z.tot").cast("double") / F.lit(SCORE_SCALE)).alias(
+                "adist"
+            ),
+        )
+        .filter(F.col("query_id") != F.col("corpus_id"))
+    )
+
+
 def _topk_by_adist(scored: DataFrame, k: int) -> DataFrame:
     """Two-phase per-query top-k by (adist asc, corpus_id asc)."""
     order = (F.col("adist").asc(), F.col("corpus_id").asc())
@@ -400,21 +541,8 @@ def ann_pq_adc_topk(
     dim = _infer_dim(corpus, vec_col)
     q_ex = _sub_exploded(queries, dim // n_sub, vec_col, id_col, dim_map)
     dtab = adc_table(q_ex, codebook)
-    scored = (
-        codes.join(
-            F.broadcast(dtab),
-            (codes["sub"] == dtab["sub"]) & (codes["code"] == dtab["cell"]),
-        )
-        .filter(F.col("query_id") != F.col("vec_id"))
-        .groupBy("query_id", F.col("vec_id").alias("corpus_id"))
-        .agg(
-            (
-                F.sum(F.floor(F.col("dd") * F.lit(SCORE_SCALE))).cast("double")
-                / F.lit(SCORE_SCALE)
-            ).alias("adist")
-        )
-    )
-    return _topk_by_adist(scored, k)
+    batched = corpus.count() >= PQ_WIDE_MIN_ROWS  # physical-shape choice
+    return _topk_by_adist(_adc_scored(codes, dtab, n_sub, batched), k)
 
 
 def ivfpq_candidates(
@@ -563,21 +691,10 @@ def ann_pq_rerank_topk(
     dim = _infer_dim(corpus, vec_col)
     q_ex = _sub_exploded(queries, dim // n_sub, vec_col, id_col)
     dtab = adc_table(q_ex, codebook)
-    scored = (
-        codes.join(
-            F.broadcast(dtab),
-            (codes["sub"] == dtab["sub"]) & (codes["code"] == dtab["cell"]),
-        )
-        .filter(F.col("query_id") != F.col("vec_id"))
-        .groupBy("query_id", F.col("vec_id").alias("corpus_id"))
-        .agg(
-            (
-                F.sum(F.floor(F.col("dd") * F.lit(SCORE_SCALE))).cast("double")
-                / F.lit(SCORE_SCALE)
-            ).alias("adist")
-        )
-    )
-    short = _topk_by_adist(scored, rerank * k).select("query_id", "corpus_id")
+    batched = corpus.count() >= PQ_WIDE_MIN_ROWS  # physical-shape choice
+    short = _topk_by_adist(
+        _adc_scored(codes, dtab, n_sub, batched), rerank * k
+    ).select("query_id", "corpus_id")
     ea = ex.select(
         F.col("vec_id").alias("query_id"), "sub", "dsub", F.col("x").alias("xa")
     )
@@ -589,13 +706,15 @@ def ann_pq_rerank_topk(
         .join(eb, ["corpus_id", "sub", "dsub"])
         .groupBy("query_id", "corpus_id")
         .agg(
-            F.sum(
-                ((F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))).cast(
-                    DEC
-                )
-            )
-            .cast("double")
-            .alias("dist")
+            (
+                F.sum(
+                    F.floor(
+                        ((F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")))
+                        * F.lit(SCORE_SCALE)
+                    )
+                ).cast("double")
+                / F.lit(SCORE_SCALE)
+            ).alias("dist")
         )
     )
     order = (F.col("dist").asc(), F.col("corpus_id").asc())
@@ -758,7 +877,9 @@ def _rotate(raw_ex: DataFrame, rot: DataFrame) -> DataFrame:
     """(vec_id, d, x) — apply the broadcast rotation matrix ``rot``
     (rows (do, di, r)) to the exploded frame: xr[do] = Σ_di r·x[di].
     One broadcast join + one keyed aggregate; the sum is floor-scaled
-    long (deterministic under any partitioning)."""
+    long (deterministic under any partitioning). Unguarded BY BOUND:
+    each (vec_id, do) group has exactly dim ≤ 64 terms, so the sum
+    cannot approach the int64 envelope (see scaled_sum_guard)."""
     from convoy_spark.operators.similarity import SCORE_SCALE
 
     return (
@@ -823,6 +944,7 @@ def opq_rotation_train(
     raw = exploded_vectors(corpus, vec_col, id_col).localCheckpoint(
         eager=False
     )
+    adc_batched = corpus.count() >= PQ_WIDE_MIN_ROWS
     truth = exact_l2_topk(
         corpus.filter(F.col(id_col) < n_queries), corpus, k=k,
         vec_col=vec_col, id_col=id_col,
@@ -837,10 +959,27 @@ def opq_rotation_train(
         F.lit(1.0).alias("r"),
     ).localCheckpoint()
 
-    scaled = lambda c: (  # noqa: E731
-        F.sum(F.floor(c * F.lit(SCORE_SCALE))).cast("double")
-        / F.lit(SCORE_SCALE)
-    )
+    from convoy_spark.operators.similarity import scaled_sum_guard
+
+    def _gsum(df, gb, c, alias, what):
+        # guarded floor-scaled long sum: these groups are corpus-
+        # proportional (qerr: |N|·dim terms; cross-covariance: |N|
+        # terms per (dy, dx)) — the scaled_sum_guard envelope applies.
+        term = F.floor(c * F.lit(SCORE_SCALE))
+        aggs = [
+            F.sum(term).alias("_s"),
+            F.count("*").alias("_n"),
+            F.max(F.abs(term)).alias("_mx"),
+        ]
+        g = df.groupBy(*gb).agg(*aggs) if gb else df.agg(*aggs)
+        val = scaled_sum_guard(
+            F.col("_n"),
+            F.col("_mx"),
+            F.col("_s").cast("double") / F.lit(SCORE_SCALE),
+            what,
+        )
+        return g.select(*gb, val.alias(alias))
+
     rows = []
     for it in range(n_iters + 1):
         xr = _rotate(raw, rot).localCheckpoint(eager=False)
@@ -856,8 +995,12 @@ def opq_rotation_train(
             F.col("m").alias("y"),
         )
         joined = xr.join(yhat, ["vec_id", "d"]).localCheckpoint(eager=False)
-        qerr = joined.agg(
-            scaled((F.col("x") - F.col("y")) * (F.col("x") - F.col("y"))).alias("e")
+        qerr = _gsum(
+            joined,
+            [],
+            (F.col("x") - F.col("y")) * (F.col("x") - F.col("y")),
+            "e",
+            "opq quant_err",
         ).first()["e"]
         # rotated-space ADC recall vs the original-space exact truth
         q_exr = (
@@ -870,22 +1013,8 @@ def opq_rotation_train(
             )
         )
         dtab = adc_table(q_exr, cent)
-        scored = (
-            codes.join(
-                F.broadcast(dtab),
-                (codes["sub"] == dtab["sub"]) & (codes["code"] == dtab["cell"]),
-            )
-            .filter(F.col("query_id") != F.col("vec_id"))
-            .groupBy("query_id", F.col("vec_id").alias("corpus_id"))
-            .agg(
-                (
-                    F.sum(F.floor(F.col("dd") * F.lit(SCORE_SCALE))).cast("double")
-                    / F.lit(SCORE_SCALE)
-                ).alias("adist")
-            )
-        )
         hits = (
-            _topk_by_adist(scored, k)
+            _topk_by_adist(_adc_scored(codes, dtab, n_sub, adc_batched), k)
             .join(truth, ["query_id", "corpus_id"], "left_semi")
             .count()
         )
@@ -893,13 +1022,18 @@ def opq_rotation_train(
         if it == n_iters:
             break
         # Procrustes update: M = Σ ŷ·xᵀ (dy, dx), R_new = U·Vᵀ
-        m_rows = (
-            joined.select("vec_id", F.col("d").alias("dy"), "y")
-            .join(raw.select("vec_id", F.col("d").alias("dx"), F.col("x").alias("xo")), "vec_id")
-            .groupBy("dy", "dx")
-            .agg(scaled(F.col("y") * F.col("xo")).alias("m"))
-            .collect()  # bounded: dim² rows (64×64), model state
-        )
+        m_rows = _gsum(
+            joined.select("vec_id", F.col("d").alias("dy"), "y").join(
+                raw.select(
+                    "vec_id", F.col("d").alias("dx"), F.col("x").alias("xo")
+                ),
+                "vec_id",
+            ),
+            ["dy", "dx"],
+            F.col("y") * F.col("xo"),
+            "m",
+            "opq cross-covariance",
+        ).collect()  # bounded: dim² rows (64×64), model state
         M = np.zeros((dim, dim))
         for r0 in m_rows:
             M[r0["dy"], r0["dx"]] = r0["m"]

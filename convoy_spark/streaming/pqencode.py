@@ -165,31 +165,20 @@ def adc_search_over_store(
     are bit-identical to searching a batch-built index over the same
     corpus (tested). Returns (query_id, corpus_id, adist, rank)."""
     from convoy_spark.operators.pq import (
+        PQ_WIDE_MIN_ROWS,
+        _adc_scored,
         _sub_exploded,
         _topk_by_adist,
         adc_table,
     )
-    from convoy_spark.operators.similarity import SCORE_SCALE
 
     cb, ds, _ks = _load_codebook(spark, state_dir)
     codes = encoded_codes(spark, state_dir)
+    n_sub = cb.agg(F.max("sub")).first()[0] + 1
     q_ex = _sub_exploded(queries, ds, "embedding", "vec_id")
     dtab = adc_table(q_ex, cb)
-    scored = (
-        codes.join(
-            F.broadcast(dtab),
-            (codes["sub"] == dtab["sub"]) & (codes["code"] == dtab["cell"]),
-        )
-        .filter(F.col("query_id") != F.col("vec_id"))
-        .groupBy("query_id", F.col("vec_id").alias("corpus_id"))
-        .agg(
-            (
-                F.sum(F.floor(F.col("dd") * F.lit(SCORE_SCALE))).cast("double")
-                / F.lit(SCORE_SCALE)
-            ).alias("adist")
-        )
-    )
-    return _topk_by_adist(scored, k)
+    batched = codes.count() >= PQ_WIDE_MIN_ROWS * n_sub
+    return _topk_by_adist(_adc_scored(codes, dtab, n_sub, batched), k)
 
 
 __all__ = [
