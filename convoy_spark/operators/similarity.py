@@ -5,12 +5,13 @@ deterministic random-hyperplane (SRP) LSH variant as the scale path.
 Vectors are ``array<float>`` columns; all arithmetic runs JVM-side
 through array built-ins (``zip_with`` / ``aggregate`` /
 ``transform``) — no Python in the scoring loop. Dot products and
-norms accumulate in DECIMAL(28,12): float32 inputs widen to double
-exactly, each product is one deterministic double op, and the decimal
-sum is exact and associative — so scores are bit-identical across
-engines, runs, and cluster sizes (the same trick as
-:mod:`convoy_spark.functions.numeric`, which the DuckDB oracle
-mirrors).
+norms accumulate as floor-scaled LONGS (Σ ⌊t·2⁴⁰⌋, see _scaled_sum):
+float32 inputs widen to double exactly, each product is one
+deterministic double op, scaling/floor are exact, and the long sum is
+exact and associative — so scores are bit-identical across engines,
+runs, and cluster sizes, with no decimal rounding-tie exposure
+anywhere (round-9: the last DECIMAL(28,12) casts of float32-derived
+values were converted; the DuckDB oracles mirror the floors).
 
 Scale shape:
 
@@ -39,31 +40,41 @@ from pyspark.sql import functions as F
 
 from convoy_spark.functions.hashing import hash60
 
-DEC = "decimal(28,12)"
 N_PLANES = 16
 SRP_ROWS = 4  # planes per band -> 4 bands of 4-bit keys
 
 
-def _dec_sum(arr: Column) -> Column:
-    """Exact decimal fold of a decimal array, surfaced as double."""
-    return F.aggregate(
-        arr,
-        F.lit(0).cast(DEC),
-        lambda acc, x: (acc + x).cast(DEC),
-    ).cast("double")
+def _scaled_sum(arr: Column) -> Column:
+    """Floor-scaled LONG fold of a double-term array, surfaced as
+    double: (Σ ⌊t·2⁴⁰⌋) / 2⁴⁰. Each term is one deterministic double
+    op, power-of-two scaling and floor are exact, and the long sum is
+    exact and associative — NO rounding tie anywhere, unlike the
+    previous DECIMAL(28,12) fold (float32-derived dyadics can end
+    exactly on a half at scale 12, where Spark rounds HALF_UP and
+    DuckDB half-to-even — the round-8 SemDeDup lesson, made
+    structural here per round-8 verdict #4). Array length is dim ≤ 64,
+    so the long sum is bounded far under the int64 envelope."""
+    return (
+        F.aggregate(
+            arr,
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + F.floor(t * F.lit(SCORE_SCALE)).cast("long"),
+        ).cast("double")
+        / F.lit(SCORE_SCALE)
+    )
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Decimal-exact dot product of two float-array columns."""
-    return _dec_sum(
-        F.zip_with(a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast(DEC))
+    """Floor-scaled-exact dot product of two float-array columns."""
+    return _scaled_sum(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
     )
 
 
 def norm(v: Column) -> Column:
     return F.sqrt(
-        _dec_sum(
-            F.transform(v, lambda x: (x.cast("double") * x.cast("double")).cast(DEC))
+        _scaled_sum(
+            F.transform(v, lambda x: x.cast("double") * x.cast("double"))
         )
     )
 
@@ -259,21 +270,20 @@ def _infer_dim(vectors: DataFrame, vec_col: str) -> int:
 
 
 def _sq_dist(a: Column, b: Column) -> Column:
-    """Squared L2 distance with decimal-exact accumulation (surfaced
-    as double). Each squared difference is one deterministic double
-    op; the decimal fold makes the SUM order-insensitive, so centroid
-    assignments — argmin with a (dist, cell) tiebreak — are
-    bit-identical across engines, partitionings and cluster sizes.
-    That is what lets the whole iterative IVF index carry a DuckDB
-    oracle (`queries/similarity.py::ann_ivf_topk`)."""
-    return _dec_sum(
+    """Squared L2 distance in the floor-scaled-long discipline
+    (surfaced as double). Each squared difference is one deterministic
+    double op; the long fold makes the SUM exact and order-insensitive
+    with NO decimal rounding tie, so centroid assignments — argmin
+    with a (dist, cell) tiebreak — are bit-identical across engines,
+    partitionings and cluster sizes. That is what lets the whole
+    iterative IVF index carry a DuckDB oracle
+    (`queries/similarity.py::ann_ivf_topk`)."""
+    return _scaled_sum(
         F.zip_with(
             a,
             b,
-            lambda x, y: (
-                (x.cast("double") - y.cast("double"))
-                * (x.cast("double") - y.cast("double"))
-            ).cast(DEC),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
         )
     )
 
@@ -312,6 +322,34 @@ def ivf_index(
     return centroids, assignment
 
 
+def scaled_sum_guard(n_col, mx_col, value, what: str):
+    """``value``, gated on the floor-scaled-long no-overflow envelope
+    (the CART_NODE_ROWS_MAX discipline — raise instead of wrapping):
+    |Σ terms| ≤ n·max|term|, so n·max|term| < 2⁶¹ (double-compared,
+    the 2²-wide margin absorbing the cast rounding) proves the int64
+    sum cannot have wrapped. The guard is a scalar projection over
+    aggregates the group already computes — zero extra shuffle I/O.
+    Corpus-population-sized groups (k-means cell means, OPQ
+    reconstruction sums) cross the envelope near 2²³ rows·|x| (round-8
+    ADVICE); dim-bounded groups (assignment distances, ADC folds,
+    rotation applies) cannot and stay unguarded."""
+    return F.when(
+        (n_col.cast("double") * mx_col.cast("double"))
+        < F.lit(float(1 << 61)),
+        value,
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                f"floor-scaled long sum in {what} exceeds the "
+                "int64-safe envelope: n=%s max|term|=%s — shard the "
+                "group or widen the sum to decimal(38,0)",
+                n_col,
+                mx_col,
+            )
+        )
+    )
+
+
 def _cell_mean(assignment: DataFrame, ex: DataFrame) -> DataFrame:
     """(cell, d, m) — elementwise centroid means in the floor-scaled
     LONG discipline: m = (Σ ⌊x·2⁴⁰⌋ as double) / 2⁴⁰ / count. The long
@@ -322,17 +360,27 @@ def _cell_mean(assignment: DataFrame, ex: DataFrame) -> DataFrame:
     coarse dyadics whose decimal expansion can end exactly on a half
     (e.g. 0.1871337890625), and Spark rounds those HALF_UP while
     DuckDB rounds half-to-even — caught by the sf0.1 n_cells∝N
-    SemDeDup parity test, round 8."""
-    return (
+    SemDeDup parity test, round 8. Cell populations are
+    corpus-proportional, so the sum carries the scaled_sum_guard."""
+    term = F.floor(F.col("x") * F.lit(SCORE_SCALE))
+    g = (
         assignment.join(ex, "vec_id")
         .groupBy("cell", "d")
         .agg(
-            (
-                F.sum(F.floor(F.col("x") * F.lit(SCORE_SCALE))).cast("double")
-                / F.lit(SCORE_SCALE)
-                / F.count("*")
-            ).alias("m")
+            F.sum(term).alias("_s"),
+            F.count("*").alias("_n"),
+            F.max(F.abs(term)).alias("_mx"),
         )
+    )
+    return g.select(
+        "cell",
+        "d",
+        scaled_sum_guard(
+            F.col("_n"),
+            F.col("_mx"),
+            F.col("_s").cast("double") / F.lit(SCORE_SCALE) / F.col("_n"),
+            "_cell_mean",
+        ).alias("m"),
     )
 
 

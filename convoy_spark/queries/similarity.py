@@ -37,8 +37,11 @@ _FLIP_MASKS_SQL = "".join(
 TOP_K = 5
 NEARDUP_COS = 0.4
 
-# Element-wise vector expansion + decimal-exact norms; mirrors
-# operators.similarity.{with_norm, dot}.
+# Element-wise vector expansion + floor-scaled-exact norms; mirrors
+# operators.similarity.{with_norm, dot}. Round-9: the norm sum moved
+# from DECIMAL(28,12) (a cross-engine HALF_UP/half-even rounding-TIE
+# hazard on float32-derived dyadics — the round-8 SemDeDup lesson) to
+# the floor-scaled-long discipline, structural on both engines.
 VEC_SQL = """
 ev AS (
   SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
@@ -47,7 +50,8 @@ ev AS (
 ),
 norms AS (
   SELECT vec_id,
-         sqrt(CAST(SUM(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+         sqrt(CAST(SUM(CAST(FLOOR((x * x) * 1099511627776) AS BIGINT))
+                   AS DOUBLE) / 1099511627776) AS nrm
   FROM ev GROUP BY vec_id
 )
 """
@@ -81,7 +85,8 @@ def _queries_and_corpus(spark: SparkSession, sf_dir: str):
     WITH {VEC_SQL},
     dots AS (
       SELECT a.vec_id AS query_id, b.vec_id AS corpus_id,
-             CAST(SUM(CAST(a.x * b.x AS DECIMAL(28,12))) AS DOUBLE) AS dp
+             CAST(SUM(CAST(FLOOR((a.x * b.x) * 1099511627776) AS BIGINT))
+                  AS DOUBLE) / 1099511627776 AS dp
       FROM ev a
       JOIN ev b ON a.d = b.d AND a.vec_id <> b.vec_id
       WHERE a.vec_id < {N_QUERIES}
@@ -271,8 +276,8 @@ def _ivf_oracle() -> str:
     parts.append(f"""
     qd AS (
       SELECT e.vec_id AS query_id, c.cell,
-             CAST(SUM(CAST((e.x - c.m) * (e.x - c.m) AS DECIMAL(28,12)))
-                  AS DOUBLE) AS dist
+             CAST(SUM(CAST(FLOOR((e.x - c.m) * (e.x - c.m) * 1099511627776)
+                           AS BIGINT)) AS DOUBLE) / 1099511627776 AS dist
       FROM ev e JOIN cent{IVF_PASSES} c ON c.d = e.d
       WHERE e.vec_id < {N_QUERIES}
       GROUP BY e.vec_id, c.cell
@@ -292,7 +297,8 @@ def _ivf_oracle() -> str:
     ),
     dots AS (
       SELECT c.query_id, c.corpus_id,
-             CAST(SUM(CAST(a.x * b.x AS DECIMAL(28,12))) AS DOUBLE) AS dp
+             CAST(SUM(CAST(FLOOR((a.x * b.x) * 1099511627776) AS BIGINT))
+                  AS DOUBLE) / 1099511627776 AS dp
       FROM cand c
       JOIN ev a ON a.vec_id = c.query_id
       JOIN ev b ON b.vec_id = c.corpus_id AND b.d = a.d
@@ -322,7 +328,8 @@ def ann_ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {VEC_SQL},
     dots AS (
       SELECT a.vec_id AS va, b.vec_id AS vb,
-             CAST(SUM(CAST(a.x * b.x AS DECIMAL(28,12))) AS DOUBLE) AS dp
+             CAST(SUM(CAST(FLOOR((a.x * b.x) * 1099511627776) AS BIGINT))
+                  AS DOUBLE) / 1099511627776 AS dp
       FROM ev a JOIN ev b ON a.d = b.d AND a.vec_id < b.vec_id
       GROUP BY a.vec_id, b.vec_id
     )
@@ -1040,8 +1047,8 @@ def pq_adc_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVFPQ_QD_SQL = f"""
     qd AS (
       SELECT e.vec_id AS query_id, c.cell,
-             CAST(SUM(CAST((e.x - c.m) * (e.x - c.m) AS DECIMAL(28,12)))
-                  AS DOUBLE) AS dist
+             CAST(SUM(CAST(FLOOR((e.x - c.m) * (e.x - c.m) * 1099511627776)
+                           AS BIGINT)) AS DOUBLE) / 1099511627776 AS dist
       FROM ev e JOIN cent{IVF_PASSES} c ON c.d = e.d
       WHERE e.vec_id < {N_QUERIES}
       GROUP BY e.vec_id, c.cell
@@ -1126,8 +1133,8 @@ def _pq_rerank_oracle() -> str:
     ),
     rexact AS (
       SELECT s.query_id, s.corpus_id,
-             CAST(SUM(CAST((a.x - b.x) * (a.x - b.x) AS DECIMAL(28,12)))
-                  AS DOUBLE) AS dist
+             CAST(SUM(CAST(FLOOR((a.x - b.x) * (a.x - b.x) * 1099511627776)
+                           AS BIGINT)) AS DOUBLE) / 1099511627776 AS dist
       FROM short s
       JOIN ev a ON a.vec_id = s.query_id
       JOIN ev b ON b.vec_id = s.corpus_id AND b.d = a.d
@@ -2127,8 +2134,8 @@ def _knn_adc_oracle() -> str:
     ),
     kx AS (
       SELECT s.query_id, s.corpus_id,
-             CAST(SUM(CAST((a.x - b.x) * (a.x - b.x) AS DECIMAL(28,12)))
-                  AS DOUBLE) AS dist
+             CAST(SUM(CAST(FLOOR((a.x - b.x) * (a.x - b.x) * 1099511627776)
+                           AS BIGINT)) AS DOUBLE) / 1099511627776 AS dist
       FROM ktr s
       JOIN ev a ON a.vec_id = s.query_id
       JOIN ev b ON b.vec_id = s.corpus_id AND b.d = a.d
@@ -2184,7 +2191,7 @@ def knn_adc_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage is scaled-long/decimal-exact, so the composition carries a
     full value-hash oracle."""
     from convoy_spark.operators.pq import ann_pq_adc_topk
-    from convoy_spark.operators.similarity import DEC
+    from convoy_spark.operators.similarity import SCORE_SCALE
 
     emb = load_table(spark, sf_dir, "embeddings")
     is_train = (
@@ -2223,13 +2230,15 @@ def knn_adc_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(eb, ["corpus_id", "sub", "dsub"])
         .groupBy("query_id", "corpus_id")
         .agg(
-            F.sum(
-                ((F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))).cast(
-                    DEC
-                )
-            )
-            .cast("double")
-            .alias("dist")
+            (
+                F.sum(
+                    F.floor(
+                        ((F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")))
+                        * F.lit(SCORE_SCALE)
+                    )
+                ).cast("double")
+                / F.lit(SCORE_SCALE)
+            ).alias("dist")
         )
     )
     wnn = Window.partitionBy("query_id").orderBy(
