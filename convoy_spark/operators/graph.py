@@ -245,8 +245,11 @@ def label_propagation(edges: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
     not a converged partition).
 
     ``edges`` is the directed adjacency (u, v); pass both directions
-    for an undirected graph. Isolated direction: a node keeps its
-    label when it has no in-neighbors (COALESCE on the left join).
+    for an undirected graph. Directed semantics: the round joins
+    labels on v and groups by u, so u adopts from its OUT-neighbors
+    (the nodes it points to); a node with no out-edges keeps its
+    label (COALESCE on the left join). Moot for the undirected call
+    sites, which pass both directions.
 
     Scale, per round: ONE shuffle join (labels ⋈ edges on v) + one
     map-side-combined (u, label) count + one per-node rank window over

@@ -624,6 +624,67 @@ from convoy_spark.queries import (  # noqa: F401,E402
 #                              tail in-window via bm25_multi_query /
 #                              ann_srp_topk; stays emulator + pytest
 #                              green).
+# Round-9 rotation (standing rule + round-8 verdict #3's debt
+# schedule — the FOUR oldest debt items return, each re-verified
+# hash-green before entering, and the new round-9 composition enters
+# the round it lands):
+#   IN : fuzzy_name_pairs     (debt, OUT since r7: FastSS deletion-
+#                              variant join + exact levenshtein verify;
+#                              all-pairs completeness oracle),
+#        heavy_hitters        (debt, OUT since r7: Misra-Gries
+#                              sketch-then-exact-recount — restores the
+#                              Arrow mapInPandas §2.10 surface to TWO
+#                              in-window rows),
+#        token_cooccurrence   (debt, OUT since r7: a-priori collocation
+#                              mining, codegen pair expansion),
+#        last_touch_attribution (debt, OUT since r7: IGNORE-NULLS last
+#                              over the preceding frame — the same-table
+#                              as-of; restores the keyed ordered-window
+#                              row the anomaly_zscore OUT below leans
+#                              on),
+#        community_rollup     (NEW r9: LPA communities joined back to
+#                              the fact stream — per-community
+#                              size/volume/reach/revenue profile, the
+#                              consumer composition the LPA docstring
+#                              promised; full hash oracle via the
+#                              shared _LPA_CHAIN fragment)
+#   OUT: dedup_keep_best      (driver-green r6 AND r8; same sibling
+#                              proofs as its r7-late OUT: the keep-best
+#                              rank window via hybrid_rrf_topk /
+#                              bm25_multi_query's per-key ranks, the
+#                              cluster machinery via closure_roots +
+#                              minhash_lsh_neardup; stays
+#                              emulator-checked),
+#        anomaly_zscore       (driver-green r6 AND r8; its keyed
+#                              running-prefix windows are in-window via
+#                              the RETURNING last_touch_attribution's
+#                              preceding-frame window and
+#                              mixture_sample's block prefix scans; the
+#                              z-flag arithmetic is scan-side; stays
+#                              emulator-checked),
+#        index_drift_profile  (driver-green r6 AND r8; rational idf via
+#                              bm25_multi_query, validity/lead windows
+#                              via scd2_snapshot, delta-store
+#                              stream==batch pytest stays; stays
+#                              emulator-checked),
+#        pq_opq_compare       (driver-green r7 AND r8; both A/B legs
+#                              run the SAME pq_codebooks keyed-Lloyd
+#                              dataflow in-window via pq_recall_sweep's
+#                              shared index and knn_adc_label_eval's
+#                              ADC+re-rank; the measured-vs-truth
+#                              harness pattern stays in-window via
+#                              pq_recall_sweep itself; the balanced
+#                              permutation keeps its variance-ranking
+#                              pytest; stays emulator-checked),
+#        isoforest_outliers   (driver-green r7 AND r8; its derandomized
+#                              ensemble growth is operators/cart.py's
+#                              _grow keyed dataflow in-window via
+#                              random_forest_train — tree id in every
+#                              aggregate key — and its routing/ranking
+#                              windows are the per-key rank plan a
+#                              dozen in-window entries prove; stays
+#                              emulator + anomaly-separation pytest
+#                              green).
 _CHECK_WINDOW = [
     # §2.3/§2.8 aggregates + SQL front door (two_pass_mad is past the
     # window: A6/P13 two-pass MAD is proven by tree_metric_mad)
@@ -663,7 +724,6 @@ _CHECK_WINDOW = [
     "stupid_backoff_score",
     # dedup + dataset-management components
     "exact_dedup",
-    "dedup_keep_best",
     "minhash_lsh_neardup",
     "setsim_prefix_join",
     "span_dedup",
@@ -679,9 +739,12 @@ _CHECK_WINDOW = [
     "ann_srp_topk",
     "pca_project_topk",
     "linear_probe_train",
-    # graph algorithms + frequency sketch (round-6 additions)
+    # graph algorithms + frequency sketch (round-6 additions;
+    # community_rollup is the round-9 LPA composition)
     "pagerank_scores",
     "triangle_part_counts",
+    "community_rollup",
+    "heavy_hitters",
     # multimodal plumbing
     "media_decode_meta",
     # tokenizer-training loop (classic word-frequency BPE trainer)
@@ -698,13 +761,14 @@ _CHECK_WINDOW = [
     "knn_adc_label_eval",
     "hybrid_rrf_topk",
     "pq_recall_sweep",
-    "pq_opq_compare",
-    # temporal-warehouse family (round-6 additions)
+    # entity resolution + collocation mining (round-9 debt returns)
+    "fuzzy_name_pairs",
+    "token_cooccurrence",
+    # temporal-warehouse family (round-6 additions;
+    # last_touch_attribution is the round-9 debt return)
     "scd2_snapshot",
     "interval_merge",
-    "anomaly_zscore",
-    "index_drift_profile",
-    "isoforest_outliers",
+    "last_touch_attribution",
     "column_profile",
 ]
 

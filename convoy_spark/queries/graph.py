@@ -17,6 +17,7 @@ from convoy_spark.operators.graph import (
     pagerank,
     triangle_counts,
 )
+from convoy_spark.functions.numeric import dsum, sql_dsum
 from convoy_spark.queries.catalog import query
 from convoy_spark.tables import load_table
 
@@ -234,7 +235,10 @@ def _lpa_iter_sql(i: int) -> str:
 
 from convoy_spark.operators.graph import LPA_ITERS, label_propagation  # noqa: E402
 
-LPA_ORACLE = f"""
+# Shared unrolled-LPA CTE prefix (ends at the final label frame
+# l{LPA_ITERS}) — consumed by label_propagation_communities and the
+# community_rollup composition so the two oracles cannot drift.
+_LPA_CHAIN = f"""
 WITH ap AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS p FROM lineitem),
 und AS MATERIALIZED (
   SELECT DISTINCT x.p AS a, y.p AS b
@@ -245,7 +249,10 @@ nodes AS MATERIALIZED (
   SELECT DISTINCT u AS id FROM adj UNION SELECT DISTINCT v FROM adj
 ),
 l0 AS (SELECT id, id AS lab FROM nodes),
-{",".join(_lpa_iter_sql(i) for i in range(LPA_ITERS))},
+{",".join(_lpa_iter_sql(i) for i in range(LPA_ITERS))}"""
+
+LPA_ORACLE = f"""
+{_LPA_CHAIN},
 sizes AS (
   SELECT lab, CAST(COUNT(*) AS BIGINT) AS community_size
   FROM l{LPA_ITERS} GROUP BY lab
@@ -271,11 +278,7 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     count via pagerank_scores, the per-key argmax rank window via
     linear_probe_train/knn_adc_label_eval's vote stage, the size
     rollup everywhere; stays emulator + pytest green."""
-    und = copurchase_edges(load_table(spark, sf_dir, "lineitem"))
-    edges = und.select(
-        F.col("p").alias("u"), F.col("q").alias("v")
-    ).union(und.select(F.col("q").alias("u"), F.col("p").alias("v")))
-    labs = label_propagation(edges)
+    labs = _copurchase_labels(spark, sf_dir)
     sizes = labs.groupBy("label").agg(
         F.count("*").cast("long").alias("community_size")
     )
@@ -283,4 +286,83 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("id").alias("node_id"),
         F.col("label").alias("community"),
         "community_size",
+    )
+
+
+def _copurchase_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id, label) — LPA communities over the co-purchase part graph,
+    the shared label frame of the LPA family."""
+    und = copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+    edges = und.select(
+        F.col("p").alias("u"), F.col("q").alias("v")
+    ).union(und.select(F.col("q").alias("u"), F.col("p").alias("v")))
+    return label_propagation(edges)
+
+
+@query(
+    "community_rollup",
+    oracle=f"""
+    {_LPA_CHAIN},
+    csize AS (
+      SELECT lab, CAST(COUNT(*) AS BIGINT) AS n_parts
+      FROM l{LPA_ITERS} GROUP BY lab
+    )
+    SELECT l.lab AS community, MAX(s.n_parts) AS n_parts,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+           CAST(COUNT(DISTINCT li.l_orderkey) AS BIGINT) AS n_orders,
+           {sql_dsum('li.l_quantity')} AS sum_qty,
+           {sql_dsum('li.l_extendedprice * (1 - li.l_discount)')} AS revenue
+    FROM l{LPA_ITERS} l
+    JOIN lineitem li ON li.l_partkey = l.id
+    JOIN csize s ON s.lab = l.lab
+    GROUP BY l.lab
+    """,
+)
+def community_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community engagement profile — the consumer composition the
+    LPA docstring promises (round-8 verdict #6): LPA community ids
+    over the co-purchase part graph joined back to the fact stream,
+    one keyed rollup per community of member-part count, lineitem
+    volume, distinct-order reach, quantity and discounted revenue
+    (the corpus-curation read: community size vs engagement separates
+    spam clusters from organic topical groups).
+
+    Plan/scale: the label frame is |parts|-sized and pre-reduced, so
+    the fact-side join is the N:1 enrichment join (AQE broadcasts the
+    label side when it fits; at 100 TB it is a keyed equi-join on
+    partkey, never node-count-proportional); the profile is ONE
+    map-side-combined keyed aggregate plus Spark's standard two-phase
+    distinct expansion for n_orders. All-integer labels + the
+    dsum decimal discipline keep the full value-hash oracle (the
+    unrolled LPA chain is the shared _LPA_CHAIN fragment — the
+    text_quality cannot-drift precedent)."""
+    labs = _copurchase_labels(spark, sf_dir)
+    sizes = labs.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_parts")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_orderkey",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+    )
+    joined = li.join(
+        labs.select(F.col("id").alias("l_partkey"), "label"), "l_partkey"
+    )
+    prof = joined.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_lineitems"),
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders"),
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        ),
+    )
+    return prof.join(sizes, "label").select(
+        F.col("label").alias("community"),
+        "n_parts",
+        "n_lineitems",
+        "n_orders",
+        "sum_qty",
+        "revenue",
     )

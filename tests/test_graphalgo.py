@@ -137,6 +137,32 @@ def test_label_propagation_parity(spark, duck):
     run_parity(spark, duck, "label_propagation_communities")
 
 
+def test_community_rollup_parity(spark, duck):
+    from tests.conftest import run_parity
+
+    run_parity(spark, duck, "community_rollup")
+
+
+def test_community_rollup_accounting(spark):
+    """Every lineitem whose part appears in the co-purchase graph is
+    counted exactly once across communities, and n_parts sums to the
+    graph's node count — the rollup neither drops nor double-counts."""
+    from convoy_spark.queries.graph import (
+        _copurchase_labels,
+        community_rollup,
+    )
+    from convoy_spark.tables import load_table
+
+    prof = community_rollup(spark, SF_DIR).collect()
+    labs = _copurchase_labels(spark, SF_DIR)
+    li = load_table(spark, SF_DIR, "lineitem")
+    in_graph = li.join(
+        labs.selectExpr("id AS l_partkey"), "l_partkey"
+    ).count()
+    assert sum(r["n_lineitems"] for r in prof) == in_graph
+    assert sum(r["n_parts"] for r in prof) == labs.count()
+
+
 def test_label_propagation_planted_communities(spark):
     """Two dense cliques joined by one bridge edge must resolve to two
     communities (each clique converges to its minimum id's label under
