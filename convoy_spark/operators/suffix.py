@@ -105,7 +105,9 @@ def suffix_window_ranks(
 
 
 def crossdoc_repeat_profile(
-    docs: DataFrame, window: int = REPEAT_WINDOW
+    docs: DataFrame,
+    window: int = REPEAT_WINDOW,
+    positions: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, n_windows, n_repeat_windows, n_crossdoc_windows) — the
     exact repeated-window audit per document: of the doc's full
@@ -114,8 +116,18 @@ def crossdoc_repeat_profile(
     one OTHER document (n_crossdoc_windows — the Lee-et-al dedup
     signal). One row per INPUT doc: documents shorter than the window
     report explicit zeros (the bloom_decontaminate absent-row lesson,
-    applied from the start)."""
-    pos = token_positions(docs).localCheckpoint(eager=False)
+    applied from the start).
+
+    Pass ``positions`` — an already-tokenized (doc_id, pos, tok)
+    frame, e.g. the streaming twin's accumulated position store
+    (streaming/suffixrepeat.py) — to skip the tokenize; ``docs`` still
+    supplies the doc universe for the explicit-zero rows. ONE
+    definition serves batch and stream (the indexdrift discipline)."""
+    pos = (
+        positions
+        if positions is not None
+        else token_positions(docs).localCheckpoint(eager=False)
+    )
     ranked = suffix_window_ranks(pos, window)
     ntoks = pos.groupBy("doc_id").agg(F.max("pos").alias("_mx"))
     full = ranked.join(ntoks, "doc_id").filter(
