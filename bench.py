@@ -436,14 +436,18 @@ def main() -> None:
     # Subset runs (SPARK_GRAFT_BENCH_ONLY) must NEVER clobber the
     # canonical round artifact — a round-7 spot-check run silently
     # replaced the driver's 90-item working copy with a 12-item one
-    # (judge incident, round-7 verdict #4). Ad-hoc runs default to a
-    # temp path; SPARK_GRAFT_BENCH_OUT still overrides either way.
+    # (judge incident, round-7 verdict #4). Round-9 tightening: a
+    # full-set run at a NON-default SF (an sf0.01 smoke) is the same
+    # hazard — the canonical artifact is full-set AND sf0.1 only.
+    # Ad-hoc runs default to a temp path; SPARK_GRAFT_BENCH_OUT still
+    # overrides either way.
+    canonical = not only and sf_dir.rstrip("/").endswith("sf0.1")
     default_out = (
-        "/tmp/BENCH_SUBSET.json"
-        if only
-        else os.path.join(
+        os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
         )
+        if canonical
+        else "/tmp/BENCH_SUBSET.json"
     )
     out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT", default_out)
     try:

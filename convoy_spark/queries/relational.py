@@ -271,6 +271,17 @@ def fk_audit_edge(
     aggregate plans as an Expand that multiplies every child row by
     the number of distinct aggs (a measured 3× on the 6M-row edges at
     sf1.0); the pre-agg form shuffles |distinct keys| rows instead."""
+    return _fk_edge_profile(_fk_edge_keyrows(child, fk, parent, pk, label))
+
+
+def _fk_edge_keyrows(
+    child: DataFrame, fk: str, parent: DataFrame, pk: str, label: str
+) -> DataFrame:
+    """(edge, fk, cnt, _hit) — the per-edge key rows BEFORE the final
+    rollup, split out so fk_integrity_audit can union all edges'
+    key frames into ONE keyed aggregate (round-8 verdict #7: seven
+    per-edge one-row aggregates each paid their own single-partition
+    exchange + stage; one groupBy(edge) over the union pays one)."""
     keys = (
         child.select(F.col(fk).alias("fk"))
         .groupBy("fk")
@@ -279,20 +290,24 @@ def fk_audit_edge(
     hits = parent.select(F.col(pk).alias("fk")).distinct().withColumn(
         "_hit", F.lit(1)
     )
+    return keys.join(hits, "fk", "left").select(
+        F.lit(label).alias("edge"), "fk", "cnt", "_hit"
+    )
+
+
+def _fk_edge_profile(keyrows: DataFrame) -> DataFrame:
+    """One keyed rollup of (edge, fk, cnt, _hit) key rows into the
+    per-edge integrity profile — 7 groups, one exchange."""
     orphan = F.col("fk").isNotNull() & F.col("_hit").isNull()
-    return (
-        keys.join(hits, "fk", "left")
-        .agg(
-            F.lit(label).alias("edge"),
-            F.sum("cnt").cast("long").alias("child_rows"),
-            F.coalesce(
-                F.sum(F.when(F.col("fk").isNull(), F.col("cnt"))), F.lit(0)
-            ).cast("long").alias("null_fk_rows"),
-            F.coalesce(F.sum(F.when(orphan, F.col("cnt"))), F.lit(0))
-            .cast("long")
-            .alias("orphan_rows"),
-            F.count(F.when(orphan, 1)).alias("orphan_keys"),
-        )
+    return keyrows.groupBy("edge").agg(
+        F.sum("cnt").cast("long").alias("child_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("fk").isNull(), F.col("cnt"))), F.lit(0)
+        ).cast("long").alias("null_fk_rows"),
+        F.coalesce(F.sum(F.when(orphan, F.col("cnt"))), F.lit(0))
+        .cast("long")
+        .alias("orphan_rows"),
+        F.count(F.when(orphan, 1)).alias("orphan_keys"),
     )
 
 
@@ -319,20 +334,25 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     integrity assumptions — e.g. `2_enrich_ur_conversation_ids.py`
     joining tweets to conversations by id — made an explicit, checked
     surface). One row per edge; each edge is one single-column
-    pruned scan → key pre-agg → key-pruned left join → final
-    aggregate (see fk_audit_edge for why the pre-agg form wins)."""
+    pruned scan → key pre-agg → key-pruned left join (see
+    fk_audit_edge for why the pre-agg form wins), and ALL edges' key
+    rows union into ONE keyed final aggregate — round-9: the previous
+    per-edge one-row aggregates paid seven single-partition exchanges
+    and stage taxes; the union pays one (r8 verdict #7)."""
     frames = []
     for label, child, fk, parent, pk in _FK_EDGES:
         p = load_table(spark, sf_dir, parent)
         if parent in _FK_ALWAYS_BROADCAST:
             p = F.broadcast(p)
         frames.append(
-            fk_audit_edge(load_table(spark, sf_dir, child), fk, p, pk, label)
+            _fk_edge_keyrows(
+                load_table(spark, sf_dir, child), fk, p, pk, label
+            )
         )
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)
-    return out
+    return _fk_edge_profile(out)
 
 
 # Batch split for the IVM demonstration: the "already-materialized"
