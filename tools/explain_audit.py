@@ -374,6 +374,10 @@ EXPECTATIONS = {
     # round-8: synchronous LPA — keyed join + count aggregate per
     # round (the argmax window sits behind the per-round checkpoint)
     "label_propagation_communities": ["HashAggregate"],
+    # round-9: LPA labels joined back to the fact stream — the label
+    # side is pre-reduced (|parts| rows) so AQE broadcasts it; the
+    # profile is one keyed agg (+ the two-phase distinct expand)
+    "community_rollup": ["BroadcastHashJoin", "HashAggregate"],
 }
 
 
