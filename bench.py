@@ -175,6 +175,9 @@ BENCH_QUERIES = [
     # round-8: synchronous label propagation (3 rounds of keyed join +
     # count argmax; all-integer -> hash-checked)
     "label_propagation_communities",
+    # round-9: LPA labels joined back to the fact stream — the
+    # per-community engagement profile composition
+    "community_rollup",
     "heavy_hitters",
     # round-6 final: Count-Min point-frequency sketch (d·w mergeable
     # integers; shuffle is sketch-sized at any corpus size)
@@ -305,6 +308,14 @@ def main() -> None:
         "hard_negative_mine",
     }
     _IVF_CONSUMERS = {"ann_ivfpq_topk", "pq_recall_sweep"}
+    _LPA_CONSUMERS = {"label_propagation_communities", "community_rollup"}
+
+    def _materialize_lpa(spark, sf_dir):
+        from convoy_spark.queries.graph import _copurchase_labels
+
+        _copurchase_labels(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     def _materialize_pq(spark, sf_dir):
         # the tuple frames are lazily checkpointed; force the blocks
@@ -321,6 +332,7 @@ def main() -> None:
         ("_shared_lsh_pairs_build", shared_lsh_pairs, _LSH_CONSUMERS),
         ("_shared_pq_index_build", _materialize_pq, _PQ_CONSUMERS),
         ("_shared_ivf_index_build", _materialize_ivf, _IVF_CONSUMERS),
+        ("_shared_lpa_labels_build", _materialize_lpa, _LPA_CONSUMERS),
     ]:
         if not consumers & set(names):
             continue
@@ -404,6 +416,7 @@ def main() -> None:
         ("lsh", "_shared_lsh_pairs_build", _LSH_CONSUMERS),
         ("pq", "_shared_pq_index_build", _PQ_CONSUMERS),
         ("ivf", "_shared_ivf_index_build", _IVF_CONSUMERS),
+        ("lpa", "_shared_lpa_labels_build", _LPA_CONSUMERS),
     ]:
         members = [build, *sorted(consumers)]
         present = [m for m in members if m in timings]

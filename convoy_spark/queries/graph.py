@@ -289,14 +289,26 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+_LPA_LABELS_CACHE: dict = {}
+
+
 def _copurchase_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(id, label) — LPA communities over the co-purchase part graph,
-    the shared label frame of the LPA family."""
-    und = copurchase_edges(load_table(spark, sf_dir, "lineitem"))
-    edges = und.select(
-        F.col("p").alias("u"), F.col("q").alias("v")
-    ).union(und.select(F.col("q").alias("u"), F.col("p").alias("v")))
-    return label_propagation(edges)
+    ONE label frame per (session, sf_dir): label_propagation already
+    checkpoints its final frame, so caching the DataFrame handle
+    makes every consumer (the membership query, community_rollup)
+    reuse the materialized labels instead of re-running the rounds —
+    the shared_pq_index amortization pattern."""
+    from convoy_spark.queries.shared import session_cached_obj
+
+    def _build() -> DataFrame:
+        und = copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+        edges = und.select(
+            F.col("p").alias("u"), F.col("q").alias("v")
+        ).union(und.select(F.col("q").alias("u"), F.col("p").alias("v")))
+        return label_propagation(edges)
+
+    return session_cached_obj(_LPA_LABELS_CACHE, spark, sf_dir, _build)
 
 
 @query(
