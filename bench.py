@@ -178,6 +178,10 @@ BENCH_QUERIES = [
     # round-9: LPA labels joined back to the fact stream — the
     # per-community engagement profile composition
     "community_rollup",
+    # round-9 late: k-NN graph over embeddings (IVF-cell candidates,
+    # the SemDeDup cost contract) + LPA semantic clustering over it
+    "knn_graph_ivf",
+    "semantic_communities",
     "heavy_hitters",
     # round-6 final: Count-Min point-frequency sketch (d·w mergeable
     # integers; shuffle is sketch-sized at any corpus size)
@@ -309,6 +313,14 @@ def main() -> None:
     }
     _IVF_CONSUMERS = {"ann_ivfpq_topk", "pq_recall_sweep"}
     _LPA_CONSUMERS = {"label_propagation_communities", "community_rollup"}
+    _KNNG_CONSUMERS = {"knn_graph_ivf", "semantic_communities"}
+
+    def _materialize_knng(spark, sf_dir):
+        from convoy_spark.queries.similarity import shared_knn_graph
+
+        shared_knn_graph(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     def _materialize_lpa(spark, sf_dir):
         from convoy_spark.queries.graph import _copurchase_labels
@@ -333,6 +345,7 @@ def main() -> None:
         ("_shared_pq_index_build", _materialize_pq, _PQ_CONSUMERS),
         ("_shared_ivf_index_build", _materialize_ivf, _IVF_CONSUMERS),
         ("_shared_lpa_labels_build", _materialize_lpa, _LPA_CONSUMERS),
+        ("_shared_knn_graph_build", _materialize_knng, _KNNG_CONSUMERS),
     ]:
         if not consumers & set(names):
             continue
@@ -417,6 +430,7 @@ def main() -> None:
         ("pq", "_shared_pq_index_build", _PQ_CONSUMERS),
         ("ivf", "_shared_ivf_index_build", _IVF_CONSUMERS),
         ("lpa", "_shared_lpa_labels_build", _LPA_CONSUMERS),
+        ("knng", "_shared_knn_graph_build", _KNNG_CONSUMERS),
     ]:
         members = [build, *sorted(consumers)]
         present = [m for m in members if m in timings]

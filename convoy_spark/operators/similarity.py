@@ -631,6 +631,129 @@ def ann_lsh_topk(
     return topk(scores, k)
 
 
+def knn_graph(
+    corpus: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    target_cell: int = 64,
+    min_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(src, dst, sim, rank) — the k-nearest-neighbor GRAPH over an
+    embedding corpus: every vector's top-``k`` cosine neighbors among
+    its IVF-cell candidates. The graph is the standard curation asset
+    downstream of embedding pipelines — semantic clustering
+    (queries/similarity.py::semantic_communities = LPA over this
+    graph), graph-based dedup, and neighborhood label propagation all
+    consume it.
+
+    Candidate generation is the SemDeDup cost contract applied to
+    graph building (NOT fixed-width LSH bands, whose bucket
+    populations — hence candidate volume — grow quadratically at
+    fixed key width): cluster with the deterministic k-means coarse
+    quantizer at n_cells = max(min_cells, N // target_cell), then
+    each vector's candidates are the members of its ``n_probe``
+    nearest cells — candidate volume ≈ N·n_probe·target_cell, LINEAR
+    in the corpus by construction. Probe ranking is the exact
+    floor-scaled centroid distance with the (dist, cell) tiebreak
+    (the ann_ivf_topk probe stage); scoring touches candidates only.
+    A vector isolated from its probed cells' members (cell of size 1,
+    no second probe) gets no out-edges; it can still appear as a dst.
+
+    Exactness: the k-means build, probe distances, dots and norms are
+    the floor-scaled-long discipline end to end, and the (sim desc,
+    dst) rank tiebreak is deterministic — the whole graph
+    value-hash-checks against the SQL mirror (the shared
+    scaled-cells k-means unroll + a probe/candidate/score tail)."""
+    n_cells = max(min_cells, corpus.count() // target_cell)
+    centroids, assignment = ivf_index(
+        corpus, n_cells=n_cells, vec_col=vec_col, id_col=id_col
+    )
+    ex = exploded_vectors(corpus, vec_col, id_col).localCheckpoint(
+        eager=False
+    )
+    # Probe distances over the EXPLODED frame in whole-stage codegen —
+    # the Lloyd assignment's own shape. The array-fold form (_sq_dist
+    # per (vector, centroid) row) evaluates its higher-order lambdas
+    # INTERPRETED at N·n_cells rows — with n_cells∝N that is the
+    # quadratic/target_cell term in the slowest possible mode
+    # (measured: the sf0.1 build dropped ~2× moving it here).
+    cent_ex = centroids.select(
+        "cell", F.posexplode("centroid").alias("d", "m")
+    )
+    probe_w = Window.partitionBy("src").orderBy(
+        F.col("_pd").asc(), F.col("cell").asc()
+    )
+    probes = (
+        ex.join(F.broadcast(cent_ex), "d")
+        .groupBy(F.col("vec_id").alias("src"), F.col("cell"))
+        .agg(
+            F.sum(
+                F.floor(
+                    ((F.col("x") - F.col("m")) * (F.col("x") - F.col("m")))
+                    * F.lit(SCORE_SCALE)
+                )
+            ).alias("_pd")
+        )
+        .withColumn("_pr", F.row_number().over(probe_w))
+        .filter(F.col("_pr") <= n_probe)
+        .select("src", "cell")
+    )
+    cand = (
+        probes.join(
+            assignment.select(F.col("vec_id").alias("dst"), "cell"), "cell"
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+    )
+    norms = ex.groupBy("vec_id").agg(
+        F.sqrt(
+            F.sum(F.floor((F.col("x") * F.col("x")) * F.lit(SCORE_SCALE)))
+            .cast("double")
+            / F.lit(SCORE_SCALE)
+        ).alias("nrm")
+    )
+    ea = ex.select(F.col("vec_id").alias("src"), "d", F.col("x").alias("xa"))
+    eb = ex.select(F.col("vec_id").alias("dst"), "d", F.col("x").alias("xb"))
+    dots = (
+        cand.join(ea, "src")
+        .join(eb, ["dst", "d"])
+        .groupBy("src", "dst")
+        .agg(
+            (
+                F.sum(
+                    F.floor((F.col("xa") * F.col("xb")) * F.lit(SCORE_SCALE))
+                ).cast("double")
+                / F.lit(SCORE_SCALE)
+            ).alias("dp")
+        )
+    )
+    scores = (
+        dots.join(
+            norms.select(F.col("vec_id").alias("src"), F.col("nrm").alias("_sn")),
+            "src",
+        )
+        .join(
+            norms.select(F.col("vec_id").alias("dst"), F.col("nrm").alias("_dn")),
+            "dst",
+        )
+        .select(
+            "src",
+            "dst",
+            (F.col("dp") / (F.col("_sn") * F.col("_dn"))).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("sim").desc(), F.col("dst").asc()
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src", "dst", "sim", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     eps: float = 0.3,

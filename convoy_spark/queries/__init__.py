@@ -685,6 +685,44 @@ from convoy_spark.queries import (  # noqa: F401,E402
 #                              dozen in-window entries prove; stays
 #                              emulator + anomaly-separation pytest
 #                              green).
+# Round-9 late additions (standing rule — new first-class machinery
+# enters the round it lands):
+#   IN : knn_graph_ivf        (the k-NN GRAPH over embeddings:
+#                              IVF-cell candidates under the SemDeDup
+#                              n_cells∝N cost contract, exact
+#                              floor-scaled cosine verify, per-node
+#                              top-k — the curation asset semantic
+#                              clustering / graph dedup consume; full
+#                              hash oracle, hash-verified at sf0.01
+#                              AND sf0.1 before entering),
+#        semantic_communities (LPA over the symmetrized k-NN graph —
+#                              semantic clustering, the composition
+#                              the graph exists for; oracle = the
+#                              k-NN CTEs + the SAME unrolled LPA
+#                              chain the co-purchase queries share)
+#   OUT: semantic_dedup_scaled (driver-green r8; its scaled-cells
+#                              k-means unroll and cell-confined
+#                              floor-scaled pair-dot stage now run
+#                              in-window VERBATIM inside
+#                              knn_graph_ivf — the same
+#                              _SCALED_CELLS_SQL seed subquery and
+#                              the same pair-dot CTE shape, the
+#                              shared-fragment precedent; the
+#                              keep-the-outlier priority window is
+#                              the per-key rank plan a dozen
+#                              in-window entries prove; stays
+#                              emulator + sf0.1-parity-pytest green),
+#        pq_recall_sweep      (driver-green r7/r8; its candidate
+#                              stage is operators/pq.py::
+#                              ivfpq_candidates — the probe-rank +
+#                              cell-equi-join plan now in-window via
+#                              knn_graph_ivf's probe/candidate
+#                              stages; its ADC scoring surface is
+#                              in-window via knn_adc_label_eval (the
+#                              shared index's ADC + shortlist); the
+#                              sweep-the-operating-curve harness
+#                              pattern stays in-window via
+#                              lsh_band_sweep; emulator-checked).
 _CHECK_WINDOW = [
     # §2.3/§2.8 aggregates + SQL front door (two_pass_mad is past the
     # window: A6/P13 two-pass MAD is proven by tree_metric_mad)
@@ -728,7 +766,6 @@ _CHECK_WINDOW = [
     "setsim_prefix_join",
     "span_dedup",
     "suffix_repeat_profile",
-    "semantic_dedup_scaled",
     "lsh_band_sweep",
     "bloom_decontaminate",
     # similarity / embedding components (cosine_topk is past the
@@ -739,6 +776,9 @@ _CHECK_WINDOW = [
     "ann_srp_topk",
     "pca_project_topk",
     "linear_probe_train",
+    # round-9 late: the k-NN graph + semantic clustering composition
+    "knn_graph_ivf",
+    "semantic_communities",
     # graph algorithms + frequency sketch (round-6 additions;
     # community_rollup is the round-9 LPA composition)
     "pagerank_scores",
@@ -760,7 +800,6 @@ _CHECK_WINDOW = [
     # product quantization + hybrid retrieval (round-6 late)
     "knn_adc_label_eval",
     "hybrid_rrf_topk",
-    "pq_recall_sweep",
     # entity resolution + collocation mining (round-9 debt returns)
     "fuzzy_name_pairs",
     "token_cooccurrence",

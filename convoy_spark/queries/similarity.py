@@ -770,6 +770,169 @@ def semantic_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(emb, eps=SEMDEDUP_EPS, n_cells=n_cells)
 
 
+# --- k-NN graph over embeddings + semantic communities (round 9) ----
+KNNG_K = 5
+KNNG_PROBE = 2
+
+_KNN_GRAPH_CACHE: dict = {}
+
+
+def shared_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE k-NN graph per (session, sf_dir) — the membership query and
+    the communities query are both consumers (the shared_pq_index /
+    _copurchase_labels amortization pattern); the N·k edge frame is
+    lazily checkpointed so consumers reuse the materialized graph."""
+    from convoy_spark.operators.similarity import knn_graph
+    from convoy_spark.queries.shared import session_cached_obj
+
+    return session_cached_obj(
+        _KNN_GRAPH_CACHE,
+        spark,
+        sf_dir,
+        lambda: knn_graph(
+            load_table(spark, sf_dir, "embeddings"),
+            k=KNNG_K,
+            n_probe=KNNG_PROBE,
+            target_cell=SEMDEDUP_TARGET_CELL,
+            min_cells=IVF_CELLS,
+        ).localCheckpoint(eager=False),
+    )
+
+
+def _knn_graph_ctes() -> list[str]:
+    """The k-NN-graph oracle tail over the SHARED scaled-cells k-means
+    unroll (_ivf_kmeans_ctes with the _SCALED_CELLS_SQL seed subquery —
+    the same fragment semantic_dedup_scaled runs, cannot drift):
+    probe ranking by exact floor-scaled distance to the FINAL
+    centroids, candidates = members of the n_probe nearest cells,
+    floor-scaled candidate dots / norms, per-src rank window."""
+    parts = _ivf_kmeans_ctes(seed_limit=_SCALED_CELLS_SQL)
+    parts.append(f"""
+    gpd AS (
+      SELECT e.vec_id AS src, c.cell,
+             SUM(CAST(FLOOR((e.x - c.m) * (e.x - c.m) * {_SS})
+                      AS BIGINT)) AS dist
+      FROM ev e JOIN cent{IVF_PASSES} c ON c.d = e.d
+      GROUP BY 1, 2
+    ),
+    gprobes AS (
+      SELECT src, cell FROM (
+        SELECT src, cell,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY dist, cell) AS rk
+        FROM gpd
+      ) WHERE rk <= {KNNG_PROBE}
+    ),
+    gcand AS (
+      SELECT p.src, a.vec_id AS dst
+      FROM gprobes p JOIN a{IVF_PASSES} a USING (cell)
+      WHERE a.vec_id <> p.src
+    ),
+    gdot AS (
+      SELECT c.src, c.dst,
+             CAST(SUM(CAST(FLOOR((ea.x * eb.x) * {_SS}) AS BIGINT))
+                  AS DOUBLE) / {_SS} AS dp
+      FROM gcand c
+      JOIN ev ea ON ea.vec_id = c.src
+      JOIN ev eb ON eb.vec_id = c.dst AND eb.d = ea.d
+      GROUP BY 1, 2
+    ),
+    gsim AS (
+      SELECT g.src, g.dst, g.dp / (ns.nrm * nd.nrm) AS sim
+      FROM gdot g
+      JOIN norms ns ON ns.vec_id = g.src
+      JOIN norms nd ON nd.vec_id = g.dst
+    ),
+    gknn AS (
+      SELECT src, dst, sim, CAST(rk AS INT) AS rank FROM (
+        SELECT src, dst, sim,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY sim DESC, dst) AS rk
+        FROM gsim
+      ) WHERE rk <= {KNNG_K}
+    )""")
+    return parts
+
+
+@query(
+    "knn_graph_ivf",
+    oracle=f"""
+    WITH {VEC_SQL}, {','.join(_knn_graph_ctes())}
+    SELECT src, dst, sim, rank FROM gknn
+    """,
+)
+def knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-nearest-neighbor GRAPH over the embedding corpus — every
+    vector's top-{KNNG_K} cosine neighbors among its IVF-cell
+    candidates (operators/similarity.py::knn_graph). The candidate
+    stage applies the SemDeDup n_cells∝N cost contract to graph
+    building, so candidate volume is ≈ N·{KNNG_PROBE}·
+    {SEMDEDUP_TARGET_CELL} — linear in the corpus, never all-pairs
+    (fixed-width LSH bands would go quadratic as bucket populations
+    grow; the band-key width would have to track log N). Every edge
+    value-hash-checks: the scaled-cells k-means unroll is the SAME
+    oracle fragment semantic_dedup_scaled runs, and the
+    probe/candidate/score tail is floor-scaled longs end to end."""
+    return shared_knn_graph(spark, sf_dir)
+
+
+def _semantic_communities_oracle() -> str:
+    from convoy_spark.queries.graph import LPA_ITERS, _lpa_iter_sql
+
+    return f"""
+    WITH {VEC_SQL}, {','.join(_knn_graph_ctes())},
+    adj AS (
+      SELECT src AS u, dst AS v FROM gknn
+      UNION
+      SELECT dst AS u, src AS v FROM gknn
+    ),
+    nodes AS (
+      SELECT DISTINCT u AS id FROM adj UNION SELECT DISTINCT v FROM adj
+    ),
+    l0 AS (SELECT id, id AS lab FROM nodes),
+    {','.join(_lpa_iter_sql(i) for i in range(LPA_ITERS))},
+    sizes AS (
+      SELECT lab, CAST(COUNT(*) AS BIGINT) AS community_size
+      FROM l{LPA_ITERS} GROUP BY lab
+    )
+    SELECT l.id AS node_id, l.lab AS community, s.community_size
+    FROM l{LPA_ITERS} l JOIN sizes s USING (lab)
+    """
+
+
+@query("semantic_communities", oracle=_semantic_communities_oracle())
+def semantic_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic clustering: synchronous LPA over the SYMMETRIZED k-NN
+    graph — the composition the graph exists for (cluster-then-curate:
+    community size/density over semantic neighborhoods finds template
+    farms and topical floods that lexical dedup misses; SemDeDup's
+    pairwise drop rule is the edge-level special case). Edges are the
+    shared k-NN graph both directions, deduplicated; labels start as
+    vec_ids and flow for LPA_ITERS synchronous rounds with the
+    deterministic (count desc, label asc) argmax — all-integer, so
+    membership AND community sizes value-hash-check against the k-NN
+    CTEs + the same unrolled LPA chain the co-purchase queries use.
+    Isolated vectors (no candidates) are absent from the graph and
+    carry no row — the knn_graph contract."""
+    from convoy_spark.operators.graph import label_propagation
+
+    g = shared_knn_graph(spark, sf_dir)
+    edges = (
+        g.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .union(g.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .distinct()
+    )
+    labs = label_propagation(edges)
+    sizes = labs.groupBy("label").agg(
+        F.count("*").cast("long").alias("community_size")
+    )
+    return labs.join(sizes, "label").select(
+        F.col("id").alias("node_id"),
+        F.col("label").alias("community"),
+        "community_size",
+    )
+
+
 @query(
     "embed_quantize_int8",
     oracle="""

@@ -422,3 +422,68 @@ def test_semantic_dedup_scaled_parity_dynamic(spark):
         run_parity(spark, con, "semantic_dedup_scaled", sf_dir=sf_dir)
     finally:
         con.close()
+
+
+def test_knn_graph_planted_clusters(spark):
+    """Two tight embedding clusters: every k-NN edge must stay within
+    its cluster, and LPA over the symmetrized graph must resolve
+    exactly two communities."""
+    from convoy_spark.operators.graph import label_propagation
+    from convoy_spark.operators.similarity import knn_graph
+
+    rows = []
+    for i in range(40):
+        c = i % 2
+        base = [0.0] * 8
+        base[c] = 1.0
+        vec = [
+            round(v + ((i * 7 + d * 3) % 11 - 5) * 0.005, 6)
+            for d, v in enumerate(base)
+        ]
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    g = knn_graph(df, k=3, n_probe=2, target_cell=10, min_cells=4)
+    edges = g.collect()
+    assert edges, "empty graph?"
+    for e in edges:
+        assert e.src % 2 == e.dst % 2, f"cross-cluster edge {e}"
+        assert 1 <= e.rank <= 3
+    und = (
+        g.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .union(g.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .distinct()
+    )
+    labs = {r.id: r.label for r in label_propagation(und).collect()}
+    # LPA_ITERS synchronous rounds over a sparse 3-NN graph need not
+    # COLLAPSE each 20-node cluster to one label — the curation
+    # property is that no community ever SPANS the two clusters.
+    comms_even = {labs[i] for i in range(0, 40, 2)}
+    comms_odd = {labs[i] for i in range(1, 40, 2)}
+    assert comms_even.isdisjoint(comms_odd)
+
+
+def test_knn_graph_parity(spark, duck):
+    from tests.conftest import run_parity
+
+    run_parity(spark, duck, "knn_graph_ivf")
+
+
+def test_semantic_communities_parity(spark, duck):
+    from tests.conftest import run_parity
+
+    run_parity(spark, duck, "semantic_communities")
+
+
+def test_knn_graph_recall_vs_exact(spark):
+    """Graph-edge recall against the exact all-pairs cosine top-k on
+    the real sf0.001 corpus — the IVF-candidate prune must keep most
+    true neighbors (2 probes of ~8-vector cells on 500 vectors)."""
+    from convoy_spark.operators.similarity import knn_graph
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    g = knn_graph(emb, k=5)
+    truth = cosine_topk(emb, emb, k=5)
+    got = {(r.src, r.dst) for r in g.collect()}
+    want = {(r.query_id, r.corpus_id) for r in truth.collect()}
+    recall = len(got & want) / len(want)
+    assert recall >= 0.35, recall  # random corpus: cells are arbitrary
