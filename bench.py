@@ -285,6 +285,23 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
 
+    # First-position warm-up burn (round-9 verdict #2): the scan
+    # warm-up above covers Hadoop/footer init but NOT the JIT ramp —
+    # the C2 compiler needs several executions of the generated
+    # aggregate/scan code before steady state (the lsh_band_sweep
+    # 9-sample monotone 19.6→4.0 s band measured exactly this), and the
+    # per-query single warm-up pass below only buys execution #2 of
+    # ~4 needed. Whichever queries run FIRST absorbed the remainder:
+    # flagship recorded 6.99 s in the r9 line items vs 0.96 s in the
+    # same artifact's (late-session) fast_profile. Burn the first
+    # timed queries untimed a few times so the first line item starts
+    # at the same JIT temperature as the fiftieth.
+    for _burn_name in names[:2]:
+        for _ in range(3):
+            QUERIES[_burn_name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+
     # Shared materialized intermediates (queries.treestats
     # .shared_descendant_pairs, queries.dedup.shared_lsh_pairs): the
     # tree family and the dedup family each aggregate one deterministic
@@ -468,7 +485,12 @@ def main() -> None:
     # hazard — the canonical artifact is full-set AND sf0.1 only.
     # Ad-hoc runs default to a temp path; SPARK_GRAFT_BENCH_OUT still
     # overrides either way.
-    canonical = not only and sf_dir.rstrip("/").endswith("sf0.1")
+    # basename-of-normpath, not suffix match: ".../mysf0.1" must not
+    # qualify and ".../sf0.1/" must (round-9 ADVICE).
+    canonical = (
+        not only
+        and os.path.basename(os.path.normpath(sf_dir)) == "sf0.1"
+    )
     default_out = (
         os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"

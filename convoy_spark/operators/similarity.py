@@ -707,12 +707,22 @@ def knn_graph(
         .filter(F.col("src") != F.col("dst"))
         .select("src", "dst")
     )
-    norms = ex.groupBy("vec_id").agg(
-        F.sqrt(
-            F.sum(F.floor((F.col("x") * F.col("x")) * F.lit(SCORE_SCALE)))
-            .cast("double")
-            / F.lit(SCORE_SCALE)
-        ).alias("nrm")
+    # Zero-norm guard: an all-zero embedding makes sim = 0/0 — NaN in
+    # Spark (which sorts ABOVE all values in a DESC rank, so NaN edges
+    # would WIN) vs NULL in the SQL mirror — a silent cross-engine
+    # divergence. Zero vectors carry no direction, so they score no
+    # edges on either endpoint; the oracle's gsim CTE filters nrm > 0
+    # identically (inner joins, so one filter here covers src and dst).
+    norms = (
+        ex.groupBy("vec_id")
+        .agg(
+            F.sqrt(
+                F.sum(F.floor((F.col("x") * F.col("x")) * F.lit(SCORE_SCALE)))
+                .cast("double")
+                / F.lit(SCORE_SCALE)
+            ).alias("nrm")
+        )
+        .filter(F.col("nrm") > 0)
     )
     ea = ex.select(F.col("vec_id").alias("src"), "d", F.col("x").alias("xa"))
     eb = ex.select(F.col("vec_id").alias("dst"), "d", F.col("x").alias("xb"))

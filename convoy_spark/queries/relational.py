@@ -295,11 +295,16 @@ def _fk_edge_keyrows(
     )
 
 
-def _fk_edge_profile(keyrows: DataFrame) -> DataFrame:
+def _fk_edge_profile(keyrows: DataFrame, edges=None) -> DataFrame:
     """One keyed rollup of (edge, fk, cnt, _hit) key rows into the
-    per-edge integrity profile — 7 groups, one exchange."""
+    per-edge integrity profile — 7 groups, one exchange. ``edges``
+    (label list) pins the output universe: groupBy emits no group for
+    an edge whose child scan produced zero key rows, but the contract
+    — and the oracle's per-edge global aggregates — is one row per
+    edge ALWAYS, so the rollup left-joins from a literal label frame
+    and zero-fills (the bloom_decontaminate absent-row lesson)."""
     orphan = F.col("fk").isNotNull() & F.col("_hit").isNull()
-    return keyrows.groupBy("edge").agg(
+    rollup = keyrows.groupBy("edge").agg(
         F.sum("cnt").cast("long").alias("child_rows"),
         F.coalesce(
             F.sum(F.when(F.col("fk").isNull(), F.col("cnt"))), F.lit(0)
@@ -308,6 +313,19 @@ def _fk_edge_profile(keyrows: DataFrame) -> DataFrame:
         .cast("long")
         .alias("orphan_rows"),
         F.count(F.when(orphan, 1)).alias("orphan_keys"),
+    )
+    if edges is None:
+        return rollup
+    universe = keyrows.sparkSession.createDataFrame(
+        [(e,) for e in edges], "edge string"
+    )
+    return F.broadcast(universe).join(rollup, "edge", "left").select(
+        "edge",
+        *[
+            F.coalesce(c, F.lit(0)).cast("long").alias(c)
+            for c in ("child_rows", "null_fk_rows", "orphan_rows",
+                      "orphan_keys")
+        ],
     )
 
 
@@ -352,7 +370,7 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)
-    return _fk_edge_profile(out)
+    return _fk_edge_profile(out, edges=[e[0] for e in _FK_EDGES])
 
 
 # Batch split for the IVM demonstration: the "already-materialized"

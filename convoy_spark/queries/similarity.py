@@ -842,6 +842,7 @@ def _knn_graph_ctes() -> list[str]:
       FROM gdot g
       JOIN norms ns ON ns.vec_id = g.src
       JOIN norms nd ON nd.vec_id = g.dst
+      WHERE ns.nrm > 0 AND nd.nrm > 0
     ),
     gknn AS (
       SELECT src, dst, sim, CAST(rk AS INT) AS rank FROM (

@@ -76,13 +76,25 @@ DOCS_SCHEMA = "seq long, doc_id long, n_toks long"
 
 
 def _read_delta_kind(
-    spark: SparkSession, deltas_dir: str, kind: str, schema: str
+    spark: SparkSession,
+    deltas_dir: str,
+    kind: str,
+    schema: str,
+    committed_only: bool = False,
 ) -> DataFrame:
+    """Read one kind across batch partitions. With ``committed_only``,
+    a partition contributes only when its SIBLING ``docs`` marker (same
+    batch-<tag> dir) exists — seq values are NOT commit evidence, since
+    two checkpoint lineages into one store can compute the same seq and
+    one's marker must not commit the other's torn positions."""
     parts = []
     if os.path.isdir(deltas_dir):
         for b in sorted(os.listdir(deltas_dir)):
             p = os.path.join(deltas_dir, b, kind)
-            if os.path.isdir(p):
+            if os.path.isdir(p) and (
+                not committed_only
+                or os.path.isdir(os.path.join(deltas_dir, b, "docs"))
+            ):
                 parts.append(p)
     if not parts:
         return spark.createDataFrame([], schema)
@@ -177,22 +189,26 @@ def suffix_repeat_over_store(
     spark: SparkSession, state_dir: str, window: int = REPEAT_WINDOW
 ) -> DataFrame:
     """The periodic re-rank: run the batch prefix-doubling audit over
-    the ACCUMULATED position store. Only COMMITTED batches (docs
-    marker present) contribute — a crash-torn positions partition
-    without its marker is excluded until its replay commits it.
-    Returns the same (doc_id, n_windows, n_repeat_windows,
-    n_crossdoc_windows) frame as the catalog query, bitwise."""
+    the ACCUMULATED position store. Only COMMITTED batches (the docs
+    marker in the SAME batch-<tag> dir — not merely a matching seq,
+    which a second checkpoint lineage can collide on) contribute — a
+    crash-torn positions partition without its own marker is excluded
+    until its replay commits it. Returns the same (doc_id, n_windows,
+    n_repeat_windows, n_crossdoc_windows) frame as the catalog query,
+    bitwise."""
     deltas = os.path.join(state_dir, "deltas")
-    committed = _read_delta_kind(spark, deltas, "docs", DOCS_SCHEMA).select(
-        "seq", "doc_id"
-    )
     pos = (
-        _read_delta_kind(spark, deltas, "positions", POS_SCHEMA)
-        .join(committed.select("seq").distinct(), "seq")
+        _read_delta_kind(
+            spark, deltas, "positions", POS_SCHEMA, committed_only=True
+        )
         .select("doc_id", "pos", "tok")
         .localCheckpoint(eager=False)
     )
-    universe = committed.select("doc_id").distinct()
+    universe = (
+        _read_delta_kind(spark, deltas, "docs", DOCS_SCHEMA)
+        .select("doc_id")
+        .distinct()
+    )
     return crossdoc_repeat_profile(universe, window, positions=pos)
 
 

@@ -462,6 +462,31 @@ def test_knn_graph_planted_clusters(spark):
     assert comms_even.isdisjoint(comms_odd)
 
 
+def test_knn_graph_zero_norm_guard(spark):
+    """An all-zero embedding must score NO edges on either endpoint —
+    without the nrm > 0 guard its sim is 0/0 = NaN, which sorts ABOVE
+    every real value in the sim-DESC rank (Spark NaN ordering) and
+    silently wins top-k while DuckDB's division yields NULL."""
+    from convoy_spark.operators.similarity import knn_graph
+
+    rows = []
+    for i in range(24):
+        base = [0.0] * 4
+        base[i % 2] = 1.0
+        base[2 + (i % 2)] = 0.25 + (i % 5) * 0.01
+        rows.append((i, [float(v) for v in base]))
+    rows.append((99, [0.0, 0.0, 0.0, 0.0]))  # the zero vector
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    g = knn_graph(df, k=3, n_probe=2, target_cell=8, min_cells=2)
+    edges = g.collect()
+    assert edges, "empty graph?"
+    import math
+
+    for e in edges:
+        assert 99 not in (e.src, e.dst), f"zero vector scored an edge {e}"
+        assert not math.isnan(e.sim), f"NaN sim survived {e}"
+
+
 def test_knn_graph_parity(spark, duck):
     from tests.conftest import run_parity
 

@@ -94,3 +94,36 @@ def test_torn_batch_excluded_until_committed(spark, tmp_path):
     assert _rows(suffix_repeat_over_store(spark, state)) == _rows(
         crossdoc_repeat_profile(docs)
     )
+
+
+def test_torn_batch_seq_collision_across_lineages(spark, tmp_path):
+    """Two checkpoint lineages into one store can compute the SAME seq
+    (max committed + 1). A committed batch from lineage A must not
+    implicitly commit lineage B's torn positions that happen to carry
+    the colliding seq — commit evidence is the sibling docs marker in
+    the same batch-<tag> dir, never the seq value."""
+    import os
+
+    from convoy_spark.operators.suffix import token_positions
+
+    docs = _docs(spark)
+    b0 = docs.filter("doc_id < 50")
+    b1 = docs.filter("doc_id >= 50")
+    state = str(tmp_path / "state_collide")
+    # lineage A commits b0 at seq 0
+    apply_suffix_batch(spark, b0, state, "lineA-0")
+    clean_b0 = _rows(suffix_repeat_over_store(spark, state))
+    # lineage B crashes mid-batch: torn positions with the SAME seq 0
+    torn = os.path.join(state, "deltas", "batch-lineB-0", "positions")
+    token_positions(b1).select(
+        F.lit(0).cast("long").alias("seq"),
+        "doc_id",
+        F.col("pos").cast("int"),
+        "tok",
+    ).write.mode("overwrite").parquet(torn)
+    # lineage A's marker at seq 0 must NOT commit lineage B's positions
+    assert _rows(suffix_repeat_over_store(spark, state)) == clean_b0
+    apply_suffix_batch(spark, b1, state, "lineB-0")  # replay commits
+    assert _rows(suffix_repeat_over_store(spark, state)) == _rows(
+        crossdoc_repeat_profile(docs)
+    )
