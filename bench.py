@@ -182,6 +182,7 @@ BENCH_QUERIES = [
     # the SemDeDup cost contract) + LPA semantic clustering over it
     "knn_graph_ivf",
     "semantic_communities",
+    "community_text_profile",
     "heavy_hitters",
     # round-6 final: Count-Min point-frequency sketch (d·w mergeable
     # integers; shuffle is sketch-sized at any corpus size)
@@ -330,7 +331,11 @@ def main() -> None:
     }
     _IVF_CONSUMERS = {"ann_ivfpq_topk", "pq_recall_sweep"}
     _LPA_CONSUMERS = {"label_propagation_communities", "community_rollup"}
-    _KNNG_CONSUMERS = {"knn_graph_ivf", "semantic_communities"}
+    _KNNG_CONSUMERS = {
+        "knn_graph_ivf",
+        "semantic_communities",
+        "community_text_profile",
+    }
 
     def _materialize_knng(spark, sf_dir):
         from convoy_spark.queries.similarity import shared_knn_graph

@@ -45,6 +45,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from convoy_spark.operators.partitioning import keyed_blowup_frame
+
 # fixed-point: rank 1.0 == 1_000_000 micro-units; damping 0.85
 PR_SCALE = 1_000_000
 PR_DAMP_NUM = 850_000  # damping * PR_SCALE
@@ -84,8 +86,15 @@ def pagerank(edges: DataFrame, iters: int = PAGERANK_ITERS) -> DataFrame:
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     # Degrees ride along with the edges so iterations do ONE join each
     # (ranks), not two. Checkpointed: scanned fresh by every iteration
-    # without replaying the groupBy lineage.
-    ed = edges.join(deg, "src").localCheckpoint(eager=False)
+    # without replaying the groupBy lineage. The edge frame is an
+    # input-multiple, so it is floored onto its per-iteration join key
+    # BEFORE the checkpoint (round-9 sfg10: input-sized partitioning
+    # OOMed the unroll; the keyed floor also lets every iteration's
+    # join skip the big side's exchange+sort — see
+    # operators/partitioning.py).
+    ed = keyed_blowup_frame(edges.join(deg, "src"), "src").localCheckpoint(
+        eager=False
+    )
     nodes = (
         edges.select(F.col("src").alias("id"))
         .unionByName(edges.select(F.col("dst").alias("id")))
@@ -196,7 +205,12 @@ def triangle_counts(edges_undirected: DataFrame) -> DataFrame:
             | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
         )
         .select("u", "v", "dv")
-        .localCheckpoint(eager=False)
+    )
+    # |E|-sized input-multiple: floor onto u before materializing so
+    # the unroll is bounded and BOTH downstream consumers (the adj_arr
+    # groupBy("u") and the wedge join on u) reuse the partitioning.
+    oriented = keyed_blowup_frame(oriented, "u").localCheckpoint(
+        eager=False
     )
     # out-neighbor arrays (degree-bounded by the orientation), then
     # one codegen intersect per oriented edge
@@ -259,8 +273,16 @@ def label_propagation(edges: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
     truncate the iterated lineage; the EDGE frame is checkpointed
     ONCE up front (the pagerank discipline — without it every round's
     materialization re-derives the edge pipeline from source, which
-    the round-8 sfg3.0 slope run measured as the superlinear step)."""
-    edges = edges.localCheckpoint(eager=False)
+    the round-8 sfg3.0 slope run measured as the superlinear step).
+
+    The edge frame is keyed-floored onto ``v`` (the side every round
+    joins labels on) before its one-time checkpoint: at sfg10 the
+    input-sized partitioning OOMed exactly this unroll (round-9's
+    demonstrated single-JVM failure), and the preserved
+    partitioning+ordering means each round's join re-exchanges only
+    the |V|-sized label frame — the big side is exchange- and
+    sort-free every round."""
+    edges = keyed_blowup_frame(edges, "v").localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col("u").alias("id"))
         .union(edges.select(F.col("v").alias("id")))

@@ -39,6 +39,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from convoy_spark.functions.hashing import hash60
+from convoy_spark.operators.partitioning import blowup_partitions
 
 N_PLANES = 16
 SRP_ROWS = 4  # planes per band -> 4 bands of 4-bit keys
@@ -670,9 +671,19 @@ def knn_graph(
     centroids, assignment = ivf_index(
         corpus, n_cells=n_cells, vec_col=vec_col, id_col=id_col
     )
-    ex = exploded_vectors(corpus, vec_col, id_col).localCheckpoint(
-        eager=False
-    )
+    # The exploded frame is dim× the corpus — an input-multiple whose
+    # checkpoint unroll must not ride the input-sized partitioning
+    # (the sfg10 OOM class; operators/partitioning.py). Repartition
+    # the CORPUS by id BEFORE the narrow explode: the cheap pre-blowup
+    # exchange bounds the materialized blocks, and since Generate
+    # preserves its child's hash partitioning, every downstream
+    # vec_id-keyed stage (probe groupBy, norms, the src dot join)
+    # reuses it exchange-free.
+    ex = exploded_vectors(
+        corpus.repartition(blowup_partitions(corpus), id_col),
+        vec_col,
+        id_col,
+    ).localCheckpoint(eager=False)
     # Probe distances over the EXPLODED frame in whole-stage codegen —
     # the Lloyd assignment's own shape. The array-fold form (_sq_dist
     # per (vector, centroid) row) evaluates its higher-order lambdas

@@ -115,13 +115,15 @@ def token_stats(docs: DataFrame) -> DataFrame:
     )
 
 
-def text_quality(docs: DataFrame) -> DataFrame:
+def text_quality(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     """Heuristic quality signals + a composite score (the standard
     length/punctuation/stopword-ratio family of pretraining filters).
 
     ``passes_filter`` encodes a Gopher-flavored rule set; the score is
     a transparent linear combination so downstream consumers can
-    re-threshold without recomputing."""
+    re-threshold without recomputing. ``keep`` passes extra input
+    columns through untouched (single-scan consumers like the
+    community text profile carry lang/source without a self-join)."""
     toks = F.filter(_tokens(), lambda t: t != "")
     n_tokens = F.size(toks)
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
@@ -135,6 +137,7 @@ def text_quality(docs: DataFrame) -> DataFrame:
     ).cast("double") / n_tokens
     out = docs.select(
         "doc_id",
+        *keep,
         F.length("text").cast("long").alias("n_chars"),
         n_tokens.cast("long").alias("n_tokens"),
         (n_stop.cast("double") / n_tokens).alias("stopword_ratio"),

@@ -723,6 +723,81 @@ from convoy_spark.queries import (  # noqa: F401,E402
 #                              sweep-the-operating-curve harness
 #                              pattern stays in-window via
 #                              lsh_band_sweep; emulator-checked).
+# Round-10 rotation (standing rule + round-9 verdict #3's debt
+# schedule — the FOUR oldest debt items return, each re-verified
+# hash-green at sf0.01 before entering, and the new round-10
+# composition enters the round it lands):
+#   IN : trigram_lm_score     (debt, OUT since r7: corpus-trained
+#                              trigram LM quality score — CCNet's LM
+#                              filter; its richer sibling
+#                              stupid_backoff_score KEEPS its own row,
+#                              so the LM family now has both forms
+#                              driver-checked),
+#        cart_quality_tree    (debt, landed r7-late straight
+#                              past-window — this is its FIRST driver
+#                              row: the single-tree CART special case
+#                              of in-window random_forest_train, same
+#                              _grow/_best_splits dataflow),
+#        split_vocab_shift    (debt, OUT since r7-late: TV distance
+#                              between split token distributions over
+#                              the salted-hash split),
+#        semantic_dedup       (debt, OUT since r8: SemDeDup in the
+#                              pinned-16-cells worst-case config; the
+#                              scaled form's fragments stay in-window
+#                              via knn_graph_ivf),
+#        community_text_profile (NEW r10: the knng composition the
+#                              round-9 verdict #6 asked for —
+#                              semantic-community LPA labels joined to
+#                              the documents table's token/quality
+#                              stats, two-level exact-mergeable
+#                              aggregation, corpus-mean broadcast,
+#                              flagged_flood template-farm signal;
+#                              ALSO restores quality_score_sql's
+#                              in-window carrier, which the r9
+#                              dedup_keep_best OUT had weakened;
+#                              hash-verified at sf0.01 AND sf0.1
+#                              before entry)
+#   OUT: pii_scrub            (driver-green r4–r9, six rounds — the
+#                              longest-tenured rotatable row: its plan
+#                              is scan-side chained regexp_replace
+#                              projections, the shape every in-window
+#                              text query runs (lang_id's regex
+#                              tokenize, scalar_surface's §2.8 string
+#                              surface); the PII pattern semantics
+#                              stay pytest (leftmost-ordering tests) +
+#                              emulator green),
+#        scd2_snapshot        (driver-green r6–r9; its lead/validity
+#                              keyed ordered windows are in-window via
+#                              last_touch_attribution's preceding-
+#                              frame window — NOTE this also replaces
+#                              scd2 as the named sibling in the r9
+#                              index_drift_profile OUT-proof; the CDC
+#                              interval semantics stay pytest +
+#                              streaming stream==batch green),
+#        interval_merge       (driver-green r6–r9; keyed cumulative-
+#                              max running window in-window via
+#                              last_touch_attribution + mixture_
+#                              sample's block prefix scans; its null
+#                              island test's filter shapes stay
+#                              in-window via ur_enrichment — the
+#                              filter_suite OUT-proof's other named
+#                              sibling; stays emulator green),
+#        column_profile       (driver-green r6–r9; two-level unpivot
+#                              aggregate — the stack projection is
+#                              scan-side, the exact-NDV key pre-agg is
+#                              the fk_integrity_audit in-window shape;
+#                              stays emulator green),
+#        zorder_layout        (driver-green r6–r9; Morton interleave
+#                              is scan-side integer bit arithmetic —
+#                              the codegen integer discipline
+#                              in-window via pagerank_scores' fixed-
+#                              point iterates — and its clustering
+#                              envelope is a range_rank + keyed
+#                              min/max agg, the block-scan family
+#                              in-window via mixture_sample; the
+#                              z-value correctness stays pinned by the
+#                              python-morton differential pytest,
+#                              emulator green).
 _CHECK_WINDOW = [
     # §2.3/§2.8 aggregates + SQL front door (two_pass_mad is past the
     # window: A6/P13 two-pass MAD is proven by tree_metric_mad)
@@ -756,7 +831,7 @@ _CHECK_WINDOW = [
     # text analysis components
     "lang_id",
     # round-3 text/quality flagships (rotated in r4 per standing rule)
-    "pii_scrub",
+    "trigram_lm_score",
     "corpus_funnel",
     "model_quality_filter",
     "stupid_backoff_score",
@@ -768,6 +843,7 @@ _CHECK_WINDOW = [
     "suffix_repeat_profile",
     "lsh_band_sweep",
     "bloom_decontaminate",
+    "split_vocab_shift",
     # similarity / embedding components (cosine_topk is past the
     # window: it is the brute-force recall ORACLE for the ANN entries;
     # ann_ivf_topk rotated out round 6 — the ANN surface is proven by
@@ -779,6 +855,8 @@ _CHECK_WINDOW = [
     # round-9 late: the k-NN graph + semantic clustering composition
     "knn_graph_ivf",
     "semantic_communities",
+    "semantic_dedup",
+    "community_text_profile",
     # graph algorithms + frequency sketch (round-6 additions;
     # community_rollup is the round-9 LPA composition)
     "pagerank_scores",
@@ -790,11 +868,11 @@ _CHECK_WINDOW = [
     # tokenizer-training loop (classic word-frequency BPE trainer)
     "bpe_train_vocab",
     "random_forest_train",
+    "cart_quality_tree",
     # loader-prep family: packing + target-mixture sampling +
     # weighted draw + curriculum interleave
     "mixture_sample",
     # physical layout (SURVEY §4)
-    "zorder_layout",
     # warehouse data-quality audit (round-6 final)
     "fk_integrity_audit",
     # product quantization + hybrid retrieval (round-6 late)
@@ -805,10 +883,7 @@ _CHECK_WINDOW = [
     "token_cooccurrence",
     # temporal-warehouse family (round-6 additions;
     # last_touch_attribution is the round-9 debt return)
-    "scd2_snapshot",
-    "interval_merge",
     "last_touch_attribution",
-    "column_profile",
 ]
 
 

@@ -901,6 +901,31 @@ def _semantic_communities_oracle() -> str:
     """
 
 
+_KNNG_LABELS_CACHE: dict = {}
+
+
+def _knng_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id, label) — LPA over the symmetrized shared k-NN graph, ONE
+    label frame per (session, sf_dir): semantic_communities and the
+    per-community text profile both consume it (the
+    _copurchase_labels amortization pattern — label_propagation
+    already checkpoints its final frame, so caching the handle makes
+    every consumer reuse the materialized labels)."""
+    from convoy_spark.operators.graph import label_propagation
+    from convoy_spark.queries.shared import session_cached_obj
+
+    def _build() -> DataFrame:
+        g = shared_knn_graph(spark, sf_dir)
+        edges = (
+            g.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+            .union(g.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+            .distinct()
+        )
+        return label_propagation(edges)
+
+    return session_cached_obj(_KNNG_LABELS_CACHE, spark, sf_dir, _build)
+
+
 @query("semantic_communities", oracle=_semantic_communities_oracle())
 def semantic_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic clustering: synchronous LPA over the SYMMETRIZED k-NN
@@ -915,15 +940,7 @@ def semantic_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTEs + the same unrolled LPA chain the co-purchase queries use.
     Isolated vectors (no candidates) are absent from the graph and
     carry no row — the knn_graph contract."""
-    from convoy_spark.operators.graph import label_propagation
-
-    g = shared_knn_graph(spark, sf_dir)
-    edges = (
-        g.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-        .union(g.select(F.col("dst").alias("u"), F.col("src").alias("v")))
-        .distinct()
-    )
-    labs = label_propagation(edges)
+    labs = _knng_labels(spark, sf_dir)
     sizes = labs.groupBy("label").agg(
         F.count("*").cast("long").alias("community_size")
     )

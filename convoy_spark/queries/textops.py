@@ -2018,3 +2018,135 @@ def isoforest_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(ISO_OUT_K)
     w = Window.orderBy(F.col("sum_leaf_n").asc(), F.col("doc_id").asc())
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+# --- Per-community text/quality profile (round 10) -------------------
+# The composition the knng docstrings promise: semantic communities
+# (LPA over the k-NN graph) joined to the documents table's
+# quality/token stats — the template-farm / topical-flood dashboard.
+FLOOD_MIN_DOCS = 8
+
+
+def _community_text_profile_oracle() -> str:
+    from convoy_spark.functions.numeric import sql_davg
+    from convoy_spark.queries.graph import LPA_ITERS, _lpa_iter_sql
+    from convoy_spark.queries.similarity import VEC_SQL, _knn_graph_ctes
+
+    return f"""
+    WITH {VEC_SQL}, {','.join(_knn_graph_ctes())},
+    adj AS (
+      SELECT src AS u, dst AS v FROM gknn
+      UNION
+      SELECT dst AS u, src AS v FROM gknn
+    ),
+    nodes AS (
+      SELECT DISTINCT u AS id FROM adj UNION SELECT DISTINCT v FROM adj
+    ),
+    l0 AS (SELECT id, id AS lab FROM nodes),
+    {','.join(_lpa_iter_sql(i) for i in range(LPA_ITERS))},
+    dt AS (
+      SELECT doc_id, lang, source, text,
+             list_filter(string_split_regex(lower(text), '{WS_SPLIT}'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    tq AS (
+      SELECT doc_id, lang, source,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             {quality_score_sql('toks', 'text')} AS quality_score
+      FROM dt
+    ),
+    j AS (
+      SELECT l.lab AS community, t.lang, t.source,
+             t.n_chars, t.n_tokens, t.quality_score
+      FROM l{LPA_ITERS} l JOIN tq t ON t.doc_id = l.id
+    ),
+    pre AS (
+      SELECT community, lang, source, COUNT(*) AS _n,
+             SUM(n_tokens) AS _toks, SUM(n_chars) AS _chars,
+             SUM(CAST(quality_score AS DECIMAL(18,6))) AS _qsum
+      FROM j GROUP BY 1, 2, 3
+    ),
+    g AS (SELECT {sql_davg('quality_score')} AS _gq FROM j)
+    SELECT community,
+           CAST(SUM(_n) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(SUM(_toks) AS BIGINT) AS total_tokens,
+           CAST(SUM(_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(_qsum) AS DOUBLE) / SUM(_n) AS avg_quality_score,
+           (SUM(_n) >= {FLOOD_MIN_DOCS}
+            AND CAST(SUM(_qsum) AS DOUBLE) / SUM(_n) < MAX(g._gq))
+             AS flagged_flood
+    FROM pre CROSS JOIN g
+    GROUP BY community
+    """
+
+
+@query("community_text_profile", oracle=_community_text_profile_oracle())
+def community_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SEMANTIC-community text/quality dashboard (round-9 verdict
+    #6): the k-NN-graph LPA labels (shared with semantic_communities
+    via the session-cached _knng_labels frame) joined to the
+    documents table's token/quality stats — community_rollup's
+    composition shape applied to the semantic labels. A large
+    community with below-corpus-average quality is the template-farm
+    / topical-flood signature embedding-space curation exists to
+    catch, surfaced as ``flagged_flood``.
+
+    Scale shape: ONE N:1 enrichment join (labels ⋈ per-doc stats,
+    both |N| rows) and a TWO-LEVEL aggregation — level 1 pre-reduces
+    per (community, lang, source) with map-side combine (decimal
+    partial sums keep the davg exact-mergeable), level 2 runs the
+    multi-distinct Expand over the pre-reduced frame only
+    (communities × langs × sources rows), so the ×3 Expand multiplier
+    the fk_audit docstring warns about never touches corpus-sized
+    rows. The corpus-mean quality rides in as a broadcast one-row
+    aggregate frame."""
+    from convoy_spark.functions.numeric import DEC, davg
+    from convoy_spark.queries.similarity import _knng_labels
+
+    labs = _knng_labels(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    tq = text_quality(docs, keep=("lang", "source")).select(
+        "doc_id", "lang", "source", "n_chars", "n_tokens", "quality_score"
+    )
+    j = labs.join(tq, labs["id"] == tq["doc_id"]).select(
+        F.col("label").alias("community"),
+        "lang",
+        "source",
+        "n_chars",
+        "n_tokens",
+        "quality_score",
+    )
+    pre = j.groupBy("community", "lang", "source").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("n_tokens").alias("_toks"),
+        F.sum("n_chars").alias("_chars"),
+        F.sum(F.col("quality_score").cast(DEC)).alias("_qsum"),
+    )
+    gq = j.agg(davg(F.col("quality_score")).alias("_gq"))
+    prof = pre.groupBy("community").agg(
+        F.sum("_n").cast("long").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("_toks").cast("long").alias("total_tokens"),
+        F.sum("_chars").cast("long").alias("total_chars"),
+        (F.sum("_qsum").cast("double") / F.sum("_n")).alias(
+            "avg_quality_score"
+        ),
+    )
+    return prof.crossJoin(F.broadcast(gq)).select(
+        "community",
+        "n_docs",
+        "n_langs",
+        "n_sources",
+        "total_tokens",
+        "total_chars",
+        "avg_quality_score",
+        (
+            (F.col("n_docs") >= FLOOD_MIN_DOCS)
+            & (F.col("avg_quality_score") < F.col("_gq"))
+        ).alias("flagged_flood"),
+    )
