@@ -128,6 +128,11 @@ BENCH_QUERIES = [
     # survivors (the documented swap, now measured next to the truth
     # harness)
     "knn_adc_label_eval",
+    # round-10: the index-health monitor — per-epoch quantization
+    # error under the frozen epoch-0 codebook, the re-train decision
+    # surface (trains its OWN epoch-slice codebook; not a
+    # shared-pq-index consumer)
+    "pq_retrain_trigger",
     # round-7 late: derandomized isolation forest — multivariate
     # outlier detection over the quality-feature space
     "isoforest_outliers",

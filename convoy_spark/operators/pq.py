@@ -1050,3 +1050,76 @@ def opq_rotation_train(
     return spark.createDataFrame(
         rows, "iteration int, quant_err double, adc_recall double"
     )
+
+
+def quant_error(
+    ex: DataFrame, cent: DataFrame, ks: int = PQ_KS, wide: bool = False
+) -> DataFrame:
+    """(vec_id, err) — per-vector total quantization error under a
+    FROZEN codebook: the sum over subspaces of the min-cell
+    floor-scaled-LONG distance (the exact quantity ``_assign``
+    argmins over, kept instead of discarded). This is the health
+    metric of a production PQ index: when the arriving distribution
+    drifts away from the training epoch, the reconstruction error of
+    new vectors under the frozen quantizer rises — the re-train
+    trigger's decision variable (queries/similarity.py::
+    pq_retrain_trigger, streaming/pqretrain.py).
+
+    Exactness: every per-(vec, sub, cell) distance is a long, min and
+    the n_sub-bounded sum are exact, so the per-vector err is
+    bit-identical across engines, physical shapes, and any chunking
+    of the corpus — which is what makes the per-epoch error
+    aggregates mergeable (the streaming twin's whole contract).
+
+    Both physical shapes of ``_assign`` are mirrored (identical longs
+    either way): row-shaped ×ks fan-out for small corpora, the
+    pivoted-codebook wide shape above PQ_WIDE_MIN_ROWS."""
+    if not wide:
+        dist = (
+            ex.join(F.broadcast(cent), ["sub", "dsub"])
+            .groupBy("vec_id", "sub", "cell")
+            .agg(
+                F.sum(
+                    F.floor(
+                        ((F.col("x") - F.col("m")) * (F.col("x") - F.col("m")))
+                        * F.lit(SCORE_SCALE)
+                    )
+                ).alias("dd")
+            )
+        )
+        per_sub = dist.groupBy("vec_id", "sub").agg(F.min("dd").alias("mdd"))
+    else:
+        cw = F.broadcast(
+            cent.groupBy("sub", "dsub")
+            .pivot("cell", list(range(ks)))
+            .agg(F.first("m"))
+            .select(
+                "sub",
+                "dsub",
+                *[F.col(str(c)).alias(f"m{c}") for c in range(ks)],
+            )
+        )
+        dd = ex.join(cw, ["sub", "dsub"]).groupBy("vec_id", "sub").agg(
+            *[
+                F.sum(
+                    F.floor(
+                        (
+                            (F.col("x") - F.col(f"m{c}"))
+                            * (F.col("x") - F.col(f"m{c}"))
+                        )
+                        * F.lit(SCORE_SCALE)
+                    )
+                ).alias(f"dd{c}")
+                for c in range(ks)
+            ]
+        )
+        sentinel = F.lit(1 << 62).cast("long")
+        per_sub = dd.select(
+            "vec_id",
+            "sub",
+            F.least(
+                *[F.coalesce(F.col(f"dd{c}"), sentinel) for c in range(ks)]
+            ).alias("mdd"),
+        )
+    # n_sub-bounded sum of longs: exact, no population-sized envelope
+    return per_sub.groupBy("vec_id").agg(F.sum("mdd").alias("err"))

@@ -798,13 +798,33 @@ from convoy_spark.queries import (  # noqa: F401,E402
 #                              z-value correctness stays pinned by the
 #                              python-morton differential pytest,
 #                              emulator green).
+# Round-10 LATE rotation (standing rule: a new component enters the
+# round it lands):
+#   IN : pq_retrain_trigger   (NEW r10: the incremental PQ re-train
+#                              decision surface — epoch-sharded mean
+#                              quantization error under the frozen
+#                              epoch-0 codebook, drift ratio, fired
+#                              flag; the streaming twin
+#                              streaming/pqretrain.py shares the ONE
+#                              trigger_surface derivation and is
+#                              stream==batch bitwise-tested;
+#                              hash-verified at sf0.001 AND sf0.01
+#                              before entry)
+#   OUT: approx_percentile_rollup (driver-green r2–r9, one of the
+#                              longest-tenured rows: its A4 multi-agg
+#                              conversation-rollup surface keeps its
+#                              in-window carrier via
+#                              flagship_conversation_rollup — the
+#                              VERDICT coverage table already lists
+#                              both for A4 — and the percentile-sketch
+#                              mergeability semantics stay pinned by
+#                              pytest + emulator green).
 _CHECK_WINDOW = [
     # §2.3/§2.8 aggregates + SQL front door (two_pass_mad is past the
     # window: A6/P13 two-pass MAD is proven by tree_metric_mad)
     "pricing_summary",
     "flagship_conversation_rollup",
     "conditional_agg",
-    "approx_percentile_rollup",
     "sql_interface",
     # §2.9 event-time windows (session/sliding_window_agg are past
     # the window: tumbling proves the event-time surface)
@@ -875,8 +895,10 @@ _CHECK_WINDOW = [
     # physical layout (SURVEY §4)
     # warehouse data-quality audit (round-6 final)
     "fk_integrity_audit",
-    # product quantization + hybrid retrieval (round-6 late)
+    # product quantization + hybrid retrieval (round-6 late;
+    # pq_retrain_trigger is the round-10 index-health composition)
     "knn_adc_label_eval",
+    "pq_retrain_trigger",
     "hybrid_rrf_topk",
     # entity resolution + collocation mining (round-9 debt returns)
     "fuzzy_name_pairs",

@@ -2481,3 +2481,97 @@ def opq_rotation_train_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_queries=N_QUERIES,
         k=TOP_K,
     )
+
+
+# --- Incremental PQ re-train trigger (round 10) ----------------------
+# The composition round-9 verdict #7 asked for: index_drift_profile's
+# epoch-delta posture applied to the PQ index itself. Epochs are
+# LABEL-sharded (label % RETRAIN_EPOCHS — "topic-sharded arrival"):
+# the synth embeddings are iid across vec_id ranges (measured: id-
+# quartile mean quant error flat to ~1%), so id-sharded epochs would
+# exercise only the plumbing; label shards carry real distribution
+# shift (epoch-0-trained codebook reconstructs the held-out topic
+# epochs 1.17-1.78x worse across sf0.001-sf0.1), so the trigger's
+# decision boundary is crossed by actual drift, not noise. Policy
+# constants and the shared surface derivation live in the streaming
+# twin (streaming/pqretrain.py — the indexdrift precedent: batch twin
+# and store read share ONE definition, stream == batch is tested as
+# whole-table equality).
+from convoy_spark.streaming.pqretrain import (  # noqa: E402
+    RETRAIN_EPOCHS,
+    RETRAIN_TAU,
+    pq_retrain_profile,
+)
+
+
+def _pq_retrain_oracle() -> str:
+    parts = _pq_kmeans_ctes(
+        prefix="rt",
+        evs_body=f"""SELECT v.vec_id, d // {PQ_DS} AS sub, d % {PQ_DS} AS dsub, x
+        FROM ev v JOIN epochs p ON p.vec_id = v.vec_id AND p.epoch = 0""",
+    )
+    return f"""
+    WITH epochs AS (
+      SELECT vec_id, CAST(label % {RETRAIN_EPOCHS} AS INT) AS epoch
+      FROM embeddings
+    ),
+    {VEC_SQL},
+    {','.join(parts)},
+    rtasub AS (
+      SELECT vec_id, d // {PQ_DS} AS sub, d % {PQ_DS} AS dsub, x FROM ev
+    ),
+    rtad AS (
+      SELECT e.vec_id, e.sub, c.cell,
+             SUM(CAST(FLOOR((e.x - c.m) * (e.x - c.m) * {_ADC_SCALE})
+                      AS BIGINT)) AS dd
+      FROM rtasub e JOIN rtpc{PQ_ITERS} c
+        ON c.sub = e.sub AND c.dsub = e.dsub
+      GROUP BY e.vec_id, e.sub, c.cell
+    ),
+    rtam AS (
+      SELECT vec_id, sub, MIN(dd) AS mdd FROM rtad GROUP BY vec_id, sub
+    ),
+    rtve AS (SELECT vec_id, SUM(mdd) AS err FROM rtam GROUP BY vec_id),
+    rtpe AS (
+      SELECT epoch, CAST(COUNT(*) AS BIGINT) AS n_vecs, SUM(err) AS errsum
+      FROM rtve JOIN epochs USING (vec_id) GROUP BY epoch
+    ),
+    rtpm AS (
+      SELECT epoch, n_vecs,
+             CAST(errsum AS DOUBLE) / {_ADC_SCALE} / n_vecs AS mean_err
+      FROM rtpe
+    ),
+    rtbase AS (SELECT mean_err AS base_err FROM rtpm WHERE epoch = 0)
+    SELECT epoch, n_vecs, mean_err,
+           mean_err / base_err AS drift_ratio,
+           mean_err / base_err > {1.0 + RETRAIN_TAU} AS retrain
+    FROM rtpm CROSS JOIN rtbase
+    """
+
+
+@query("pq_retrain_trigger", oracle=_pq_retrain_oracle())
+def pq_retrain_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental PQ re-train trigger (round-9 verdict #7): the
+    re-train DECISION SURFACE of a production vector index whose
+    codebook is frozen at epoch 0 (streaming/pqencode.py's offline/
+    online split). Per arrival epoch: vector count, mean quantization
+    error under the frozen codebook (operators.pq.quant_error — the
+    exact floor-scaled-long min-cell distances ``_assign`` argmins
+    over), the drift ratio vs the train epoch's own in-sample error,
+    and ``retrain`` — fired when drift exceeds {RETRAIN_TAU:.0%}. A
+    fired epoch is the cue to run the codebook build plan on that
+    epoch's accumulated corpus (pq_codebooks) and open a new code
+    store generation; until then every batch keeps encoding against
+    the frozen generation (re-keying old codes per batch would
+    corrupt the store — the pqencode docstring's contract).
+
+    Scale shape: the codebook trains on the epoch-0 SLICE only (the
+    standard production split), the error scan is ONE broadcast-join
+    pass over the corpus in whole-stage codegen (row or pivoted-wide
+    shape by corpus size, identical longs either way), and the
+    per-epoch rollup is a keyed aggregate of exact longs — mergeable
+    across any partitioning, which is exactly what the streaming twin
+    (streaming/pqretrain.py) exploits. Epoch count is bounded, so the
+    trigger frame itself is tiny at any corpus size; the
+    population-sized error sum carries scaled_sum_guard."""
+    return pq_retrain_profile(load_table(spark, sf_dir, "embeddings"))

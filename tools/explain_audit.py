@@ -378,6 +378,17 @@ EXPECTATIONS = {
     # side is pre-reduced (|parts| rows) so AQE broadcasts it; the
     # profile is one keyed agg (+ the two-phase distinct expand)
     "community_rollup": ["BroadcastHashJoin", "HashAggregate"],
+    # round-10: knng LPA labels × per-doc quality stats — N:1
+    # enrichment join + two-level agg; the corpus-mean rides in as a
+    # broadcast one-row frame (nested-loop on a 1-row build side)
+    "community_text_profile": [
+        "BroadcastNestedLoopJoin",
+        "HashAggregate",
+    ],
+    # round-10: re-train trigger — frozen codebook broadcast into the
+    # one-pass error scan; epoch rollup is a keyed agg; the baseline
+    # is a broadcast one-row frame
+    "pq_retrain_trigger": ["BroadcastHashJoin", "HashAggregate"],
 }
 
 
