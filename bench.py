@@ -302,7 +302,20 @@ def main() -> None:
     # same artifact's (late-session) fast_profile. Burn the first
     # timed queries untimed a few times so the first line item starts
     # at the same JIT temperature as the fiftieth.
-    for _burn_name in names[:2]:
+    #
+    # In SUBSET mode (SPARK_GRAFT_BENCH_ONLY) the first names are the
+    # family's OWN queries — burning them would pre-materialize the
+    # family's session-shared builds untimed and destroy exactly the
+    # build accounting subset runs exist to measure (the r10 knng-sf10
+    # incident: _shared_knn_graph_build recorded 0.09 s after the burn
+    # had already built the graph). Burn NEUTRAL queries instead:
+    # aggregate scans that share no frame with any family.
+    _burns = (
+        names[:2]
+        if not only
+        else [n for n in ("pricing_summary", "conditional_agg") if n not in keep]
+    )
+    for _burn_name in _burns:
         for _ in range(3):
             QUERIES[_burn_name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
@@ -349,6 +362,16 @@ def main() -> None:
             "overwrite"
         ).save()
 
+    def _materialize_knng_labels(spark, sf_dir):
+        # round-10: the LPA-over-knng label frame went session-shared
+        # (_knng_labels) — without this explicit line item its build
+        # would hide in the first consumer's untimed warm-up pass
+        from convoy_spark.queries.similarity import _knng_labels
+
+        _knng_labels(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
     def _materialize_lpa(spark, sf_dir):
         from convoy_spark.queries.graph import _copurchase_labels
 
@@ -373,6 +396,11 @@ def main() -> None:
         ("_shared_ivf_index_build", _materialize_ivf, _IVF_CONSUMERS),
         ("_shared_lpa_labels_build", _materialize_lpa, _LPA_CONSUMERS),
         ("_shared_knn_graph_build", _materialize_knng, _KNNG_CONSUMERS),
+        (
+            "_shared_knng_labels_build",
+            _materialize_knng_labels,
+            {"semantic_communities", "community_text_profile"},
+        ),
     ]:
         if not consumers & set(names):
             continue

@@ -45,7 +45,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from convoy_spark.operators.partitioning import keyed_blowup_frame
+from convoy_spark.operators.partitioning import blowup_checkpoint
 
 # fixed-point: rank 1.0 == 1_000_000 micro-units; damping 0.85
 PR_SCALE = 1_000_000
@@ -92,9 +92,7 @@ def pagerank(edges: DataFrame, iters: int = PAGERANK_ITERS) -> DataFrame:
     # OOMed the unroll; the keyed floor also lets every iteration's
     # join skip the big side's exchange+sort — see
     # operators/partitioning.py).
-    ed = keyed_blowup_frame(edges.join(deg, "src"), "src").localCheckpoint(
-        eager=False
-    )
+    ed = blowup_checkpoint(edges.join(deg, "src"), "src")
     nodes = (
         edges.select(F.col("src").alias("id"))
         .unionByName(edges.select(F.col("dst").alias("id")))
@@ -209,9 +207,7 @@ def triangle_counts(edges_undirected: DataFrame) -> DataFrame:
     # |E|-sized input-multiple: floor onto u before materializing so
     # the unroll is bounded and BOTH downstream consumers (the adj_arr
     # groupBy("u") and the wedge join on u) reuse the partitioning.
-    oriented = keyed_blowup_frame(oriented, "u").localCheckpoint(
-        eager=False
-    )
+    oriented = blowup_checkpoint(oriented, "u")
     # out-neighbor arrays (degree-bounded by the orientation), then
     # one codegen intersect per oriented edge
     adj_arr = oriented.groupBy("u").agg(
@@ -282,7 +278,7 @@ def label_propagation(edges: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
     partitioning+ordering means each round's join re-exchanges only
     the |V|-sized label frame — the big side is exchange- and
     sort-free every round."""
-    edges = keyed_blowup_frame(edges, "v").localCheckpoint(eager=False)
+    edges = blowup_checkpoint(edges, "v")
     nodes = (
         edges.select(F.col("u").alias("id"))
         .union(edges.select(F.col("v").alias("id")))

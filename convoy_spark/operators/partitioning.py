@@ -35,28 +35,99 @@ construction.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 
 # Intermediate-to-input blow-up allowance: how many times larger than
 # the input a flagged intermediate may be before per-partition state
-# matters. 8× the data-sized count reproduces the measured-good 256
-# partitions at the sfg10 decade (32 × 8) while costing only
-# sub-second task-launch tax at sf0.1.
+# matters. 8× the data-sized count bounds small inputs while costing
+# only sub-second task-launch tax at sf0.1.
 BLOWUP_FACTOR = 8
 BLOWUP_MIN_PARTITIONS = 64
+# For LARGE inputs the floor must be INPUT-proportional, not
+# session-proportional: one partition per ~2 MB of the frame's source
+# parquet. Calibrated against the sfg10 decade (1.09 GB lineitem):
+# the 176-partition session-scaled floor still OOMed the 48g JVM at
+# 32 threads (32 concurrent tasks × ~1/176th of the blown-up frame in
+# deserialized block rows), while 256 partitions at 16 threads — half
+# the concurrent live bytes — completed; 2 MB/partition puts the
+# 32-thread config at ~520 partitions, at or below the measured-good
+# per-task live size. sf0.1 inputs (~11 MB lineitem) stay on the
+# 64-partition floor, so small-SF plans are untouched.
+BLOWUP_BYTES_PER_PARTITION = 2 << 20
+
+
+def _input_bytes(df: DataFrame) -> int:
+    """Best-effort size of the frame's source parquet (the same
+    signal session._sized_shuffle_partitions reads, but scoped to
+    THIS frame's lineage via inputFiles)."""
+    total = 0
+    try:
+        for uri in df.inputFiles():
+            path = uri[7:] if uri.startswith("file://") else uri
+            try:
+                total += os.path.getsize(path)
+            except OSError:
+                pass
+    except Exception:
+        return 0
+    return total
 
 
 def blowup_partitions(df: DataFrame, factor: int = BLOWUP_FACTOR) -> int:
-    """Partition count for an input-multiple intermediate: the
-    session's shuffle partitioning scaled by the blow-up allowance,
-    floored so tiny-SF sessions still bound their unroll. The base is
-    clamped to the actual execution parallelism first — a vanilla
-    session's static 200 would otherwise scale to 1600 near-empty
-    tasks on a 32-thread local run, pure launch tax."""
+    """Partition count for an input-multiple intermediate: the larger
+    of (a) the session's shuffle partitioning scaled by the blow-up
+    allowance — clamped to the actual execution parallelism first, so
+    a vanilla session's static 200 doesn't scale to 1600 near-empty
+    tasks — and (b) the input-byte-proportional count that keeps
+    per-task deserialized state bounded no matter how large the
+    source grows (the sfg10 lesson: the session signal saturates at
+    core count, but the blow-up keeps growing with the data)."""
+    override = os.environ.get("SPARK_GRAFT_BLOWUP_PARTITIONS")
+    if override:
+        return int(override)
     spark = df.sparkSession
     base = int(spark.conf.get("spark.sql.shuffle.partitions"))
     par = spark.sparkContext.defaultParallelism
-    return max(BLOWUP_MIN_PARTITIONS, min(base, par) * factor)
+    session_scaled = max(BLOWUP_MIN_PARTITIONS, min(base, par) * factor)
+    return max(
+        session_scaled, _input_bytes(df) // BLOWUP_BYTES_PER_PARTITION
+    )
+
+
+# Above this SOURCE size, a blow-up frame's materialized blocks go
+# straight to disk (StorageLevel.DISK_ONLY) instead of the default
+# MEMORY_AND_DISK: at the sfg10 decade even ~520 partitions left the
+# 48g/32-thread config marginal — the materialization raced the
+# unified-memory pool's eviction (GCLocker-choked 128 MB allocation
+# bursts, intermittent heap OOM). Disk-backed blocks take the heap
+# out of the equation entirely; the per-round re-reads ride the OS
+# page cache, and small-SF frames stay memory-resident (unchanged
+# bench profile).
+BLOWUP_DISK_ONLY_BYTES = 256 << 20
+
+
+def blowup_storage_level(df: DataFrame):
+    """The storage level a blow-up materialization derived from ``df``
+    should use: DISK_ONLY above the source-size threshold, None (the
+    localCheckpoint default, MEMORY_AND_DISK) below it."""
+    from pyspark import StorageLevel
+
+    if _input_bytes(df) > BLOWUP_DISK_ONLY_BYTES:
+        return StorageLevel.DISK_ONLY
+    return None
+
+
+def blowup_checkpoint(df: DataFrame, *keys: str) -> DataFrame:
+    """``keyed_blowup_frame`` + a LAZY localCheckpoint whose storage
+    level is chosen by source size (DISK_ONLY above
+    ``BLOWUP_DISK_ONLY_BYTES``). The one entry point the blow-up
+    operators (LPA/pagerank/triangles edge frames, the dim-exploded
+    vector frame) should use."""
+    return keyed_blowup_frame(df, *keys).localCheckpoint(
+        eager=False, storageLevel=blowup_storage_level(df)
+    )
 
 
 def keyed_blowup_frame(df: DataFrame, *keys: str) -> DataFrame:

@@ -39,7 +39,10 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from convoy_spark.functions.hashing import hash60
-from convoy_spark.operators.partitioning import blowup_partitions
+from convoy_spark.operators.partitioning import (
+    blowup_partitions,
+    blowup_storage_level,
+)
 
 N_PLANES = 16
 SRP_ROWS = 4  # planes per band -> 4 bands of 4-bit keys
@@ -683,7 +686,7 @@ def knn_graph(
         corpus.repartition(blowup_partitions(corpus), id_col),
         vec_col,
         id_col,
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False, storageLevel=blowup_storage_level(corpus))
     # Probe distances over the EXPLODED frame in whole-stage codegen —
     # the Lloyd assignment's own shape. The array-fold form (_sq_dist
     # per (vector, centroid) row) evaluates its higher-order lambdas

@@ -816,9 +816,15 @@ from convoy_spark.queries import (  # noqa: F401,E402
 #                              in-window carrier via
 #                              flagship_conversation_rollup — the
 #                              VERDICT coverage table already lists
-#                              both for A4 — and the percentile-sketch
-#                              mergeability semantics stay pinned by
-#                              pytest + emulator green).
+#                              both for A4 — and the SKETCH-family
+#                              surface (mergeable summaries + exact
+#                              cross-checks) keeps its in-window
+#                              carrier via heavy_hitters (this also
+#                              refreshes the count_min_freq OUT-proof,
+#                              whose round-6 note named approx_
+#                              percentile_rollup as the sibling); the
+#                              percentile mergeability semantics stay
+#                              pinned by pytest + emulator green).
 _CHECK_WINDOW = [
     # §2.3/§2.8 aggregates + SQL front door (two_pass_mad is past the
     # window: A6/P13 two-pass MAD is proven by tree_metric_mad)
