@@ -42,7 +42,7 @@ iterated graph algorithm carry a full value-hash DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from convoy_spark.operators.partitioning import blowup_checkpoint
@@ -126,21 +126,33 @@ def pagerank(edges: DataFrame, iters: int = PAGERANK_ITERS) -> DataFrame:
 
 def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     """Distinct undirected part–part co-purchase edges (p < q): two
-    parts are linked when some order contains both. The per-order
-    self-join fans out quadratically only in *items per order*
-    (bounded ≤ 7 in TPC-H-shaped data; a real basket table would cap
-    or sample giant baskets first), then distinct-reduces.
+    parts are linked when some order contains both. One shuffle of
+    (order, part) into per-order sorted part sets (bounded ≤ 7 items
+    per order in TPC-H-shaped data; a real basket table would cap or
+    sample giant baskets first), then the p < q pairs expand in
+    whole-stage codegen — the a-priori pair-expansion shape
+    (token_cooccurrence, triangle edge-iterator) instead of the
+    round-9 per-order self-join, which shuffled the (okey, p) frame
+    twice and built a join hash table just to enumerate in-row pairs
+    (round-10 A/B at sf0.1: 1.3 → 1.0 s, identical edges).
     """
-    a = lineitem.select(
-        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("p")
-    ).distinct()
-    b = a.select("okey", F.col("p").alias("q"))
-    return (
-        a.join(b, "okey")
-        .where(F.col("p") < F.col("q"))
-        .select("p", "q")
-        .distinct()
+    arr = (
+        lineitem.select(
+            F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("p")
+        )
+        .groupBy("okey")
+        .agg(F.array_sort(F.collect_set("p")).alias("ps"))
     )
+    pairs = arr.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) ->"
+                " transform(slice(ps, i + 2, size(ps) - i - 1),"
+                " y -> struct(x AS p, y AS q))))"
+            )
+        ).alias("pq")
+    ).select("pq.p", "pq.q")
+    return pairs.distinct()
 
 
 def bipartite_order_part_edges(lineitem: DataFrame) -> DataFrame:
@@ -294,13 +306,22 @@ def label_propagation(edges: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
             .groupBy(F.col("u"), F.col("lab"))
             .agg(F.count("*").alias("c"))
         )
-        w = Window.partitionBy("u").orderBy(
-            F.col("c").desc(), F.col("lab").asc()
-        )
+        # argmax as an aggregation, not a rank window: min over the
+        # (-count, label) struct IS the (count desc, label asc)
+        # tiebreak, computed with map-side partial aggregation and no
+        # per-partition sort — one exchange of one row per (u, mapper)
+        # instead of a full (u, lab) exchange + sort (round-10 A/B:
+        # ~0.5 s/build at sf0.1, bit-identical labels).
         best = (
-            cnt.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") == 1)
-            .select(F.col("u").alias("id"), F.col("lab").alias("newlab"))
+            cnt.groupBy("u")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("c")).alias("nc"), F.col("lab").alias("lab")
+                    )
+                ).alias("_b")
+            )
+            .select(F.col("u").alias("id"), F.col("_b.lab").alias("newlab"))
         )
         labels = (
             labels.join(best, "id", "left")

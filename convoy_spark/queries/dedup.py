@@ -267,13 +267,19 @@ def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = None
     for r in LSH_SWEEP_ROWS:
         cand = lsh_candidate_pairs(sig, rows_per_band=r)
-        ncand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
-        hits = cand.join(truth, ["doc_a", "doc_b"], "left_semi").agg(
-            F.count(F.lit(1)).cast("long").alias("cand_hits")
+        # ONE pass over the banded-join pipeline for both counts: the
+        # truth side is a tiny checkpointed pair set (unique pairs, so
+        # the left join fans 1:1 and count(_h) == the previous
+        # left-semi count) — the round-9 shape ran the banded
+        # candidate join TWICE per operating point.
+        stats = cand.join(
+            truth.withColumn("_h", F.lit(1)), ["doc_a", "doc_b"], "left"
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n_cand"),
+            F.count("_h").cast("long").alias("cand_hits"),
         )
         row = (
-            ncand.crossJoin(n_true)
-            .crossJoin(hits)
+            stats.crossJoin(n_true)
             .select(
                 F.lit(r).cast("int").alias("rows_per_band"),
                 F.lit(NUM_HASHES // r).cast("int").alias("n_bands"),

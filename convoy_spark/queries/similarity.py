@@ -1489,15 +1489,21 @@ def pq_recall_sweep_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         # recall FALLING as probes widen (more candidates let a
         # quantization-error neighbor displace a true one), which is
         # the measured case for the re-rank stage pq_rerank_topk ships.
-        ncand = cand.agg(
+        # ONE pass over the candidate pipeline for both counts (the
+        # srp_band_sweep rationale): exact is a tiny checkpointed
+        # top-k set of unique pairs, so the broadcast left join fans
+        # 1:1 and count(_h) == the previous left-semi count — the
+        # round-9 shape ran ivfpq_candidates TWICE per probe point.
+        cstats = cand.join(
+            exact.withColumn("_h", F.lit(1)),
+            ["query_id", "corpus_id"],
+            "left",
+        ).agg(
             F.count(F.lit(1)).cast("long").alias("n_cand"),
-        )
-        chits = cand.join(exact, ["query_id", "corpus_id"], "left_semi").agg(
-            F.count(F.lit(1)).cast("long").alias("cand_hits")
+            F.count("_h").cast("long").alias("cand_hits"),
         )
         row = (
-            hits.crossJoin(ncand)
-            .crossJoin(chits)
+            hits.crossJoin(cstats)
             .select(
                 F.lit(p).cast("int").alias("n_probe"),
                 "n_cand",
@@ -1889,11 +1895,22 @@ def srp_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "doc_id")
             .distinct()
         )
-        ncand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
-        hits = cand.join(truth, ["query_id", "doc_id"], "left_semi").agg(
-            F.count(F.lit(1)).cast("long").alias("cand_hits")
+        # ONE pass over the candidate pipeline for both counts: the
+        # truth side is a tiny checkpointed top-k set (unique pairs,
+        # broadcast left join fans 1:1), so count(_h) == the previous
+        # left-semi count — the round-9 shape ran the banded join
+        # TWICE per operating point (separate n_cand and hits aggs).
+        stats = (
+            cand.join(
+                truth.withColumn("_h", F.lit(1)),
+                ["query_id", "doc_id"],
+                "left",
+            ).agg(
+                F.count(F.lit(1)).cast("long").alias("n_cand"),
+                F.count("_h").cast("long").alias("cand_hits"),
+            )
         )
-        row = ncand.crossJoin(hits).select(
+        row = stats.select(
             F.lit(r).cast("int").alias("rows_per_band"),
             F.lit(N_PLANES // r).cast("int").alias("n_bands"),
             "n_cand",

@@ -187,7 +187,12 @@ def trigger_surface(errors: DataFrame) -> DataFrame:
             F.col("_s").cast("double") / F.lit(SCORE_SCALE) / F.col("n_vecs"),
             "pq_retrain_trigger epoch-error sum",
         ).alias("mean_err"),
-    )
+        # Materialize the epoch-count-sized frame before deriving the
+        # broadcast base row from it: without this the base side plans
+        # the whole error-scan lineage a second time (exchange reuse
+        # saves the shuffle, but the extra planning/broadcast jobs
+        # still cost ~0.5 s per run at sf0.1 — measured A/B).
+    ).localCheckpoint(eager=False)
     base = pm.filter(F.col("epoch") == 0).select(
         F.col("mean_err").alias("base_err")
     )
