@@ -214,7 +214,10 @@ def triangle_counts(edges_undirected: DataFrame) -> DataFrame:
             (F.col("du") < F.col("dv"))
             | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
         )
-        .select("u", "v", "dv")
+        # ids ONLY (round-10 verdict #9, §2.3): the degree columns were
+        # orientation inputs, not wedge inputs — carrying dv into the
+        # checkpoint/wedge shuffle was a third of the frame for nothing
+        .select("u", "v")
     )
     # |E|-sized input-multiple: floor onto u before materializing so
     # the unroll is bounded and BOTH downstream consumers (the adj_arr
@@ -225,9 +228,13 @@ def triangle_counts(edges_undirected: DataFrame) -> DataFrame:
     adj_arr = oriented.groupBy("u").agg(
         F.array_sort(F.collect_list("v")).alias("nbrs")
     )
-    tris = (
-        oriented.select("u", "v")
-        .join(
+    # corner credit in ONE pass: each found triangle explodes to its
+    # three corners in codegen. The round-6..10 form unioned three
+    # projections of the wedge-join subtree — exchange reuse shares
+    # the shuffles, but the join + intersect + explode themselves ran
+    # once PER BRANCH (3× the wedge compute; §2.4 duplicated subtree).
+    tri_nodes = (
+        oriented.join(
             adj_arr.select(F.col("u").alias("_ua"), F.col("nbrs").alias("nu")),
             F.col("u") == F.col("_ua"),
         )
@@ -238,13 +245,9 @@ def triangle_counts(edges_undirected: DataFrame) -> DataFrame:
         .select(
             "u", "v", F.explode(F.array_intersect("nu", "nv")).alias("w")
         )
+        .select(F.explode(F.array("u", "v", "w")).alias("node_id"))
     )
-    corners = (
-        tris.select(F.col("u").alias("node_id"))
-        .unionByName(tris.select(F.col("v").alias("node_id")))
-        .unionByName(tris.select(F.col("w").alias("node_id")))
-    )
-    return corners.groupBy("node_id").agg(
+    return tri_nodes.groupBy("node_id").agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
 

@@ -45,6 +45,17 @@ from pyspark.sql import DataFrame
 # only sub-second task-launch tax at sf0.1.
 BLOWUP_FACTOR = 8
 BLOWUP_MIN_PARTITIONS = 64
+# ENGAGEMENT gate (round-10 verdict #2): below this SOURCE size the
+# floor is a no-op — even a 100× blow-up of a 64 MB input is ~6 GB of
+# deserialized rows, which the default MEMORY_AND_DISK checkpoint
+# absorbs on any sane executor, so the repartition+sortWithinPartitions
+# exchange the floor inserts is pure overhead there. Round 10 paid
+# that exchange at sf0.1 on every floored path (_shared_lpa_labels
+# 8.1 → 13.1 s, knng 9.4 → 11.2 s) for zero safety benefit; the sfg10
+# decade that NEEDS the floor has a 1.09 GB lineitem, far above the
+# gate. SPARK_GRAFT_BLOWUP_PARTITIONS forces the floor on at any size
+# (the A/B knob).
+BLOWUP_ENGAGE_BYTES = 64 << 20
 # For LARGE inputs the floor must be INPUT-proportional, not
 # session-proportional: one partition per ~2 MB of the frame's source
 # parquet. Calibrated against the sfg10 decade (1.09 GB lineitem):
@@ -124,10 +135,22 @@ def blowup_checkpoint(df: DataFrame, *keys: str) -> DataFrame:
     level is chosen by source size (DISK_ONLY above
     ``BLOWUP_DISK_ONLY_BYTES``). The one entry point the blow-up
     operators (LPA/pagerank/triangles edge frames, the dim-exploded
-    vector frame) should use."""
+    vector frame) should use. Below the engagement gate this is a
+    plain lazy localCheckpoint — the round-9 plan shape, bit-for-bit."""
     return keyed_blowup_frame(df, *keys).localCheckpoint(
         eager=False, storageLevel=blowup_storage_level(df)
     )
+
+
+def blowup_engaged(df: DataFrame) -> bool:
+    """Whether the floor should engage for a frame derived from
+    ``df``: yes when forced via SPARK_GRAFT_BLOWUP_PARTITIONS, or when
+    the frame's source parquet exceeds ``BLOWUP_ENGAGE_BYTES`` (the
+    only regime where an input-multiple unroll can actually threaten
+    the executor — see the gate note above)."""
+    if os.environ.get("SPARK_GRAFT_BLOWUP_PARTITIONS"):
+        return True
+    return _input_bytes(df) > BLOWUP_ENGAGE_BYTES
 
 
 def keyed_blowup_frame(df: DataFrame, *keys: str) -> DataFrame:
@@ -137,7 +160,15 @@ def keyed_blowup_frame(df: DataFrame, *keys: str) -> DataFrame:
     distribution and ordering requirements of every later sort-merge
     join / aggregation on ``keys``, so iterated consumers (LPA rounds,
     PageRank iterations, the triangle wedge join) re-exchange only
-    their |V|-sized side."""
+    their |V|-sized side.
+
+    GATED on source size (round-10 verdict #2): for small sources the
+    added exchange+sort costs more than it saves — round 10 shipped it
+    unconditionally and every floored sf0.1 path regressed (LPA build
+    0.61×, knng 0.84×) — so below ``BLOWUP_ENGAGE_BYTES`` the frame is
+    returned untouched and the small-SF plan keeps the round-9 shape."""
+    if not blowup_engaged(df):
+        return df
     return df.repartition(blowup_partitions(df), *keys).sortWithinPartitions(
         *keys
     )

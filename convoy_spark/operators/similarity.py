@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 
 from convoy_spark.functions.hashing import hash60
 from convoy_spark.operators.partitioning import (
+    blowup_engaged,
     blowup_partitions,
     blowup_storage_level,
 )
@@ -681,12 +682,18 @@ def knn_graph(
     # exchange bounds the materialized blocks, and since Generate
     # preserves its child's hash partitioning, every downstream
     # vec_id-keyed stage (probe groupBy, norms, the src dot join)
-    # reuses it exchange-free.
-    ex = exploded_vectors(
-        corpus.repartition(blowup_partitions(corpus), id_col),
-        vec_col,
-        id_col,
-    ).localCheckpoint(eager=False, storageLevel=blowup_storage_level(corpus))
+    # reuses it exchange-free. GATED on source size (round-10 verdict
+    # #2): below the engagement gate the pre-exchange costs more than
+    # it saves (sf0.1 build 9.4 → 11.2 s in round 10) and the plain
+    # round-9 checkpoint shape is kept.
+    src = (
+        corpus.repartition(blowup_partitions(corpus), id_col)
+        if blowup_engaged(corpus)
+        else corpus
+    )
+    ex = exploded_vectors(src, vec_col, id_col).localCheckpoint(
+        eager=False, storageLevel=blowup_storage_level(corpus)
+    )
     # Probe distances over the EXPLODED frame in whole-stage codegen —
     # the Lloyd assignment's own shape. The array-fold form (_sq_dist
     # per (vector, centroid) row) evaluates its higher-order lambdas

@@ -13,36 +13,43 @@ O(n log n) construction — each round doubles the compared prefix
 length by ranking (rank[i], rank[i + 2^k]) pairs), which is pure
 keyed-join/rank dataflow:
 
-- round 0 ranks single tokens (dense rank of the token string);
-- round k+1 ranks the pair (r_k(pos), r_k(pos + 2^k)) — two suffixes
-  get equal rank IFF their first 2^(k+1) tokens agree;
-- after log2(L) rounds, positions sharing a rank are EXACTLY the
+- round 0 classes single tokens;
+- round k+1 classes the pair (r_k(pos), r_k(pos + 2^k)) — two suffixes
+  land in the same class IFF their first 2^(k+1) tokens agree;
+- after log2(L) rounds, positions sharing a class are EXACTLY the
   occurrences of a repeated L-token window, corpus-wide.
 
-Spark-first shape: the global dense rank each round is the
-``scale.range_rank`` primitive over the DISTINCT key set
-(repartitionByRange + per-partition row_number + broadcast offsets —
-row_number over sorted distinct keys IS the dense rank, with no
-single-task sort), then one equi-join back to the position frame. Per
-round: one distinct, one range exchange, one pair-keyed join — times
-log2(L) rounds, the classic construction bound, every stage a shuffle
-Catalyst plans as hash exchanges. Integer ranks all the way down, so
-the whole construction value-hash-checks against an unrolled
-dense_rank CTE chain.
-
-Reference parity: the reference has no substring machinery at all
-(SURVEY §2 north-star extensions); this is the exact-completion of
-the sampled span_dedup pair, the same relationship setsim_prefix_join
-(exact) bears to minhash_lsh_neardup (sketch).
+Spark-first shape (round-11 rewrite; the round-10 verdict's #4):
+nothing downstream ever reads the rank as an ORDINAL — every consumer
+(the repeat profile, its streaming twin) groups on rank EQUALITY — so
+the per-round global dense rank the round-8 form computed
+(``scale.range_rank`` over the distinct key set: distinct + range
+exchange + checkpoint + row_number window + broadcast-offset join,
+per round) is replaced by an equality-CLASS id: the class's first
+corpus occurrence, ``min(struct(doc_id, pos))`` per key — ONE
+map-side-combined aggregation + one equi-join back on the same key.
+The (r, r@pos+step) pair itself comes from a ``lead(r, 2^k)`` window
+over the per-doc position order (token positions are contiguous by
+construction — ``posexplode`` here, the accumulated whole-doc store in
+the streaming twin) instead of the round-8 self-join on
+(doc_id, pos). Per round: one doc-keyed window exchange + the
+class-keyed aggregate/join exchanges over the once-materialized pair
+frame — versus the round-8 form's self-join, distinct, range
+exchange, rank window and broadcast-offset join per round (sf0.1
+A/B in OPTIMIZATION_r11.md). Class ids are deterministic (min over a unique
+(doc_id, pos) domain) and the class PARTITION is bit-identical to the
+dense rank's, so the profile output — and its DuckDB value hash — is
+unchanged; skew (a hot token / hot window) is absorbed by the
+aggregation's map-side combine and the join's AQE skew split, neither
+of which a rank-window formulation would get.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from convoy_spark.functions.hashing import WS_SPLIT
-from convoy_spark.operators.scale import range_rank
 
 REPEAT_WINDOW = 16  # L: compared window length; log2(L) = 4 rounds
 SENTINEL = -1  # rank of the empty suffix (past the doc end)
@@ -61,45 +68,77 @@ def token_positions(
     )
 
 
+def _first_occurrence(col: Column) -> Column:
+    """min(struct(doc_id, pos)) — the deterministic class id: the
+    lexicographically first corpus position carrying ``col``'s key.
+    Injective across classes because (doc_id, pos) is unique."""
+    return F.min(col).alias("r")
+
+
+def _pos_struct() -> Column:
+    return F.struct(
+        F.col("doc_id").cast("long").alias("d"),
+        F.col("pos").cast("long").alias("p"),
+    )
+
+
+# the class id of the empty suffix (past the doc end): no real class
+# can carry it because real ids are first occurrences, which are
+# non-negative positions.
+def _sentinel_struct() -> Column:
+    return F.struct(
+        F.lit(SENTINEL).cast("long").alias("d"),
+        F.lit(SENTINEL).cast("long").alias("p"),
+    )
+
+
 def suffix_window_ranks(
-    positions: DataFrame, window: int = REPEAT_WINDOW
+    positions: DataFrame,
+    window: int = REPEAT_WINDOW,
+    checkpoint: bool = True,
 ) -> DataFrame:
-    """(doc_id, pos, r) — r is the dense equality-rank of the
+    """(doc_id, pos, r) — r identifies the equality class of the
     ``window``-token sequence starting at (doc_id, pos): two positions
     (across ANY documents) carry the same r IFF their next ``window``
     tokens are identical (suffixes shorter than the window compare as
     sentinel-padded, so they only ever equal other suffixes of the
     same residual length — never a full window). ``window`` must be a
-    power of two."""
+    power of two. ``r`` is a struct class id (first corpus occurrence
+    of the class) — an EQUALITY key, not an ordinal; consumers group
+    on it.
+
+    Precondition (held by ``token_positions`` and the streaming
+    position store, which only ever appends whole-doc tokenizations):
+    per-doc positions are contiguous 0-based, so ``lead(r, step)``
+    over (doc_id, pos order) IS the rank at pos+step.
+
+    ``checkpoint=False`` exposes the full round lineage for plan
+    audits (the setsim pattern); the shipped default materializes each
+    round's pair frame once — it feeds BOTH the class aggregate and
+    the join back, and their exchange subtrees differ (partial agg
+    below one), so without the barrier each consumer would re-derive
+    the whole doubling lineage (2^rounds evaluations of round 0)."""
     assert window & (window - 1) == 0, "window must be a power of two"
-    # round 0: dense rank of the single token, via range_rank over the
-    # distinct token set (unique keys -> deterministic global rank)
-    vocab = range_rank(
-        positions.select("tok").distinct(), ["tok"], out_col="r"
-    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    # round 0: class of the single token = its first corpus occurrence
+    vocab = positions.groupBy("tok").agg(_first_occurrence(_pos_struct()))
     cur = positions.join(vocab, "tok").select("doc_id", "pos", "r")
     step = 1
     while step < window:
-        nxt = cur.select(
+        pair = cur.select(
             "doc_id",
-            (F.col("pos") - step).alias("pos"),
-            F.col("r").alias("_rb"),
+            "pos",
+            F.col("r").alias("_ra"),
+            F.coalesce(
+                F.lead("r", step).over(w_doc), _sentinel_struct()
+            ).alias("_rb"),
         )
-        pair = (
-            cur.withColumnRenamed("r", "_ra")
-            .join(nxt, ["doc_id", "pos"], "left")
-            .select(
-                "doc_id",
-                "pos",
-                "_ra",
-                F.coalesce("_rb", F.lit(SENTINEL)).alias("_rb"),
-            )
-            .localCheckpoint(eager=False)
+        if checkpoint:
+            pair = pair.localCheckpoint(eager=False)
+        classes = pair.groupBy("_ra", "_rb").agg(
+            _first_occurrence(_pos_struct())
         )
-        ranks = range_rank(
-            pair.select("_ra", "_rb").distinct(), ["_ra", "_rb"], out_col="r"
-        )
-        cur = pair.join(ranks, ["_ra", "_rb"]).select("doc_id", "pos", "r")
+        cur = pair.join(classes, ["_ra", "_rb"]).select("doc_id", "pos", "r")
         step *= 2
     return cur
 
@@ -130,8 +169,14 @@ def crossdoc_repeat_profile(
     )
     ranked = suffix_window_ranks(pos, window)
     ntoks = pos.groupBy("doc_id").agg(F.max("pos").alias("_mx"))
-    full = ranked.join(ntoks, "doc_id").filter(
-        F.col("pos") + window - 1 <= F.col("_mx")
+    # materialized once: `full` feeds BOTH the per-class group stats
+    # and the per-doc rollup join below — without the checkpoint the
+    # whole doubling pipeline would execute twice.
+    full = (
+        ranked.join(ntoks, "doc_id")
+        .filter(F.col("pos") + window - 1 <= F.col("_mx"))
+        .select("doc_id", "r")
+        .localCheckpoint(eager=False)
     )
     grp = full.groupBy("r").agg(
         F.count(F.lit(1)).alias("_gn"),

@@ -1601,14 +1601,17 @@ def suffix_repeat_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc counts of corpus-repeated and OTHER-doc-repeated windows
     are exact, no sampling. The exact completion of the sampled
     span_dedup/substring_dup_pairs pair (the setsim-vs-minhash duality
-    applied to substrings). Every round's global dense rank is the
-    range_rank primitive over the distinct key set (repartitionByRange
-    + per-partition row_number + broadcast offsets — row_number over
-    sorted distinct keys IS dense rank, no single-task sort), then one
-    pair-keyed join back; log2(L) rounds of pure keyed dataflow, the
-    textbook construction bound. One row per document, explicit zeros
-    for docs shorter than the window (the bloom absent-row
-    contract)."""
+    applied to substrings). Every round classes the (r, r@pos+2^k)
+    pairs by their FIRST CORPUS OCCURRENCE — one map-side-combined
+    min(struct(doc_id, pos)) aggregation whose exchange the join back
+    reuses, with the pair itself a lead() window over the per-doc
+    position order (round-11 rewrite: downstream only ever groups on
+    rank EQUALITY, so the ordinal dense rank — and its per-round
+    distinct + range exchange + checkpoint + offsets broadcast — was
+    pure overhead; the class partition is bit-identical). log2(L)
+    rounds of pure keyed dataflow, the textbook construction bound.
+    One row per document, explicit zeros for docs shorter than the
+    window (the bloom absent-row contract)."""
     return crossdoc_repeat_profile(
         load_table(spark, sf_dir, "documents"), window=REPEAT_WINDOW
     )

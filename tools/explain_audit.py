@@ -142,14 +142,15 @@ EXPECTATIONS = {
     # the |V|-row rank/degree side at this SF — at scale that side
     # exceeds the threshold and falls back to the keyed shuffle join
     "pagerank_scores": ["HashAggregate", "hashpartitioning(dst"],
-    # triangles (round-7 edge-iterator form): per-edge codegen
-    # intersect of the two endpoints' neighbor arrays — a Generate
-    # over array_intersect, NO wedge materialization/semi join;
-    # corner credit a union feeding one hash agg
+    # triangles (round-7 edge-iterator form, round-11 one-pass corner
+    # credit): per-edge codegen intersect of the two endpoints'
+    # neighbor arrays — a Generate over array_intersect, NO wedge
+    # materialization/semi join — and each triangle explodes to its
+    # three corners in the SAME pass (no Union of three projections
+    # of the wedge subtree), feeding one hash agg
     "triangle_part_counts": [
         "Generate",
         "array_intersect",
-        "Union",
         "HashAggregate",
     ],
     # heavy hitters: the MG sketch is the one Arrow Python stage
@@ -307,11 +308,13 @@ EXPECTATIONS = {
         "LeftSemi",
         "PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate",
     ],
-    # round-7 operating-curve harnesses: hits against the exact truth
-    # are LEFT-SEMI joins on checkpointed frames, the per-point rows
-    # union, and the candidate/hit counts are map-side-combined aggs
-    "pq_recall_sweep": ["LeftSemi", "Union", "HashAggregate"],
-    "lsh_band_sweep": ["LeftSemi", "Union", "HashAggregate"],
+    # round-7 operating-curve harnesses, round-10 one-pass rewrite:
+    # candidate volume and truth hits come from ONE left-outer join
+    # against the unique checkpointed truth pairs (count(*) = n_cand,
+    # count(_h) = hits — the candidate pipeline runs once per point,
+    # not twice); per-point rows union, counts are map-side aggs
+    "pq_recall_sweep": ["LeftOuter", "Union", "HashAggregate"],
+    "lsh_band_sweep": ["LeftOuter", "Union", "HashAggregate"],
     # hard negatives: shortlist minus truth is a LEFT-ANTI join; the
     # re-rank is a per-query window
     "hard_negative_mine": ["LeftAnti", "Window", "HashAggregate"],
@@ -361,15 +364,16 @@ EXPECTATIONS = {
     # round-8: the n_cells∝N SemDeDup — same dataflow as the pinned
     # form (broadcast centroids, keyed aggregates)
     "semantic_dedup_scaled": ["BroadcastHashJoin", "HashAggregate"],
-    # round-8: prefix doubling — the per-round global dense rank must
-    # be a RANGE exchange (range_rank), never a single-task sort, and
-    # the offsets come back as a broadcast join (audited as the
-    # un-checkpointed round body via OVERRIDES — range_rank's internal
-    # checkpoint hides its exchange, the sorted_neighborhood pattern)
+    # round-11 prefix doubling: per round, the (r, r@pos+step) pair is
+    # a lead() window on the doc-keyed exchange, and the equality-class
+    # id is a map-side-combined min-struct aggregate + one join back on
+    # the same key (no range exchange, no broadcast offsets, no
+    # single-task sort — audited un-checkpointed via OVERRIDES so the
+    # round body is visible behind the per-round pair barrier)
     "suffix_repeat_profile": [
-        "rangepartitioning",
-        "BroadcastHashJoin",
         "Generate",
+        "hashpartitioning(doc_id",
+        "hashpartitioning(_ra",
     ],
     # round-8: synchronous LPA — keyed join + count aggregate per
     # round (the argmax window sits behind the per-round checkpoint)
@@ -385,10 +389,11 @@ EXPECTATIONS = {
         "BroadcastNestedLoopJoin",
         "HashAggregate",
     ],
-    # round-10: re-train trigger — frozen codebook broadcast into the
-    # one-pass error scan; epoch rollup is a keyed agg; the baseline
-    # is a broadcast one-row frame
-    "pq_retrain_trigger": ["BroadcastHashJoin", "HashAggregate"],
+    # round-10: re-train trigger — the epoch rollup (frozen-codebook
+    # broadcast + keyed agg) sits behind the trigger_surface
+    # checkpoint; the VISIBLE plan is the baseline one-row frame
+    # riding a broadcast nested-loop onto the epoch rows
+    "pq_retrain_trigger": ["BroadcastNestedLoopJoin", "BroadcastExchange"],
 }
 
 
@@ -428,30 +433,14 @@ def main() -> int:
     from convoy_spark.operators.dedup import setsim_prefix_join as _ssim
     from convoy_spark.operators.dedup import sorted_neighborhood_pairs as _snm
 
-    from convoy_spark.operators.scale import range_rank as _rrank
+    from convoy_spark.operators.suffix import suffix_window_ranks as _swr
     from convoy_spark.operators.suffix import token_positions as _tpos
 
     def _suffix_round_body(s, d):
-        pos = _tpos(load_table(s, d, "documents"))
-        vocab = _rrank(
-            pos.select("tok").distinct(), ["tok"], out_col="r",
-            checkpoint=False,
-        )
-        cur = pos.join(vocab, "tok").select("doc_id", "pos", "r")
-        nxt = cur.select(
-            "doc_id", (F.col("pos") - 1).alias("pos"), F.col("r").alias("_rb")
-        )
-        pair = (
-            cur.withColumnRenamed("r", "_ra")
-            .join(nxt, ["doc_id", "pos"], "left")
-            .select(
-                "doc_id", "pos", "_ra",
-                F.coalesce("_rb", F.lit(-1)).alias("_rb"),
-            )
-        )
-        return _rrank(
-            pair.select("_ra", "_rb").distinct(), ["_ra", "_rb"],
-            out_col="r", checkpoint=False,
+        # one un-checkpointed doubling round: lead() window + class
+        # aggregate + join back (the plan every round runs)
+        return _swr(
+            _tpos(load_table(s, d, "documents")), window=2, checkpoint=False
         )
 
     OVERRIDES = {

@@ -24,6 +24,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
+    if len(sys.argv) < 2:
+        print(__doc__, file=sys.stderr)
+        return 2
     name = sys.argv[1]
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     runs = int(sys.argv[3]) if len(sys.argv) > 3 else 1
@@ -33,15 +36,11 @@ def main() -> int:
 
     from pyspark.sql import SparkSession
 
-    from convoy_spark.session import get_spark
-
-    # get_spark doesn't expose extra confs; pre-seed via builder first.
-    SparkSession.builder.config("spark.eventLog.enabled", "true").config(
-        "spark.eventLog.dir", log_dir
-    ).getOrCreate().stop()
-    os.environ["SPARK_GRAFT_EVENTLOG"] = log_dir  # documentation only
-
-    # Rebuild with the session factory + event log on top.
+    # Build ONE session, with the eventLog confs set BEFORE the JVM
+    # launches — a throwaway pre-seed session would fix the JVM heap at
+    # its default and silently ignore spark.driver.memory below
+    # (round-10 ADVICE), so profiled runs would execute under different
+    # memory/GC conditions than the bench they diagnose.
     from convoy_spark.session import _sized_shuffle_partitions, default_parallelism
 
     n = default_parallelism()
@@ -114,58 +113,57 @@ def main() -> int:
                 with open(p) as fh:
                     yield from fh
 
-    if True:
-        for line in _lines():
-            ev = json.loads(line)
-            e = ev.get("Event")
-            if e == "SparkListenerJobStart":
-                sub = ev.get("Submission Time", 0)
-                if sub < t0 or sub > t1:
-                    continue
-                jid = ev["Job ID"]
-                jobs[jid] = {
-                    "submit": sub,
-                    "stages": [s["Stage ID"] for s in ev.get("Stage Infos", [])],
+    for line in _lines():
+        ev = json.loads(line)
+        e = ev.get("Event")
+        if e == "SparkListenerJobStart":
+            sub = ev.get("Submission Time", 0)
+            if sub < t0 or sub > t1:
+                continue
+            jid = ev["Job ID"]
+            jobs[jid] = {
+                "submit": sub,
+                "stages": [s["Stage ID"] for s in ev.get("Stage Infos", [])],
+            }
+        elif e == "SparkListenerJobEnd":
+            jid = ev["Job ID"]
+            if jid in jobs:
+                jobs[jid]["end"] = ev.get("Completion Time", 0)
+        elif e == "SparkListenerStageCompleted":
+            si = ev["Stage Info"]
+            sid = si["Stage ID"]
+            sub = si.get("Submission Time")
+            if sub is None or sub < t0 or sub > t1:
+                continue
+            stages[sid] = {
+                "name": si.get("Stage Name", "")[:70],
+                "wall": (si.get("Completion Time", 0) - sub) / 1000.0,
+                "tasks": si.get("Number of Tasks", 0),
+            }
+        elif e == "SparkListenerTaskEnd":
+            # TaskEnd precedes StageCompleted in the log; bank
+            # unconditionally and join on stage id afterwards.
+            sid = ev["Stage ID"]
+            if sid not in task_acc:
+                task_acc[sid] = {
+                    "task_ms": 0,
+                    "gc_ms": 0,
+                    "fetch_ms": 0,
+                    "cpu_ns": 0,
+                    "ser_ms": 0,
                 }
-            elif e == "SparkListenerJobEnd":
-                jid = ev["Job ID"]
-                if jid in jobs:
-                    jobs[jid]["end"] = ev.get("Completion Time", 0)
-            elif e == "SparkListenerStageCompleted":
-                si = ev["Stage Info"]
-                sid = si["Stage ID"]
-                sub = si.get("Submission Time")
-                if sub is None or sub < t0 or sub > t1:
-                    continue
-                stages[sid] = {
-                    "name": si.get("Stage Name", "")[:70],
-                    "wall": (si.get("Completion Time", 0) - sub) / 1000.0,
-                    "tasks": si.get("Number of Tasks", 0),
-                }
-            elif e == "SparkListenerTaskEnd":
-                # TaskEnd precedes StageCompleted in the log; bank
-                # unconditionally and join on stage id afterwards.
-                sid = ev["Stage ID"]
-                if sid not in task_acc:
-                    task_acc[sid] = {
-                        "task_ms": 0,
-                        "gc_ms": 0,
-                        "fetch_ms": 0,
-                        "cpu_ns": 0,
-                        "ser_ms": 0,
-                    }
-                ti = ev.get("Task Info", {})
-                tm = ev.get("Task Metrics") or {}
-                st = task_acc[sid]
-                dur = ti.get("Finish Time", 0) - ti.get("Launch Time", 0)
-                st["task_ms"] += max(dur, 0)
-                st["gc_ms"] += tm.get("JVM GC Time", 0)
-                st["cpu_ns"] += tm.get("Executor CPU Time", 0)
-                st["ser_ms"] += tm.get("Result Serialization Time", 0) + tm.get(
-                    "Executor Deserialize Time", 0
-                )
-                srm = tm.get("Shuffle Read Metrics") or {}
-                st["fetch_ms"] += srm.get("Fetch Wait Time", 0)
+            ti = ev.get("Task Info", {})
+            tm = ev.get("Task Metrics") or {}
+            st = task_acc[sid]
+            dur = ti.get("Finish Time", 0) - ti.get("Launch Time", 0)
+            st["task_ms"] += max(dur, 0)
+            st["gc_ms"] += tm.get("JVM GC Time", 0)
+            st["cpu_ns"] += tm.get("Executor CPU Time", 0)
+            st["ser_ms"] += tm.get("Result Serialization Time", 0) + tm.get(
+                "Executor Deserialize Time", 0
+            )
+            srm = tm.get("Shuffle Read Metrics") or {}
+            st["fetch_ms"] += srm.get("Fetch Wait Time", 0)
 
     njobs = len(jobs)
     total_job_wall = sum(
