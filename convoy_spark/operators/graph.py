@@ -53,6 +53,25 @@ PR_DAMP_NUM = 850_000  # damping * PR_SCALE
 PR_BASE = 150_000  # (1 - damping) * PR_SCALE
 PAGERANK_ITERS = 3
 
+# Node-count ceiling for broadcasting the |V|-sized iterate frame
+# (ranks / labels) into the per-round join against the checkpointed
+# edge frame. Below it, every round's join is a broadcast-hash over
+# the edge scan — the big side is never exchanged OR sorted (the
+# round-9/10 plans sort-merge-joined it every round: a checkpoint
+# scan has no reliable size estimate, so the planner never broadcast
+# the label side on its own; measured at sf0.1 the LPA rounds dropped
+# 11.5 → 4.7 s). Above it, the keyed shuffle join stands (a cluster
+# with billions of nodes buckets the edge table by the join key
+# instead — the docstring posture). 2M rows of two longs is a ~50 MB
+# hash relation: well under the executor/driver envelope anywhere,
+# and the decision is one metadata-cheap count on a frame the round
+# loop materializes anyway (the PQ_WIDE_MIN_ROWS precedent).
+ITERATE_BROADCAST_MAX_NODES = 2_000_000
+
+
+def _maybe_broadcast(df: DataFrame, n_nodes: int) -> DataFrame:
+    return F.broadcast(df) if n_nodes <= ITERATE_BROADCAST_MAX_NODES else df
+
 
 def pagerank(edges: DataFrame, iters: int = PAGERANK_ITERS) -> DataFrame:
     """(id, rank_micro) after ``iters`` synchronous iterations of the
@@ -99,10 +118,14 @@ def pagerank(edges: DataFrame, iters: int = PAGERANK_ITERS) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
+    # one metadata-cheap count (materializes the nodes checkpoint the
+    # loop needs anyway) decides the per-iteration join strategy
+    n_nodes = nodes.count()
     ranks = nodes.select("id", F.lit(PR_SCALE).cast("long").alias("m"))
     for _ in range(iters):
         contrib = (
-            ed.join(ranks.withColumnRenamed("id", "_rid"),
+            ed.join(_maybe_broadcast(
+                        ranks.withColumnRenamed("id", "_rid"), n_nodes),
                     ed["src"] == F.col("_rid"))
             .groupBy("dst")
             .agg(F.sum(F.expr("m div d").cast("decimal(20,0)")).alias("_s"))
@@ -300,11 +323,18 @@ def label_propagation(edges: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
+    # one metadata-cheap count (materializes the nodes checkpoint the
+    # loop needs anyway) decides the per-round join strategy — see
+    # ITERATE_BROADCAST_MAX_NODES
+    n_nodes = nodes.count()
     labels = nodes.select("id", F.col("id").alias("lab"))
     for _ in range(iters):
         cnt = (
             edges.join(
-                labels.select(F.col("id").alias("v"), "lab"), "v"
+                _maybe_broadcast(
+                    labels.select(F.col("id").alias("v"), "lab"), n_nodes
+                ),
+                "v",
             )
             .groupBy(F.col("u"), F.col("lab"))
             .agg(F.count("*").alias("c"))
