@@ -814,10 +814,16 @@ def fuzzy_pairs_dist1(names: DataFrame, name_col: str = "name") -> DataFrame:
         " i -> concat(substring(n, 1, i - 1),"
         "             substring(n, i + 1, length(n) - i)))"
     )
+    # (n, k) rows are UNIQUE by construction — array_union is a set
+    # union, so the per-name key array carries no duplicates and base
+    # is distinct — hence no .distinct() here: the round-6..10 form
+    # paid a full exchange+aggregate of the variant frame (names ×
+    # (len+1) string keys) to dedup rows that had no duplicates
+    # (round-11, §2.4 remove shuffles outright).
     keys = base.select(
         "n",
         F.explode(F.array_union(F.array(F.col("n")), variants)).alias("k"),
-    ).distinct()
+    )
     a = keys.withColumnRenamed("n", "name_a")
     b = keys.withColumnRenamed("n", "name_b")
     cands = (

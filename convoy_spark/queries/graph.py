@@ -359,9 +359,20 @@ def community_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_extendedprice",
         "l_discount",
     )
-    joined = li.join(
-        labs.select(F.col("id").alias("l_partkey"), "label"), "l_partkey"
-    )
+    # The label side is |parts|-sized and pre-reduced, but it reads
+    # from a checkpoint — no size estimate — so the planner was
+    # broadcasting the KNOWN-small side instead: the 600k-row lineitem
+    # projection, a 1.2 s single-task hash-relation build per run (and
+    # the scale-WRONG side — at 100 TB the fact stream never fits).
+    # One metadata-cheap count on the session-cached, materialized
+    # label frame picks the honest side (the ITERATE_BROADCAST
+    # ceiling); above it the keyed equi-join stands.
+    from convoy_spark.operators.graph import ITERATE_BROADCAST_MAX_NODES
+
+    right = labs.select(F.col("id").alias("l_partkey"), "label")
+    if labs.count() <= ITERATE_BROADCAST_MAX_NODES:
+        right = F.broadcast(right)
+    joined = li.join(right, "l_partkey")
     prof = joined.groupBy("label").agg(
         F.count("*").cast("long").alias("n_lineitems"),
         F.countDistinct("l_orderkey").cast("long").alias("n_orders"),
