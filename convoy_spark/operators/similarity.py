@@ -389,95 +389,6 @@ def _cell_mean(assignment: DataFrame, ex: DataFrame) -> DataFrame:
     )
 
 
-# --- blocked-pivot cell scoring (round-11; round-10 verdict #7) -----
-#
-# Exact nearest-cell assignment against n_cells ∝ N centroids is the
-# knng family's quadratic term: the row-shaped scorer fans the
-# exploded frame ×n_cells THROUGH a (vec, cell)-keyed aggregate —
-# N·dim·n_cells rows of row-at-a-time aggregate machinery (measured
-# 1958 s for the sf10 knng build, BENCH_NOTES round 10). The fix is
-# the PQ batched-ADC lesson applied to a DYNAMIC cell count: pivot
-# the centroids into 32-cell BLOCKS (32 columns is the measured-sane
-# codegen width — PQ_KS; thousands of columns would not compile),
-# broadcast each block, and let one groupBy(vec) compute 32 per-cell
-# distance sums as COLUMNS with map-side combine — the exploded frame
-# is scanned once per block (n_cells/32 scans) instead of fanned
-# ×n_cells, a 32× cut in rows through aggregation. Per block the
-# ≤k best (dd, cell) structs survive via a codegen array_sort+slice;
-# the global top-k is then exact over the n_blocks·k survivors.
-#
-# Exactness: the per-cell column sums are the SAME floor-scaled longs
-# the row form aggregates (long addition associative), and
-# struct(dd, cell) ordering is the same (dist, cell) tiebreak — the
-# blocked result is bit-identical (pytest-pinned vs the row form).
-#
-# Engagement: only above IVF_BLOCKED_MIN_CELLS — below it the
-# per-block fixed tax (pivot + broadcast + union branch) exceeds the
-# fan saving (the PQ_WIDE_MIN_ROWS measurement found a ~24 s fixed
-# floor for wide shapes at 32 columns; sf0.1's n_cells ≤ 80 keeps
-# the row form and its committed plan/bench profile untouched).
-IVF_CELL_BLOCK = 32
-IVF_BLOCKED_MIN_CELLS = 128
-# empty cells (a Lloyd round can empty one) surface as NULL columns;
-# the row form simply lacks those candidate rows — excluded via an
-# impossible-distance sentinel, exactly the PQ _assign discipline
-_CELL_SENTINEL = 1 << 62
-
-
-def _blocked_topk_cells(
-    ex: DataFrame, cent: DataFrame, n_cells: int, k: int
-) -> DataFrame:
-    """(vec_id, dd, cell) — for each vector, an exact SUPERSET of its
-    k (dist, cell)-smallest cells: the ≤k best per 32-cell block.
-    ``cent`` is the exploded (cell, d, m) centroid frame; callers MUST
-    pass a lineage-truncated frame (the per-round checkpoint below) —
-    every block consumes it once."""
-    out = None
-    for b0 in range(0, n_cells, IVF_CELL_BLOCK):
-        cells = list(range(b0, min(b0 + IVF_CELL_BLOCK, n_cells)))
-        cw = F.broadcast(
-            cent.where(F.col("cell").isin(cells))
-            .groupBy("d")
-            .pivot("cell", cells)
-            .agg(F.first("m"))
-            .select(
-                "d", *[F.col(str(c)).alias(f"m{c}") for c in cells]
-            )
-        )
-        agg = ex.join(cw, "d").groupBy("vec_id").agg(
-            *[
-                F.sum(
-                    F.floor(
-                        (F.col("x") - F.col(f"m{c}"))
-                        * (F.col("x") - F.col(f"m{c}"))
-                        * F.lit(SCORE_SCALE)
-                    )
-                ).alias(f"dd{c}")
-                for c in cells
-            ]
-        )
-        sentinel = F.lit(_CELL_SENTINEL).cast("long")
-        structs = [
-            F.struct(
-                F.coalesce(F.col(f"dd{c}"), sentinel).alias("dd"),
-                F.lit(c).cast("int").alias("cell"),
-            )
-            for c in cells
-        ]
-        top = agg.select(
-            "vec_id",
-            F.explode(
-                F.slice(F.array_sort(F.array(*structs)), 1, k)
-            ).alias("_s"),
-        ).select(
-            "vec_id",
-            F.col("_s.dd").alias("dd"),
-            F.col("_s.cell").alias("cell"),
-        )
-        out = top if out is None else out.unionByName(top)
-    return out.where(F.col("dd") < F.lit(_CELL_SENTINEL))
-
-
 def _ivf_loop(
     ex: DataFrame, ids: DataFrame, n_cells: int, iters: int
 ) -> tuple[DataFrame, DataFrame]:
@@ -514,48 +425,28 @@ def _ivf_loop(
     cent = seeds.join(ex, "vec_id").select(
         "cell", "d", F.col("x").alias("m")
     )
-    blocked = n_cells >= IVF_BLOCKED_MIN_CELLS
     assignment = None
     for it in range(iters + 1):  # final pass re-assigns to final centroids
-        if blocked:
-            # blocked-pivot scorer (see _blocked_topk_cells): the
-            # centroid frame is consumed once per 32-cell block, so
-            # its lineage MUST be truncated per round or every block
-            # re-derives the previous round (the pq_codebooks
-            # per-round-checkpoint discipline; the linear-plan
-            # argument above holds only for single-consumption)
-            cent = cent.localCheckpoint(eager=False)
-            assignment = (
-                _blocked_topk_cells(ex, cent, n_cells, 1)
-                .groupBy("vec_id")
-                .agg(
-                    F.min(F.struct(F.col("dd"), F.col("cell")))
-                    .getField("cell")
-                    .alias("cell")
-                )
+        dist = (
+            ex.join(F.broadcast(cent), "d")
+            .groupBy("vec_id", "cell")
+            .agg(
+                # floor-scaled long sums — no decimal tie hazard (see
+                # _cell_mean); dd only feeds the (dd, cell) argmin
+                F.sum(
+                    F.floor(
+                        (F.col("x") - F.col("m"))
+                        * (F.col("x") - F.col("m"))
+                        * F.lit(SCORE_SCALE)
+                    )
+                ).alias("dd")
             )
-        else:
-            dist = (
-                ex.join(F.broadcast(cent), "d")
-                .groupBy("vec_id", "cell")
-                .agg(
-                    # floor-scaled long sums — no decimal tie hazard
-                    # (see _cell_mean); dd only feeds the (dd, cell)
-                    # argmin
-                    F.sum(
-                        F.floor(
-                            (F.col("x") - F.col("m"))
-                            * (F.col("x") - F.col("m"))
-                            * F.lit(SCORE_SCALE)
-                        )
-                    ).alias("dd")
-                )
-            )
-            assignment = dist.groupBy("vec_id").agg(
-                F.min(F.struct(F.col("dd"), F.col("cell")))
-                .getField("cell")
-                .alias("cell")
-            )
+        )
+        assignment = dist.groupBy("vec_id").agg(
+            F.min(F.struct(F.col("dd"), F.col("cell")))
+            .getField("cell")
+            .alias("cell")
+        )
         if it < iters:
             cent = _cell_mean(assignment, ex)
     assignment = assignment.localCheckpoint(eager=False)
@@ -815,42 +706,21 @@ def knn_graph(
     probe_w = Window.partitionBy("src").orderBy(
         F.col("_pd").asc(), F.col("cell").asc()
     )
-    if n_cells >= IVF_BLOCKED_MIN_CELLS:
-        # blocked-pivot probe scoring (round-10 verdict #7: this join
-        # fan ×n_cells IS the knng build's N²/target_cell term —
-        # 1958 s at sf10): per-vector per-block top-n_probe survive,
-        # the global top-n_probe is exact over n_blocks·n_probe rows.
-        # cent_ex derives from the checkpointed assignment's
-        # _cell_mean — truncate before the per-block consumption.
-        probes = (
-            _blocked_topk_cells(
-                ex, cent_ex.localCheckpoint(eager=False), n_cells, n_probe
-            )
-            .select(
-                F.col("vec_id").alias("src"),
-                F.col("dd").alias("_pd"),
-                "cell",
-            )
-            .withColumn("_pr", F.row_number().over(probe_w))
-            .filter(F.col("_pr") <= n_probe)
-            .select("src", "cell")
+    probes = (
+        ex.join(F.broadcast(cent_ex), "d")
+        .groupBy(F.col("vec_id").alias("src"), F.col("cell"))
+        .agg(
+            F.sum(
+                F.floor(
+                    ((F.col("x") - F.col("m")) * (F.col("x") - F.col("m")))
+                    * F.lit(SCORE_SCALE)
+                )
+            ).alias("_pd")
         )
-    else:
-        probes = (
-            ex.join(F.broadcast(cent_ex), "d")
-            .groupBy(F.col("vec_id").alias("src"), F.col("cell"))
-            .agg(
-                F.sum(
-                    F.floor(
-                        ((F.col("x") - F.col("m")) * (F.col("x") - F.col("m")))
-                        * F.lit(SCORE_SCALE)
-                    )
-                ).alias("_pd")
-            )
-            .withColumn("_pr", F.row_number().over(probe_w))
-            .filter(F.col("_pr") <= n_probe)
-            .select("src", "cell")
-        )
+        .withColumn("_pr", F.row_number().over(probe_w))
+        .filter(F.col("_pr") <= n_probe)
+        .select("src", "cell")
+    )
     cand = (
         probes.join(
             assignment.select(F.col("vec_id").alias("dst"), "cell"), "cell"

@@ -513,42 +513,3 @@ def test_knn_graph_recall_vs_exact(spark):
     recall = len(got & want) / len(want)
     assert recall >= 0.35, recall  # random corpus: cells are arbitrary
 
-
-def test_blocked_cell_assignment_bitwise_parity(spark, monkeypatch):
-    """The blocked-pivot cell scorer (round-11: 32-cell pivoted
-    blocks, the PQ batched-ADC shape at a dynamic cell count) must be
-    BIT-IDENTICAL to the row-shaped scorer — same floor-scaled longs,
-    same (dist, cell) argmin — for both the Lloyd assignment and the
-    knng probe/top-k path. Forces the gate both ways on one corpus
-    and compares whole outputs."""
-    from convoy_spark.operators import similarity as sim
-
-    rows = []
-    for i in range(120):
-        vec = [
-            round(((i * 13 + d * 7) % 23 - 11) * 0.07, 6) for d in range(8)
-        ]
-        rows.append((i, vec))
-    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-
-    def graph_rows():
-        # target_cell=1 -> n_cells=120 (above/below the patched gate)
-        g = sim.knn_graph(df, k=2, n_probe=2, target_cell=1, min_cells=4)
-        return sorted(tuple(r) for r in g.collect())
-
-    monkeypatch.setattr(sim, "IVF_BLOCKED_MIN_CELLS", 10**9)
-    row_form = graph_rows()
-    monkeypatch.setattr(sim, "IVF_BLOCKED_MIN_CELLS", 16)
-    blocked_form = graph_rows()
-    assert blocked_form == row_form
-    assert row_form, "empty graph?"
-
-    cent_blk, asg_blk = sim.ivf_index(df, n_cells=40)  # gate still 16
-    monkeypatch.setattr(sim, "IVF_BLOCKED_MIN_CELLS", 10**9)
-    cent_row, asg_row = sim.ivf_index(df, n_cells=40)
-    assert sorted(map(tuple, asg_row.collect())) == sorted(
-        map(tuple, asg_blk.collect())
-    )
-    assert sorted(map(tuple, cent_row.collect())) == sorted(
-        map(tuple, cent_blk.collect())
-    )
